@@ -1,0 +1,105 @@
+"""Relational primitives re-expressed Spark-first (SURVEY.md §2.2-2.6).
+
+Covers the reference's projection / rename / cast / filter / fillna /
+dedup / join / group-count / window surface, plus the helpers that make
+aggregate results *deterministic* so they can hash-match a DuckDB oracle:
+floating-point SUM is order-dependent under parallelism, so money-style
+aggregates go through an exact DECIMAL accumulator and only the final
+value is cast back to double (order-independent, engine-independent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Exact intermediate type for double aggregation. DECIMAL(38,6) sums are
+# order-independent; the final cast back to double is deterministic.
+_DEC = "decimal(38,6)"
+
+
+def dsum(col: Column | str, alias: str) -> Column:
+    """Order-independent SUM over doubles: sum(cast decimal) → double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(_DEC)).cast("double").alias(alias)
+
+
+def davg(col: Column | str, alias: str) -> Column:
+    """Order-independent AVG: exact decimal sum / count, as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(c.cast(_DEC)).cast("double") / F.count(c)).alias(alias)
+
+
+def project_rename(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """select + withColumnRenamed chains (transform-data.py:100-106) in
+    one select: ``{old: new}`` → SELECT old AS new, ..."""
+    return df.select(*[F.col(o).alias(n) for o, n in mapping.items()])
+
+
+def fill_defaults(df: DataFrame, defaults: dict) -> DataFrame:
+    """Per-column null replacement (transform-data.py:97-98)."""
+    return df.fillna(defaults)
+
+
+def dedup_rows(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """dropDuplicates (transform-data.py:100,106,138,177). Physically a
+    hash aggregate over the subset columns — shuffles on those keys."""
+    return df.dropDuplicates(subset) if subset else df.dropDuplicates()
+
+
+def grouped_count(df: DataFrame, keys: list[str], alias: str = "count") -> DataFrame:
+    """groupBy(keys).count() (transform-data.py:144-147 A1). Catalyst
+    plans partial (map-side) + final hash aggregation automatically."""
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(alias))
+
+
+def star_join(
+    fact: DataFrame,
+    dims: list[tuple[DataFrame, Column]],
+    broadcast_dims: bool = True,
+) -> DataFrame:
+    """Chained inner equi-joins of one fact against small dims (J3,
+    transform-data.py:276-285). Dims are broadcast by default: at 100 TB
+    the fact never shuffles for a dim join, each task streams its fact
+    partition against an in-memory hash map of the dim."""
+    out = fact
+    for dim, cond in dims:
+        right = F.broadcast(dim) if broadcast_dims else dim
+        out = out.join(right, cond, "inner")
+    return out
+
+
+def surrogate_key(df: DataFrame, name: str = "num", order_by: str | None = None) -> DataFrame:
+    """Surrogate key assignment (W1+F4, transform-data.py:287-298).
+
+    The reference's ``row_number() over (order by "idx")`` ordered by a
+    string *literal* — a single-partition exchange plus nondeterministic
+    numbering (SURVEY.md §2.5 bug). Two intent-faithful modes:
+
+    - order_by=None (scale path): monotonically_increasing_id — unique,
+      non-consecutive, no shuffle, safe at any scale.
+    - order_by=col (small results): consecutive row_number over a real
+      ordering. Still a global window; only for post-aggregation outputs
+      that are already small.
+    """
+    if order_by is None:
+        return df.withColumn(name, F.monotonically_increasing_id())
+    w = Window.orderBy(F.col(order_by))
+    return df.withColumn(name, F.row_number().over(w).cast("long"))
+
+
+def top_k_per_group(
+    df: DataFrame,
+    keys: list[str],
+    order: list[Column],
+    k: int,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Top-K per group via a partitioned window — the scalable form of
+    ranking (each group ranks inside its own partition; no global sort).
+    Pass a deterministic ``order`` (include a tiebreaker key)."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .filter(F.col(rank_col) <= k)
+    )
