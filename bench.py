@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": N, "unit": "sec", "queries":
+{name: sec, ...}, "sf": ...}.
+
+Timing excludes JVM/session startup; each query is forced end-to-end
+with .count() (full compute, no driver transfer of result payloads).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+HEADLINE = [
+    "q_flagship_star_rollup",
+    "q_join_multiway",
+    "q_tpch_q1",
+    "q_groupby_count",
+    "q_time_dim",
+    "q_top_k_per_group",
+    "q_sessionize",
+    "q_asof_join",
+    "q_dedup_exact",
+    "q_ngram_jaccard",
+    "q_dedup_minhash_lsh",
+    "q_simhash",
+    "q_knn_cosine",
+    "q_embed_neardup",
+    "q_text_quality",
+    "q_lang_id",
+    "q_stream_hourly_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 4)
+
+    from big_data_projects_spark.session import get_spark
+    from big_data_projects_spark.queries import REGISTRY
+
+    spark = get_spark(app_name="bdp-bench", cpus=cpus, shuffle_partitions=cpus)
+
+    # Warm the JVM/IO path once (tiny query), outside measurement.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = REGISTRY[name]
+        t0 = time.perf_counter()
+        q.spark(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

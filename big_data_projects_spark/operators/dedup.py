@@ -1,0 +1,248 @@
+"""Deduplication operators for document corpora.
+
+Four tiers, each a standard large-scale training-data technique:
+
+- exact        : md5 content hash → groupBy (hash-partitioned; the only
+                 shuffle key is the 128-bit digest, perfectly uniform).
+- ngram_jaccard: exact word-n-gram Jaccard over candidate pairs that
+                 share ≥1 shingle (join on shingle hash). Exact but
+                 candidate-quadratic on hot shingles — the verify step
+                 of a fuzzy-dedup pipeline.
+- minhash_lsh  : MinHash signatures + banded LSH bucketing → candidate
+                 pairs → exact-Jaccard verification. The 100 TB path:
+                 candidates come from equi-joins on (band, bucket),
+                 never from a cross join.
+- simhash      : 32-bit SimHash per doc from md5-derived token hashes —
+                 bit-vote aggregation, engine-portable (the oracle
+                 reproduces it in pure SQL).
+
+All hashing is md5/xxhash64-based and deterministic; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from big_data_projects_spark.operators.text import tokens
+
+# MinHash parameters: 64 permutations, 16 bands × 4 rows.
+NUM_PERM = 64
+LSH_BANDS = 16
+LSH_ROWS = NUM_PERM // LSH_BANDS
+# 31-bit domain: base and multipliers < 2^31, so a·x + b < 2^62 — no
+# int64 overflow under ANSI arithmetic.
+_MERSENNE31 = (1 << 31) - 1
+
+_rng = random.Random(42)
+_PERMS = [
+    (_rng.randrange(1, _MERSENNE31), _rng.randrange(0, _MERSENNE31))
+    for _ in range(NUM_PERM)
+]
+
+
+def content_hash(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one row per distinct content hash (first by natural order of
+    a deterministic tiebreak on all columns is unnecessary — any row of
+    an exact-duplicate group is equivalent by definition)."""
+    return df.dropDuplicates([text_col])
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word-n-gram shingle hashes per document: (id, shingle).
+
+    Docs with fewer than n tokens produce no shingles (both here and in
+    the SQL oracle, where generate_series is empty).
+    """
+    toks = tokens(text_col)
+    grams = F.expr(
+        f"transform(sequence(0, size(__toks) - {n}), "
+        f"i -> concat_ws(' ', {', '.join(f'__toks[i + {j}]' for j in range(n))}))"
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .filter(F.size("__toks") >= n)
+        .select(F.col(id_col), F.explode(grams).alias("__gram"))
+        .select(F.col(id_col), F.md5("__gram").alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every doc pair sharing ≥1
+    shingle. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, sig: array<bigint> of NUM_PERM minhash values).
+
+    Universal hashing over xxhash64(shingle): h_i(x) = (a_i·x + b_i)
+    mod 2^61−1, min-aggregated per doc — a single groupBy with NUM_PERM
+    min() aggregates (map-side partial aggregation keeps the shuffle
+    tiny regardless of shingle count).
+    """
+    sh = shingles(df, id_col, text_col, n)
+    base = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE31))
+    mins = [
+        F.min((base * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE31)).alias(f"h{i}")
+        for i, (a, b) in enumerate(_PERMS)
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(NUM_PERM)]).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Banded-LSH candidate generation + exact-Jaccard verification.
+
+    Scale path: docs land in (band, bucket) groups via an equi-join key
+    (xxhash64 of each band's signature slice); only same-bucket pairs
+    are verified. At 100 TB this is the only shape that works — no
+    cross join, shuffle keys are uniform hashes.
+    """
+    sig = minhash_signatures(df, id_col, text_col, n)
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[i]
+                                for i in range(b * LSH_ROWS, (b + 1) * LSH_ROWS)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+    left = bands.select(F.col(id_col).alias("doc_a"), "band", "bucket")
+    right = bands.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+    candidates = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold=0.0)
+    return (
+        candidates.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def simhash32(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """32-bit SimHash per doc.
+
+    Token hash = first 8 hex chars of md5 (portable across engines);
+    per-bit votes (+1/−1, weighted by token multiplicity) aggregated in
+    one groupBy with 32 conditional sums; bit set iff vote > 0.
+    """
+    toks = tokens(text_col)
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("__tok")).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("__tok"), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = exploded.groupBy(id_col).agg(*votes)
+    acc = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        acc = acc + F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(0).cast("long")
+    return agg.select(F.col(id_col), acc.alias("simhash"))
+
+
+def simhash32_oracle_sql(table: str = "documents", id_col: str = "doc_id",
+                         text_col: str = "text") -> str:
+    """Generate the DuckDB twin of simhash32 (same bit votes, same hash)."""
+    vote_cols = ",\n          ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT {id_col},
+               unnest(regexp_split_to_array(trim(lower({text_col})), '\\s+')) AS tok
+        FROM {table}
+    ),
+    hashed AS (
+        SELECT {id_col},
+               CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+        FROM toks
+    ),
+    votes AS (
+        SELECT {id_col},
+          {vote_cols}
+        FROM hashed GROUP BY {id_col}
+    )
+    SELECT {id_col}, {bit_terms} AS simhash FROM votes
+    """

@@ -1,0 +1,196 @@
+"""Similarity search over an embedding column (array<float>).
+
+- cosine_sim   : JVM-side higher-order-function fold — sequential
+                 double accumulation, bit-identical to DuckDB's
+                 list_dot_product/list_cosine_similarity on DOUBLE[]
+                 (verified empirically), so results hash-match oracles.
+- topk_cosine  : brute-force top-k against one query vector. The
+                 baseline; a broadcast of the query side + one pass.
+- blocked_neardup_pairs : all pairs above a cosine threshold *within a
+                 blocking key* (e.g. a cluster/label column) — the
+                 exact-verify shape used after any ANN blocking.
+- ivf_topk     : IVF-style two-stage search — centroid per partition
+                 (label), probe the closest n_probe partitions only.
+                 The 100 TB path: the fine search touches only probed
+                 partitions (partition pruning on the block key).
+- lsh_neardup_pairs : random-hyperplane signature bucketing → candidate
+                 pairs → exact cosine verify. Fully join-based.
+
+No Python in the similarity hot loop: folds are Catalyst higher-order
+functions. A Pandas-UDF matmul variant is deliberately *not* the
+default — for top-k against a handful of queries the fold is
+shuffle-free and code-gen'd; swap in numpy only for large query
+batches (q×n matmul), where it wins on arithmetic density.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def topk_cosine(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the single query row, one
+    scan of the corpus, global top-k via orderBy+limit (Spark plans
+    TakeOrderedAndProject — per-partition heaps, no full sort)."""
+    q = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("__qv"))
+    scored = (
+        emb.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            cosine_sim(F.col(vec_col), F.col("__qv")).alias("sim"),
+        )
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
+def blocked_neardup_pairs(
+    emb: DataFrame,
+    block_col: str = "label",
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (a, b, sim) with sim ≥ threshold and a < b, within blocks.
+
+    The block key bounds the pair blow-up: the self-join is an
+    equi-join on block_col, so each block's pairs stay in one task.
+    """
+    a = emb.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = emb.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_sim(F.col("__va"), F.col("__vb")).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    part_col: str = "label",
+) -> DataFrame:
+    """IVF two-stage search: coarse (query vs per-partition centroids)
+    then fine (scan only the n_probe closest partitions).
+
+    Centroids are elementwise means computed distributively
+    (posexplode → groupBy(part, pos) → avg). Float means are order-
+    dependent, hence this operator is rows-only checked.
+    """
+    q = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("__qv"))
+
+    centroids = (
+        emb.select(F.col(part_col), F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy(part_col, "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy(part_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            part_col,
+            F.expr("transform(pm, x -> x.m)").alias("centroid"),
+        )
+    )
+    probed = (
+        centroids.crossJoin(F.broadcast(q))
+        .select(part_col, cosine_sim(F.col("centroid"), F.col("__qv")).alias("csim"))
+        .orderBy(F.col("csim").desc(), F.col(part_col))
+        .limit(n_probe)
+        .select(part_col)
+    )
+    fine = (
+        emb.join(F.broadcast(probed), part_col)
+        .filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(F.col(id_col), cosine_sim(F.col(vec_col), F.col("__qv")).alias("sim"))
+    )
+    return fine.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
+N_HYPERPLANES = 16
+
+
+def _hyperplanes(dim: int, n: int = N_HYPERPLANES) -> list[list[float]]:
+    rng = random.Random(7)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n)]
+
+
+def lsh_neardup_pairs(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH: 16-bit sign signature (2 bands × 8 bits)
+    → bucket equi-join for candidates → exact cosine verification."""
+    planes = _hyperplanes(dim)
+    sign_bits = [
+        F.when(_dot(F.col(vec_col), F.array(*[F.lit(v) for v in p])) > 0, 1).otherwise(0)
+        for p in planes
+    ]
+    half = N_HYPERPLANES // 2
+    band0 = sum(b * (1 << i) for i, b in enumerate(sign_bits[:half]))
+    band1 = sum(b * (1 << i) for i, b in enumerate(sign_bits[half:]))
+    sig = emb.select(
+        F.col(id_col), F.col(vec_col),
+        band0.alias("b0"), band1.alias("b1"),
+    )
+    cands = None
+    for band in ("b0", "b1"):
+        a = sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), F.col(band).alias("__k"))
+        b = sig.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), F.col(band).alias("__k"))
+        c = a.join(b, "__k").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "__va", "__vb")
+        cands = c if cands is None else cands.unionByName(c)
+    return (
+        cands.dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", cosine_sim(F.col("__va"), F.col("__vb")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )

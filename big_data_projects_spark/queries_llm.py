@@ -1,0 +1,348 @@
+"""LLM training-data pipeline queries: text analysis, dedup family,
+similarity search, multimodal plumbing (SURVEY.md §7 phase 3;
+BASELINE.json north star). These are first-class components, each a
+scale-designed operator with a DuckDB oracle twin where the semantics
+are SQL-expressible (probabilistic/LSH/float-mean ops are rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_projects_spark.data import load_table
+from big_data_projects_spark.operators import dedup as D
+from big_data_projects_spark.operators import multimodal as M
+from big_data_projects_spark.operators import similarity as S
+from big_data_projects_spark.operators import text as T
+from big_data_projects_spark.registry import register
+from big_data_projects_spark.session import ensure_runtime_conf
+
+
+def _t(spark, sf_dir, name):
+    ensure_runtime_conf(spark)
+    return load_table(spark, sf_dir, name)
+
+
+_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct_tokens
+    FROM documents
+    """,
+)
+def q_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokenizer, total + distinct counts."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.with_token_stats(docs).select("doc_id", "n_tokens", "n_distinct_tokens")
+
+
+@register(
+    "q_lang_id",
+    oracle=r"""
+    WITH s AS (
+        SELECT doc_id, lang,
+            len(regexp_extract_all(lower(text), '\b(the|a|is|and|of)\b')) AS en,
+            len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS de,
+            len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS fr,
+            len(regexp_extract_all(lower(text), '\b(el|los|las|y|es)\b')) AS es,
+            len(regexp_extract_all(lower(text), '[\x{4e00}-\x{9fff}]')) AS zh
+        FROM documents
+    )
+    SELECT doc_id, lang,
+        CASE WHEN en=0 AND de=0 AND fr=0 AND es=0 AND zh=0 THEN 'unknown'
+             WHEN en>=de AND en>=fr AND en>=es AND en>=zh THEN 'en'
+             WHEN de>=fr AND de>=es AND de>=zh THEN 'de'
+             WHEN fr>=es AND fr>=zh THEN 'fr'
+             WHEN es>=zh THEN 'es'
+             ELSE 'zh' END AS pred_lang
+    FROM s
+    """,
+)
+def q_lang_id(spark, sf_dir):
+    """Language-ID: marker-word n-gram heuristic, deterministic argmax
+    with fixed preference order (en,de,fr,es,zh), 'unknown' on zero
+    evidence. All JVM regexp_count — no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", T.predict_lang("text").alias("pred_lang"))
+
+
+@register(
+    "q_text_quality",
+    oracle=r"""
+    WITH f AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_obs,
+               CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(lower(text), '[.,;:!?]')) AS BIGINT) AS n_punct,
+               CAST(len(regexp_extract_all(lower(text), '\b(the|a|is|and|of|to|in|that|it|for)\b')) AS BIGINT) AS n_stopwords
+        FROM documents
+    )
+    SELECT doc_id, n_chars_obs, n_tokens, n_punct, n_stopwords,
+           least(1.0, n_tokens / 50.0)
+             * (1.0 - n_punct / n_tokens)
+             * (0.5 + 0.5 * (n_stopwords / n_tokens)) AS quality_score
+    FROM f
+    """,
+)
+def q_text_quality(spark, sf_dir):
+    """Quality scoring from integer counts (length/punct/stopword
+    ratios) — int arithmetic makes the double score engine-portable."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.quality_features(docs).select(
+        "doc_id", "n_chars_obs", "n_tokens", "n_punct", "n_stopwords", "quality_score"
+    )
+
+
+@register(
+    "q_doc_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(text) AS fp,
+           CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS fp32
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 hex + compact 32-bit key."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.fingerprint("text").alias("fp"),
+        T.fingerprint32("text").alias("fp32"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT source, COUNT(*) AS n_total,
+           COUNT(DISTINCT md5(text)) AS n_unique
+    FROM documents GROUP BY source
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup accounting per source: content-hash distinct counts.
+    The hash key is uniform → no skew in the distinct shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct(D.content_hash("text")).alias("n_unique"),
+    )
+
+
+@register(
+    "q_ngram_jaccard",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shingle
+        FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
+        WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+    """,
+)
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard pairs (threshold 0.1): the verify
+    stage of fuzzy dedup, candidates restricted to pairs sharing a
+    shingle (equi-join on shingle hash, never a cross join)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold=0.1)
+
+
+@register("q_dedup_minhash_lsh")  # probabilistic candidates → rows-only
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(64) + banded LSH(16×4) candidates, exact-Jaccard
+    verified — the 100 TB fuzzy-dedup path."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, threshold=0.1)
+
+
+@register("q_simhash_pairs")  # hamming-ball pairing over simhash
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup candidates: docs whose 32-bit simhash differs
+    by ≤ 3 bits, paired via pigeonhole blocking over 8 segments of 4
+    bits (≤3 flipped bits can touch at most 3 segments, so at least one
+    segment matches exactly → equi-join per segment finds every such
+    pair), then exact hamming filter. Rows-only: the candidate set is
+    exact for the ≤3 threshold, but hashes aren't SQL-portable here."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.simhash32(docs)
+    segs = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("seg"),
+                        F.shiftright(F.col("simhash"), i * 4)
+                        .bitwiseAND(0xF)
+                        .alias("key"),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("sk"),
+    ).select("doc_id", "simhash", "sk.seg", "sk.key")
+    a = segs.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a"), "seg", "key"
+    )
+    b = segs.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b"), "seg", "key"
+    )
+    pairs = (
+        a.join(b, ["seg", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "h_a", "h_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return pairs.select(
+        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= 3)
+
+
+@register("q_simhash", oracle=D.simhash32_oracle_sql())
+def q_simhash(spark, sf_dir):
+    """32-bit SimHash per document — fully engine-portable (md5-derived
+    token hashes, bit-vote aggregation), so it IS oracle-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash32(docs)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+
+@register(
+    "q_knn_cosine",
+    oracle="""
+    SELECT a.vec_id,
+           list_dot_product(a.embedding::DOUBLE[], q.qv) /
+           (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+            sqrt(list_dot_product(q.qv, q.qv))) AS sim
+    FROM embeddings a,
+         (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
+    WHERE a.vec_id != 0
+    ORDER BY sim DESC, a.vec_id
+    LIMIT 10
+    """,
+)
+def q_knn_cosine(spark, sf_dir):
+    """Brute-force cosine top-10 against query vec_id=0. The fold is a
+    Catalyst higher-order function with sequential double accumulation
+    — bit-identical to DuckDB list_dot_product on DOUBLE[] (verified),
+    so even the float sims hash-match. Physical plan: broadcast 1-row
+    query, one corpus scan, TakeOrderedAndProject (per-partition
+    heaps — no global sort)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.topk_cosine(emb, query_id=0, k=10)
+
+
+@register(
+    "q_embed_neardup",
+    oracle=f"""
+    SELECT * FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS} AS sim
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE sim >= 0.3
+    """,
+)
+def q_embed_neardup(spark, sf_dir):
+    """Embedding near-dup pairs within label blocks (blocked exact
+    verification — the step after any ANN candidate generation)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.blocked_neardup_pairs(emb, block_col="label", threshold=0.3)
+
+
+@register("q_knn_ivf")  # float centroid means → rows-only
+def q_knn_ivf(spark, sf_dir):
+    """IVF-style two-stage ANN: per-label centroids, probe top-3
+    partitions, fine search only there — the partition-pruned scale
+    path for similarity search."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, query_id=0, k=10, n_probe=3)
+
+
+@register("q_embed_lsh_neardup")  # probabilistic buckets → rows-only
+def q_embed_lsh_neardup(spark, sf_dir):
+    """Random-hyperplane LSH near-dup: sign-bit signatures, banded
+    bucket equi-join candidates, exact cosine verify."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.lsh_neardup_pairs(emb, dim=64, threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_multimodal_bytes",
+    oracle="""
+    SELECT doc_id, 'text' AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest
+    FROM documents
+    """,
+)
+def q_multimodal_bytes(spark, sf_dir):
+    """Binary payload carrier: opaque bytes + typed metadata struct.
+    The metadata (byte length, digest) is oracle-checked; payloads stay
+    opaque exactly as image/audio blobs would."""
+    docs = _t(spark, sf_dir, "documents")
+    wrapped = M.with_binary_payload(docs)
+    return wrapped.select(
+        "doc_id",
+        F.col("meta.kind").alias("kind"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.digest").alias("digest"),
+    )
+
+
+@register("q_multimodal_features")  # pandas-UDF plumbing → rows-only
+def q_multimodal_features(spark, sf_dir):
+    """Arrow-batched mapInPandas featurizer over binary payloads
+    (decode step stubbed — no media libs in container; byte-level
+    deterministic features keep the batch shape real)."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = M.extract_features(M.with_binary_payload(docs))
+    return feats.select(
+        "doc_id", "kind", "n_bytes", "decode_status",
+        F.element_at("features", 1).alias("f_len"),
+        F.element_at("features", 4).alias("f_mod256"),
+    )

@@ -21,6 +21,10 @@ _REQUIRED_RUNTIME_CONF = {
     # may hand us a session we didn't build.
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Spark's 200 default over-parallelizes local/test scale; streaming
+    # aggregations don't get AQE coalescing, so pin explicitly.
+    "spark.sql.shuffle.partitions": "32",
 }
 
 

@@ -1,0 +1,21 @@
+"""Differential-oracle tests for the LLM-pipeline + streaming queries."""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_projects_spark.queries import REGISTRY
+from tests.oracle_utils import compare_query
+
+LLM_ORACLE_QUERIES = sorted(
+    n for n, q in REGISTRY.items()
+    if q.oracle is not None
+    and n.startswith(("q_dedup", "q_knn", "q_text", "q_lang", "q_token",
+                      "q_doc_", "q_simhash", "q_multimodal", "q_stream",
+                      "q_ngram", "q_embed"))
+)
+
+
+@pytest.mark.parametrize("name", LLM_ORACLE_QUERIES)
+def test_oracle_match(spark, name):
+    assert compare_query(spark, name) >= 0
