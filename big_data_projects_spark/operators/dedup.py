@@ -28,9 +28,12 @@ from pyspark.sql import functions as F
 
 from big_data_projects_spark.operators.text import tokens
 
-# MinHash parameters: 64 permutations, 16 bands × 4 rows.
+# MinHash parameters: 64 permutations, 32 bands × 2 rows.
+# Banded-LSH catch threshold ≈ (1/b)^(1/r) ≈ 0.18, so pairs with true
+# Jaccard ≥ 0.3 are caught with high probability; the exact-verify stage
+# discards the extra false-positive candidates the low threshold admits.
 NUM_PERM = 64
-LSH_BANDS = 16
+LSH_BANDS = 32
 LSH_ROWS = NUM_PERM // LSH_BANDS
 # 31-bit domain: base and multipliers < 2^31, so a·x + b < 2^62 — no
 # int64 overflow under ANSI arithmetic.
@@ -179,11 +182,34 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold=0.0)
+    # Exact-Jaccard verification restricted to candidate pairs only:
+    # route each candidate pair through doc_a's shingles, then count the
+    # shingles doc_b shares. Cost is O(|candidates| · shingles/doc) —
+    # never the full shared-shingle pair blow-up LSH exists to avoid.
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    n_common = (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        candidates.join(exact, ["doc_a", "doc_b"])
+        n_common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
     )
 
 

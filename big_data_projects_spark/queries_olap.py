@@ -1,0 +1,360 @@
+"""General OLAP surface beyond the reference's inventory.
+
+The reference exercises no set ops, no outer/semi/anti joins, no
+sum/avg aggregates, no cube/rollup, no pivot, no analytic windows
+(SURVEY.md §2.4/2.6/2.7). A complete engine needs them; each is a thin
+composition over Catalyst with a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_projects_spark.data import load_table
+from big_data_projects_spark.operators.relational import dsum
+from big_data_projects_spark.registry import register
+from big_data_projects_spark.session import ensure_runtime_conf
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_runtime_conf(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Join types the reference lacks
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_join_left_outer",
+    oracle="""
+    SELECT c_custkey, COALESCE(n, 0) AS n_orders FROM customer
+    LEFT JOIN (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey) o
+      ON c_custkey = o_custkey
+    """,
+)
+def q_join_left_outer(spark, sf_dir):
+    """Left outer join: customers with their order counts, 0 if none."""
+    customer = _t(spark, sf_dir, "customer")
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        customer.join(per_cust, customer.c_custkey == per_cust.o_custkey, "left")
+        .select("c_custkey", F.coalesce("n", F.lit(0)).alias("n_orders"))
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderstatus = 'F')
+    """,
+)
+def q_join_semi(spark, sf_dir):
+    """Left semi join (EXISTS): customers with a finished order."""
+    customer = _t(spark, sf_dir, "customer")
+    finished = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return customer.join(
+        finished, customer.c_custkey == finished.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderstatus = 'P')
+    """,
+)
+def q_join_anti(spark, sf_dir):
+    """Left anti join (NOT EXISTS): customers with no pending order.
+    (Unfiltered NOT EXISTS is vacuous on this data — every customer has
+    some order; the status filter keeps the anti-join path non-empty.)"""
+    customer = _t(spark, sf_dir, "customer")
+    pending = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return customer.join(
+        pending, customer.c_custkey == pending.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_set_ops",
+    oracle="""
+    WITH buyers AS (SELECT DISTINCT o_custkey AS k FROM orders
+                    WHERE o_orderstatus = 'O'),
+         finished AS (SELECT DISTINCT o_custkey AS k FROM orders
+                      WHERE o_orderstatus = 'F')
+    SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT k FROM buyers UNION SELECT k FROM finished)
+    UNION ALL
+    SELECT 'intersect', COUNT(*) FROM (SELECT k FROM buyers INTERSECT SELECT k FROM finished)
+    UNION ALL
+    SELECT 'except', COUNT(*) FROM (SELECT k FROM buyers EXCEPT SELECT k FROM finished)
+    """,
+)
+def q_set_ops(spark, sf_dir):
+    """UNION / INTERSECT / EXCEPT over customer-key sets."""
+    orders = _t(spark, sf_dir, "orders")
+    buyers = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    finished = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    spark_ = orders.sparkSession
+
+    def one(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(op).alias("op"), "n"
+        )
+
+    return (
+        one("union", buyers.union(finished).distinct())
+        .unionByName(one("intersect", buyers.intersect(finished)))
+        .unionByName(one("except", buyers.exceptAll(finished).distinct()))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multidimensional aggregation
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_rollup",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark, sf_dir):
+    """ROLLUP hierarchy totals (per flag+status, per flag, grand)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "q_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark, sf_dir):
+    """CUBE: all grouping-set combinations."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+        )
+    )
+
+
+@register(
+    "q_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS DOUBLE) AS qty_O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS DOUBLE) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot(spark, sf_dir):
+    """Pivot linestatus into columns (fixed value list → no extra pass;
+    at scale always pass explicit pivot values)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double"))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic windows / ordering / having / subqueries
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_window_analytics",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             AS running_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_analytics(spark, sf_dir):
+    """rank/dense_rank/lag/lead + running decimal sum, all per-user
+    partitioned windows (no global ordering anywhere)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.sum(F.col("value").cast("decimal(38,6)")).over(wr)
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+@register(
+    "q_having_topn",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12
+    ORDER BY total_spend DESC, o_custkey
+    LIMIT 20
+    """,
+)
+def q_having_topn(spark, sf_dir):
+    """HAVING + deterministic ORDER BY ... LIMIT top-N (Spark plans
+    TakeOrderedAndProject: per-partition heaps, no global sort)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_spend"),
+        )
+        .filter(F.col("n_orders") >= 12)
+        .orderBy(F.col("total_spend").desc(), "o_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > 1.5 * (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+        FROM orders)
+    """,
+)
+def q_scalar_subquery(spark, sf_dir):
+    """Scalar-subquery comparison against a global (decimal-exact)
+    average — the boundary value is engine-identical so row membership
+    matches. 1.5× threshold keeps a few thousand qualifying rows."""
+    orders = _t(spark, sf_dir, "orders")
+    avg_df = orders.agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double")
+         / F.count(F.lit(1))).alias("avg_price")
+    )
+    return (
+        orders.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("avg_price"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "q_case_when_bucketing",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q_case_when_bucketing(spark, sf_dir):
+    """CASE/WHEN bucketing + two-key aggregation."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+    )
+    return orders.groupBy(
+        bucket.alias("bucket"), F.col("o_orderpriority")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q_distinct_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_distinct_agg(spark, sf_dir):
+    """Exact distinct-count per group (Catalyst expand + two-phase agg)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register("q_approx_agg")  # HLL/KLL sketches are engine-specific → rows-only
+def q_approx_agg(spark, sf_dir):
+    """Approximate sketch aggregates: HLL++ distinct + KLL-style
+    quantiles — the 100 TB substitutes for exact distinct/median."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.percentile_approx("o_totalprice", 0.5).alias("approx_median_price"),
+    )
+
+
+@register(
+    "q_median",
+    oracle="""
+    SELECT o_orderpriority,
+           median(o_totalprice) AS median_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_median(spark, sf_dir):
+    """Exact interpolated median per group."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.median("o_totalprice").alias("median_price")
+    )

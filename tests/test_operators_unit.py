@@ -1,0 +1,199 @@
+"""Per-operator unit tests on tiny inline DataFrames (SURVEY.md §5.5):
+edge cases the sf0.01 oracle corpus can't express naturally."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from big_data_projects_spark.functions.timestamps import (
+    ts_from_epoch_ms,
+    with_calendar_cols,
+)
+from big_data_projects_spark.operators.asof import asof_join
+from big_data_projects_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash32,
+)
+from big_data_projects_spark.operators.multimodal import (
+    _byte_features,
+    _decode_payload,
+    extract_features,
+    with_binary_payload,
+)
+from big_data_projects_spark.operators.relational import fill_defaults, dedup_rows
+from big_data_projects_spark.operators.sessionize import sessionize
+from big_data_projects_spark.operators.similarity import topk_cosine
+
+
+UTC = datetime.timezone.utc
+
+
+def ts(s):  # naive UTC timestamps for inline rows
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_fillna_all_null(spark):
+    df = spark.createDataFrame([Row(x=None), Row(x=None)], "x double")
+    out = fill_defaults(df, {"x": 0.0}).collect()
+    assert [r.x for r in out] == [0.0, 0.0]
+
+
+def test_dedup_null_keys_collapse(spark):
+    # SQL DISTINCT treats NULLs as equal — dropDuplicates must too
+    df = spark.createDataFrame(
+        [Row(a=None, b=1), Row(a=None, b=1), Row(a="x", b=1)],
+        "a string, b int",
+    )
+    assert dedup_rows(df).count() == 2
+
+
+def test_join_fanout_duplicate_keys(spark):
+    # The reference joined on non-unique natural keys (artist name,
+    # song title — transform-data.py:281-284): 2×3 duplicate keys must
+    # fan out to 6 rows. Pinned as the observed (hazardous) semantics.
+    left = spark.createDataFrame([Row(k="a"), Row(k="a")])
+    right = spark.createDataFrame([Row(k="a", v=i) for i in range(3)])
+    assert left.join(right, "k").count() == 6
+
+
+def test_epoch_ms_string_conversion_utc(spark):
+    # Reference F1: ts arrives as *string* milliseconds
+    df = spark.createDataFrame([Row(ts="1542241826796")])
+    out = df.select(ts_from_epoch_ms("ts").alias("t")).collect()[0].t
+    assert out.replace(tzinfo=None) == ts("2018-11-15 00:30:26.796000")
+
+
+def test_calendar_weekday_sunday_is_1(spark):
+    # 2024-01-07 is a Sunday; Spark dayofweek(Sunday)=1; ISO week check
+    df = spark.createDataFrame([Row(t=ts("2024-01-07 12:00:00"))])
+    r = with_calendar_cols(df, "t").collect()[0]
+    assert (r.weekday, r.week, r.year, r.day) == (1, 1, 2024, 7)
+
+
+def test_calendar_iso_week_boundary(spark):
+    # 2021-01-01 (Friday) belongs to ISO week 53 of 2020
+    df = spark.createDataFrame([Row(t=ts("2021-01-01 00:00:00"))])
+    r = with_calendar_cols(df, "t").collect()[0]
+    assert r.week == 53
+
+
+def test_asof_event_before_first_order(spark):
+    ev = spark.createDataFrame(
+        [Row(eid=1, k=1, t=ts("2024-01-01 00:00:00")),
+         Row(eid=2, k=1, t=ts("2024-03-01 00:00:00"))],
+        "eid int, k int, t timestamp",
+    )
+    od = spark.createDataFrame(
+        [Row(k=1, ot=ts("2024-02-01 00:00:00"))], "k int, ot timestamp"
+    )
+    inner = asof_join(ev, od, "k", "k", "t", "ot", how="inner").collect()
+    assert [r.eid for r in inner] == [2]  # pre-first-order event dropped
+    left = asof_join(ev, od, "k", "k", "t", "ot", how="left").collect()
+    assert len(left) == 2
+    assert {r.eid: r.asof_ot for r in left}[1] is None
+
+
+def test_asof_equal_timestamp_matches(spark):
+    # >= semantics: an order AT the event time matches
+    t0 = ts("2024-01-15 00:00:00")
+    ev = spark.createDataFrame([Row(eid=1, k=1, t=t0)], "eid int, k int, t timestamp")
+    od = spark.createDataFrame([Row(k=1, ot=t0)], "k int, ot timestamp")
+    out = asof_join(ev, od, "k", "k", "t", "ot", how="inner").collect()
+    assert len(out) == 1 and out[0].asof_ot.replace(tzinfo=None) == t0
+
+
+def test_asof_picks_most_recent(spark):
+    ev = spark.createDataFrame(
+        [Row(eid=1, k=1, t=ts("2024-06-01 00:00:00"))], "eid int, k int, t timestamp"
+    )
+    od = spark.createDataFrame(
+        [Row(k=1, ot=ts("2024-01-01 00:00:00")),
+         Row(k=1, ot=ts("2024-05-01 00:00:00")),
+         Row(k=1, ot=ts("2024-07-01 00:00:00"))],  # future: must not match
+        "k int, ot timestamp",
+    )
+    out = asof_join(ev, od, "k", "k", "t", "ot").collect()
+    assert out[0].asof_ot.replace(tzinfo=None) == ts("2024-05-01 00:00:00")
+
+
+def test_sessionize_gap_boundary(spark):
+    # gap exactly == threshold stays in-session; gap+1µs starts a new one
+    base = ts("2024-01-01 00:00:00")
+    rows = [
+        Row(u=1, t=base, i=1),
+        Row(u=1, t=base + datetime.timedelta(seconds=1800), i=2),
+        Row(u=1, t=base + datetime.timedelta(seconds=3600, microseconds=1), i=3),
+    ]
+    df = spark.createDataFrame(rows, "u int, t timestamp, i int")
+    out = sessionize(df, "u", "t", gap_seconds=1800, tiebreak_col="i")
+    got = {r.i: r.session_id for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2}
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+         Row(doc_id=2, text="the quick brown fox jumps over the lazy dog"),
+         Row(doc_id=3, text="completely different words entirely here now")],
+    )
+    pairs = ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert len(pairs) == 1
+    assert (pairs[0].doc_a, pairs[0].doc_b, pairs[0].jaccard) == (1, 2, 1.0)
+
+
+def test_minhash_lsh_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    near = base.replace("runs", "walks")
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text=near),
+         Row(doc_id=3, text="totally unrelated content about spark engines and data")],
+    )
+    pairs = minhash_lsh_pairs(df, threshold=0.3).collect()
+    assert [(p.doc_a, p.doc_b) for p in pairs] == [(1, 2)]
+    assert 0.3 <= pairs[0].jaccard < 1.0
+
+
+def test_simhash_identical_docs_equal_hash(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma"), Row(doc_id=2, text="alpha beta gamma")]
+    )
+    hashes = {r.doc_id: r.simhash for r in simhash32(df).collect()}
+    assert hashes[1] == hashes[2]
+    assert 0 <= hashes[1] < (1 << 32)
+
+
+def test_topk_cosine_identical_vector_ranks_first(spark):
+    df = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+         Row(vec_id=1, embedding=[2.0, 0.0, 0.0]),   # same direction → sim 1
+         Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),   # orthogonal → sim 0
+         Row(vec_id=3, embedding=[-1.0, 0.0, 0.0])],  # opposite → sim -1
+    )
+    out = topk_cosine(df, query_id=0, k=3).collect()
+    assert [r.vec_id for r in out] == [1, 2, 3]
+    assert out[0].sim == pytest.approx(1.0)
+    assert out[2].sim == pytest.approx(-1.0)
+
+
+def test_multimodal_decode_stub_raises_for_media():
+    with pytest.raises(NotImplementedError):
+        _decode_payload(b"\x89PNG", "image")
+    assert _decode_payload(b"abc", "text") == b"abc"
+
+
+def test_multimodal_feature_shape(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="hello world")])
+    out = extract_features(with_binary_payload(docs)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.decode_status == "stubbed" if r.kind != "text" else "decoded"
+    assert len(r.features) == 8 and r.features[0] == 11.0  # byte length
+    assert r.n_bytes == 11
+
+
+def test_byte_features_empty_payload():
+    assert _byte_features(b"") == [0.0] * 8
