@@ -50,8 +50,13 @@ def main() -> None:
 
     spark = get_spark(app_name="bdp-bench", cpus=cpus, shuffle_partitions=cpus)
 
-    # Warm the JVM/IO path once (tiny query), outside measurement.
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # Warm the JVM/IO path outside measurement: one scan per table
+    # (parquet footers, codegen, the events nanos conversion) so query
+    # timings reflect steady state rather than first-query startup.
+    from big_data_projects_spark.data import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -84,10 +84,22 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.1,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every doc pair sharing ≥1
-    shingle. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
-    sh = shingles(df, id_col, text_col, n)
+    shingle. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    The shingle relation feeds three consumers (join side a, join side
+    b, sizes) and alias'd self-joins defeat Spark's exchange reuse, so
+    it is persisted for the duration of the computation (standard for
+    multi-pass dedup; at very large scale materialize shingles to a
+    temp table instead).
+    """
+    sh = (
+        shingle_df
+        if shingle_df is not None
+        else shingles(df, id_col, text_col, n).persist()
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
@@ -116,7 +128,11 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig: array<bigint> of NUM_PERM minhash values).
 
@@ -125,7 +141,7 @@ def minhash_signatures(
     min() aggregates (map-side partial aggregation keeps the shuffle
     tiny regardless of shingle count).
     """
-    sh = shingles(df, id_col, text_col, n)
+    sh = shingle_df if shingle_df is not None else shingles(df, id_col, text_col, n)
     base = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE31))
     mins = [
         F.min((base * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE31)).alias(f"h{i}")
@@ -152,7 +168,9 @@ def minhash_lsh_pairs(
     are verified. At 100 TB this is the only shape that works — no
     cross join, shuffle keys are uniform hashes.
     """
-    sig = minhash_signatures(df, id_col, text_col, n)
+    # One shingle materialization shared by signatures + exact verify.
+    sh_shared = shingles(df, id_col, text_col, n).persist()
+    sig = minhash_signatures(df, id_col, text_col, n, shingle_df=sh_shared)
     bands = sig.select(
         F.col(id_col),
         F.explode(
@@ -186,7 +204,7 @@ def minhash_lsh_pairs(
     # route each candidate pair through doc_a's shingles, then count the
     # shingles doc_b shares. Cost is O(|candidates| · shingles/doc) —
     # never the full shared-shingle pair blow-up LSH exists to avoid.
-    sh = shingles(df, id_col, text_col, n)
+    sh = sh_shared
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")

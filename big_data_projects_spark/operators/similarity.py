@@ -63,13 +63,20 @@ def topk_cosine(
     """Brute-force cosine top-k: broadcast the single query row, one
     scan of the corpus, global top-k via orderBy+limit (Spark plans
     TakeOrderedAndProject — per-partition heaps, no full sort)."""
-    q = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("__qv"))
+    q = emb.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qv"), _norm(F.col(vec_col)).alias("__qn")
+    )
+    # Precompute each row's norm once (same float op sequence as the
+    # naive dot/(|a||b|) form → results stay bit-identical, at 1/3 the
+    # arithmetic per pair).
     scored = (
         emb.filter(F.col(id_col) != query_id)
+        .withColumn("__n", _norm(F.col(vec_col)))
         .crossJoin(F.broadcast(q))
         .select(
             F.col(id_col),
-            cosine_sim(F.col(vec_col), F.col("__qv")).alias("sim"),
+            (_dot(F.col(vec_col), F.col("__qv")) / (F.col("__n") * F.col("__qn")))
+            .alias("sim"),
         )
     )
     return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
@@ -87,15 +94,19 @@ def blocked_neardup_pairs(
     The block key bounds the pair blow-up: the self-join is an
     equi-join on block_col, so each block's pairs stay in one task.
     """
+    # Norms computed once per row, not once per pair (bit-identical to
+    # the naive form — same operand sequence — at ~1/3 the flops).
     a = emb.select(
         F.col(block_col).alias("__blk"),
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__va"),
+        _norm(F.col(vec_col)).alias("__na"),
     )
     b = emb.select(
         F.col(block_col).alias("__blk"),
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("__vb"),
+        _norm(F.col(vec_col)).alias("__nb"),
     )
     return (
         a.join(b, "__blk")
@@ -103,7 +114,8 @@ def blocked_neardup_pairs(
         .select(
             "id_a",
             "id_b",
-            cosine_sim(F.col("__va"), F.col("__vb")).alias("sim"),
+            (_dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")))
+            .alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )
