@@ -24,6 +24,12 @@ HEADLINE = [
     "q_flagship_star_rollup",
     "q_join_multiway",
     "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q18",
+    "q_range_join",
+    "q_explode_terms",
     "q_groupby_count",
     "q_time_dim",
     "q_top_k_per_group",

@@ -44,9 +44,15 @@ def ts_from_epoch_ms(col: Column | str) -> Column:
 
 
 def epoch_ms(col: Column | str) -> Column:
-    """Timestamp → ms-epoch bigint (truncating, matches DuckDB epoch_ms)."""
+    """Timestamp → ms-epoch bigint (truncating, matches DuckDB epoch_ms).
+
+    Accepts TIMESTAMP and TIMESTAMP_NTZ (parquet timestamps not marked
+    UTC-adjusted arrive as NTZ); the cast interprets NTZ wall-clock in
+    the session timezone, which every query pins to UTC
+    (ensure_runtime_conf) — exactly the UTC-naive oracle convention.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.unix_millis(c)
+    return F.unix_millis(c.cast("timestamp"))
 
 
 def with_calendar_cols(df: DataFrame, ts_col: str, prefix: str = "") -> DataFrame:

@@ -11,6 +11,8 @@ from big_data_projects_spark.registry import REGISTRY, Query  # noqa: F401
 # Side-effect imports: each module registers its queries.
 import big_data_projects_spark.queries_core  # noqa: F401,E402
 import big_data_projects_spark.queries_olap  # noqa: F401,E402
+import big_data_projects_spark.queries_tpch  # noqa: F401,E402
+import big_data_projects_spark.queries_expr  # noqa: F401,E402
 
 try:  # extension modules land incrementally
     import big_data_projects_spark.queries_llm  # noqa: F401,E402

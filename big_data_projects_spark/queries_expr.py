@@ -1,0 +1,319 @@
+"""Expression-family coverage: JSON, arrays/explode, grouping sets,
+date arithmetic, string functions, non-equi range joins, analytic
+window distributions, ordered-arg aggregates.
+
+The reference's scalar surface is one timestamp UDF + calendar
+extractors + one concat (SURVEY.md §2.8); everything here is the
+additional expression machinery a general engine needs, each family
+exercised end-to-end against a DuckDB oracle. All expressions are
+Catalyst built-ins (JVM codegen, no Python UDFs anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_projects_spark.data import load_table
+from big_data_projects_spark.functions.timestamps import epoch_ms
+from big_data_projects_spark.operators.relational import dsum
+from big_data_projects_spark.registry import register
+from big_data_projects_spark.session import ensure_runtime_conf
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_runtime_conf(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured: JSON extraction (events.props is a JSON string)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
+           COUNT(json_extract_string(props, '$.k')) AS k_present
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_extract(spark, sf_dir):
+    """JSON path extraction from a string column with a typed cast and
+    aggregation. get_json_object is a Catalyst built-in (no UDF); at
+    scale prefer from_json with an explicit schema once per column —
+    both stay JVM-side."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"), F.count(k).alias("k_present")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generators: explode / lateral view (corpus term frequency)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_explode_terms",
+    oracle="""
+    SELECT term, COUNT(*) AS n
+    FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+          FROM documents)
+    WHERE length(term) >= 4
+    GROUP BY term
+    ORDER BY n DESC, term
+    LIMIT 25
+    """,
+)
+def q_explode_terms(spark, sf_dir):
+    """Row generator: split → explode → re-aggregate (the word-count
+    shape). The explode happens map-side (no shuffle until the term
+    groupBy, which partially aggregates before exchanging)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
+        )
+        .filter(F.length("term") >= 4)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets (generalizes the existing rollup/cube coverage)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (mixed granularities in one pass; Spark
+    expands to a single expand+aggregate — one shuffle total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity", "qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date/time arithmetic beyond calendar extraction
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           epoch_ms(date_trunc('month', o_orderdate)) AS month_start_ms,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+           CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS VARCHAR)
+               AS plus3mo,
+           date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since,
+           quarter(o_orderdate) AS qtr
+    FROM orders
+    """,
+)
+def q_date_arith(spark, sf_dir):
+    """Date arithmetic: truncation, month-end clamping (add_months and
+    last_day both clamp, matching DuckDB interval semantics), day
+    difference, quarter."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        epoch_ms(F.date_trunc("month", "o_orderdate")).alias("month_start_ms"),
+        F.last_day("o_orderdate").cast("string").alias("month_end"),
+        F.add_months("o_orderdate", 3).cast("string").alias("plus3mo"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        ).alias("days_since"),
+        F.quarter("o_orderdate").alias("qtr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# String function family
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           substring(c_name, 1, 8) AS name_prefix,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+           regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked,
+           length(c_name) AS name_len,
+           reverse(c_mktsegment) AS seg_rev,
+           replace(c_mktsegment, 'A', '@') AS seg_sub
+    FROM customer
+    """,
+)
+def q_string_funcs(spark, sf_dir):
+    """String expression family — all Catalyst built-ins evaluated in
+    whole-stage codegen (upper/substring/lpad/regexp_replace/length/
+    reverse/replace)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("name_masked"),
+        F.length("c_name").alias("name_len"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.replace(F.col("c_mktsegment"), F.lit("A"), F.lit("@")).alias("seg_sub"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Non-equi range join (band/bucket join)
+# ---------------------------------------------------------------------------
+
+_BUCKETS = [
+    ("micro", 0.0, 10.0),
+    ("small", 10.0, 50.0),
+    ("medium", 50.0, 150.0),
+    ("large", 150.0, 300.0),
+    ("huge", 300.0, 1000.0),
+]
+
+
+@register(
+    "q_range_join",
+    oracle="""
+    SELECT b.name AS bucket, COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM events e
+    JOIN (VALUES ('micro',0.0,10.0),('small',10.0,50.0),('medium',50.0,150.0),
+                 ('large',150.0,300.0),('huge',300.0,1000.0)) b(name, lo, hi)
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.name
+    """,
+)
+def q_range_join(spark, sf_dir):
+    """Non-equi (range/band) join: fact values against bucket bounds.
+    The bucket dim is broadcast, so the non-equi condition is evaluated
+    as a BroadcastNestedLoopJoin over 5 rows — no shuffle, no cartesian
+    blow-up. At 100 TB the same shape holds for any small band table."""
+    ev = _t(spark, sf_dir, "events")
+    buckets = ev.sparkSession.createDataFrame(_BUCKETS, ["name", "lo", "hi"])
+    return (
+        ev.join(
+            F.broadcast(buckets),
+            (ev.value >= buckets.lo) & (ev.value < buckets.hi),
+        )
+        .groupBy(F.col("name").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic distribution windows
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_ntile_cume",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           ntile(4)       OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cum_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_ntile_cume(spark, sf_dir):
+    """Distribution window functions (ntile / percent_rank / cume_dist)
+    partitioned by status — per-partition sorts only, no global order.
+    Deterministic tiebreak on the unique order key."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array/list operations over the embeddings table
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_array_ops",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_elem,
+           list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS vec_sum,
+           CAST(list_max(embedding) AS DOUBLE) AS vec_max
+    FROM embeddings
+    """,
+)
+def q_array_ops(spark, sf_dir):
+    """Array expression family: size / element_at / fold-sum /
+    array_max, all JVM-side (F.aggregate is a codegen'd lambda fold —
+    the scale path for per-row vector math without Python). Elements
+    are cast float→double *before* summing on both sides so the
+    sequential fold is bit-identical."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_elem"),
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("vec_sum"),
+        F.array_max("embedding").cast("double").alias("vec_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered-argument aggregates (max_by with deterministic tiebreak)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_max_by",
+    oracle="""
+    SELECT event_type,
+           (max(struct_pack(v := value, id := event_id))).id AS top_event_id,
+           CAST((max(struct_pack(v := value, id := event_id))).v AS DOUBLE)
+               AS top_value,
+           (min(struct_pack(v := value, id := event_id))).id AS bottom_event_id
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_max_by(spark, sf_dir):
+    """arg-max/arg-min via lexicographic struct min/max — the
+    tie-deterministic form of max_by (plain max_by/arg_max leaves ties
+    unspecified on both engines; packing the tiebreak key into the
+    comparison struct pins them). Single hash aggregate, no window."""
+    ev = _t(spark, sf_dir, "events")
+    s = F.struct(F.col("value").alias("v"), F.col("event_id").alias("id"))
+    return ev.groupBy("event_type").agg(
+        F.max(s)["id"].alias("top_event_id"),
+        F.max(s)["v"].cast("double").alias("top_value"),
+        F.min(s)["id"].alias("bottom_event_id"),
+    )

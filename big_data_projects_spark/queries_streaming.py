@@ -8,7 +8,15 @@ from __future__ import annotations
 
 from big_data_projects_spark.registry import register
 from big_data_projects_spark.session import ensure_runtime_conf
-from big_data_projects_spark.streaming.windowed import hourly_event_counts_stream
+from big_data_projects_spark.streaming.stateful import (
+    session_window_stream,
+    stream_dedup,
+    user_running_stats_stream,
+)
+from big_data_projects_spark.streaming.windowed import (
+    hourly_event_counts_stream,
+    sliding_event_counts_stream,
+)
 
 
 @register(
@@ -28,3 +36,78 @@ def q_stream_hourly_counts(spark, sf_dir):
     order from affecting the result."""
     ensure_runtime_conf(spark)
     return hourly_event_counts_stream(spark, sf_dir)
+
+
+@register(
+    "q_stream_sliding_counts",
+    oracle="""
+    SELECT epoch_ms(time_bucket(INTERVAL '30 minutes', ts)
+                    - k.k * INTERVAL '30 minutes') AS window_start_ms,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events CROSS JOIN (VALUES (0),(1)) k(k)
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding_counts(spark, sf_dir):
+    """Sliding 1-hour windows every 30 minutes (each event in exactly
+    two windows), run as a real streaming job. Oracle replicates each
+    event into its two window starts."""
+    ensure_runtime_conf(spark)
+    return sliding_event_counts_stream(spark, sf_dir)
+
+
+@register(
+    "q_stream_session_windows",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id, epoch_ms(min(ts)) AS session_start_ms,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def q_stream_session_windows(spark, sf_dir):
+    """Event-time session windows (30-min inactivity gap) as a real
+    streaming query; final merged sessions equal batch gap-based
+    sessionization (the oracle's lag/running-sum island detection)."""
+    ensure_runtime_conf(spark)
+    return session_window_stream(spark, sf_dir)
+
+
+@register(
+    "q_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_stream_dedup(spark, sf_dir):
+    """Streaming dedup against the state store: first (user_id,
+    event_type) occurrence passes, later duplicates are dropped."""
+    ensure_runtime_conf(spark)
+    return stream_dedup(spark, sf_dir)
+
+
+@register(
+    "q_stream_user_stats",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(MAX(value) AS DOUBLE) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_user_stats(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running count + max, emitted per micro-batch in update mode; the
+    bounded run's final state matches the batch aggregate."""
+    ensure_runtime_conf(spark)
+    return user_running_stats_stream(spark, sf_dir)

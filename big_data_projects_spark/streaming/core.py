@@ -1,0 +1,62 @@
+"""Shared Structured Streaming plumbing.
+
+Every streaming query here follows one shape: readStream over the
+bounded events parquet (staged behind a directory symlink, since the
+file source wants a directory) → event-time stateful transform →
+memory sink driven to completion with processAllAvailable(). The same
+plan runs unchanged over a file/Kafka source in production; only the
+sink and trigger differ.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events table (bounded backfill).
+
+    Schema comes from a batch peek (the file-stream source requires an
+    explicit schema); the nanos-epoch ts column is normalized to a real
+    timestamp exactly as in data.load_table.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    src = f"{sf_dir}/events.parquet"
+    batch_schema = spark.read.parquet(src).schema
+    stage = tempfile.mkdtemp(prefix="bdp_stream_src_")
+    link = os.path.join(stage, "events.parquet")
+    try:
+        os.symlink(src, link)
+    except OSError:
+        shutil.copy(src, link)
+    stream = spark.readStream.schema(batch_schema).parquet(stage)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def run_to_completion(df: DataFrame, output_mode: str) -> DataFrame:
+    """Start df as a memory-sink streaming query, drain the source, and
+    return the sink contents as a (materialized) batch DataFrame."""
+    spark = df.sparkSession
+    name = f"bdp_stream_{uuid.uuid4().hex[:8]}"
+    query = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    result = spark.table(name)
+    return spark.createDataFrame(result.collect(), schema=result.schema)

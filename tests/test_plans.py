@@ -1,0 +1,100 @@
+"""Physical-plan shape assertions (the 100 TB design contract).
+
+Correctness tests prove the operators compute the right answer at
+sf0.01; these prove the *plans* are the ones that survive a 1000×
+scale-up: filters reach the parquet scan, projections prune columns,
+small dims broadcast, top-k never globally sorts, and nothing falls
+back to a cartesian product.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from big_data_projects_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(spark, name: str, mode: str = "formatted") -> str:
+    df = REGISTRY[name].spark(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_q6_filters_pushed_and_columns_pruned(spark):
+    plan = plan_of(spark, "q_tpch_q6")
+    assert "PushedFilters: [" in plan
+    # The discount/quantity range predicates reach the scan.
+    assert "GreaterThanOrEqual(l_discount" in plan
+    assert "LessThan(l_quantity" in plan
+    # Column pruning: the scan reads the 4 needed columns, not all 11.
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_scan_project_rename_prunes_columns(spark):
+    plan = plan_of(spark, "q_scan_project_rename")
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "c_acctbal" not in read_schema and "c_nationkey" not in read_schema
+
+
+def test_star_joins_broadcast_dims(spark):
+    for name in ("q_tpch_q3", "q_tpch_q5", "q_join_multiway"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: dims not broadcast"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    for name in ("q_tpch_q3", "q_tpch_q18", "q_knn_cosine", "q_explode_terms"):
+        plan = plan_of(spark, name)
+        assert "TakeOrderedAndProject" in plan, f"{name}: global sort for top-k"
+
+
+def test_range_join_is_broadcast_nested_loop(spark):
+    plan = plan_of(spark, "q_range_join")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_partitioned_windows_have_no_single_partition_exchange(spark):
+    # The reference's W1 bug (SURVEY.md §2.5) planned Exchange
+    # SinglePartition; every production window here partitions first.
+    for name in ("q_top_k_per_group", "q_ntile_cume", "q_window_analytics",
+                 "q_sessionize"):
+        plan = plan_of(spark, name)
+        assert "Exchange SinglePartition" not in plan, (
+            f"{name}: single-partition exchange (O(N) bottleneck at scale)"
+        )
+
+
+def test_q4_exists_becomes_semi_join(spark):
+    plan = plan_of(spark, "q_tpch_q4")
+    assert "LeftSemi" in plan
+
+
+def test_no_python_udfs_in_relational_paths(spark):
+    # Hot relational paths stay JVM-side (BatchEvalPython/ArrowEvalPython
+    # would mark a Python boundary; multimodal/stateful ops are the only
+    # sanctioned users and are excluded here).
+    for name in ("q_flagship_star_rollup", "q_tpch_q1", "q_tpch_q3",
+                 "q_time_dim", "q_json_extract", "q_array_ops",
+                 "q_knn_cosine", "q_dedup_exact"):
+        plan = plan_of(spark, name)
+        assert "EvalPython" not in plan, f"{name}: Python UDF in plan"
+
+
+def test_flagship_wholestage_codegen(spark):
+    # AQE only shows codegen spans in the *final* plan, so execute first.
+    df = REGISTRY["q_flagship_star_rollup"].spark(spark, SF)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    # "*(n)" prefixes are the simpleString markers for WholeStageCodegen
+    # spans; the scan→join→partial-agg pipeline must be codegen'd.
+    assert "*(" in final and "BroadcastHashJoin" in final
