@@ -12,6 +12,7 @@ from big_data_projects_spark.registry import REGISTRY, Query  # noqa: F401
 import big_data_projects_spark.queries_core  # noqa: F401,E402
 import big_data_projects_spark.queries_olap  # noqa: F401,E402
 import big_data_projects_spark.queries_tpch  # noqa: F401,E402
+import big_data_projects_spark.queries_tpch_full  # noqa: F401,E402
 import big_data_projects_spark.queries_expr  # noqa: F401,E402
 
 try:  # extension modules land incrementally
