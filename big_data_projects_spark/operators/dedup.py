@@ -58,22 +58,30 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.dropDuplicates([text_col])
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, hasher: str = "md5"
+) -> DataFrame:
     """Distinct word-n-gram shingle hashes per document: (id, shingle).
 
     Docs with fewer than n tokens produce no shingles (both here and in
     the SQL oracle, where generate_series is empty).
+
+    hasher: "md5" (32-char hex string — reproducible in the DuckDB
+    oracle, used by the exact ngram-Jaccard query) or "xxh64" (bigint —
+    8 bytes instead of 32, cheaper to distinct/join/aggregate; for the
+    rows-only LSH path where no SQL twin needs to recompute it).
     """
     toks = tokens(text_col)
     grams = F.expr(
         f"transform(sequence(0, size(__toks) - {n}), "
         f"i -> concat_ws(' ', {', '.join(f'__toks[i + {j}]' for j in range(n))}))"
     )
+    hash_col = F.md5("__gram") if hasher == "md5" else F.xxhash64("__gram")
     return (
         df.select(F.col(id_col), toks.alias("__toks"))
         .filter(F.size("__toks") >= n)
         .select(F.col(id_col), F.explode(grams).alias("__gram"))
-        .select(F.col(id_col), F.md5("__gram").alias("shingle"))
+        .select(F.col(id_col), hash_col.alias("shingle"))
         .distinct()
     )
 
@@ -142,7 +150,13 @@ def minhash_signatures(
     tiny regardless of shingle count).
     """
     sh = shingle_df if shingle_df is not None else shingles(df, id_col, text_col, n)
-    base = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE31))
+    # bigint shingles are already uniform hashes — fold to the 31-bit
+    # domain directly; string (md5) shingles get hashed first.
+    base = (
+        F.pmod("shingle", F.lit(_MERSENNE31))
+        if dict(sh.dtypes).get("shingle") == "bigint"
+        else F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE31))
+    )
     mins = [
         F.min((base * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE31)).alias(f"h{i}")
         for i, (a, b) in enumerate(_PERMS)
@@ -168,9 +182,15 @@ def minhash_lsh_pairs(
     are verified. At 100 TB this is the only shape that works — no
     cross join, shuffle keys are uniform hashes.
     """
-    # One shingle materialization shared by signatures + exact verify.
-    sh_shared = shingles(df, id_col, text_col, n).persist()
-    sig = minhash_signatures(df, id_col, text_col, n, shingle_df=sh_shared)
+    # One shingle materialization shared by signatures + exact verify —
+    # bigint (xxh64) shingle ids: nothing downstream needs the md5 form,
+    # and every join/distinct/min-agg here keys on the shingle.
+    sh_shared = shingles(df, id_col, text_col, n, hasher="xxh64").persist()
+    # sig is one narrow row per doc but sits under BOTH sides of the
+    # band self-join and would be recomputed per branch — persist it.
+    sig = minhash_signatures(
+        df, id_col, text_col, n, shingle_df=sh_shared
+    ).persist()
     bands = sig.select(
         F.col(id_col),
         F.explode(
