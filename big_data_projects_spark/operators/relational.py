@@ -88,6 +88,44 @@ def surrogate_key(df: DataFrame, name: str = "num", order_by: str | None = None)
     return df.withColumn(name, F.row_number().over(w).cast("long"))
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    fact_unique_col: str,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-defeating salted equi-join.
+
+    A shuffle join hashes rows to reducers by join key, so one hot key
+    = one straggler task no matter how many executors exist. Salting
+    splits each key across ``n_salt`` reducers: the fact side gets a
+    deterministic salt hashed from a unique column (deterministic so
+    retried tasks re-produce the same salt — never use rand() here),
+    the dim side is exploded n_salt× so every (key, salt) pair exists,
+    and the join key becomes (key, salt). Output equals the unsalted
+    join exactly; cost is n_salt× the dim shuffle volume, which is the
+    right trade when dim ≪ fact (if dim fits in memory, broadcast and
+    skip salting entirely — this is for the mid-size dim that can't
+    broadcast but joins a skewed fact).
+    """
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(fact_unique_col), F.lit(n_salt))
+    )
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    out = salted_fact.join(
+        salted_dim,
+        (salted_fact[fact_key] == salted_dim[dim_key])
+        & (salted_fact["__salt"] == salted_dim["__salt"]),
+        how,
+    )
+    return out.drop("__salt")
+
+
 def top_k_per_group(
     df: DataFrame,
     keys: list[str],

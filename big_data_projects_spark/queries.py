@@ -14,6 +14,7 @@ import big_data_projects_spark.queries_olap  # noqa: F401,E402
 import big_data_projects_spark.queries_tpch  # noqa: F401,E402
 import big_data_projects_spark.queries_tpch_full  # noqa: F401,E402
 import big_data_projects_spark.queries_expr  # noqa: F401,E402
+import big_data_projects_spark.queries_scale  # noqa: F401,E402
 
 try:  # extension modules land incrementally
     import big_data_projects_spark.queries_llm  # noqa: F401,E402

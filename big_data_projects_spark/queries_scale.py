@@ -1,0 +1,219 @@
+"""Scale-strategy operators: the techniques a 100 TB deployment leans on,
+each expressed as a checkable query.
+
+- q_stats_moments   : variance/stddev/correlation computed from exact
+                      decimal power sums — the one-pass distributed form
+                      (partial sums merge associatively; never a
+                      two-pass mean-then-deviation scan).
+- q_salted_join     : skew-defeating salted join — identical semantics
+                      to the plain join (the oracle IS the plain join),
+                      but the hot key's rows spread across NSALT
+                      shuffle partitions.
+- q_bucketed_join   : bucketed-table co-located fact⋈fact join — both
+                      sides pre-bucketed on the join key, so the join
+                      needs no Exchange at read time (tests/test_plans
+                      asserts shuffle-freedom).
+- q_scan_json_schema: schema'd JSON source (the reference's primary
+                      input format, transform-data.py:64-81,186-226) —
+                      explicit StructType, no inference pass, full
+                      round-trip fidelity for the aggregated output.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_projects_spark.data import load_table
+from big_data_projects_spark.operators.relational import dsum, salted_join
+from big_data_projects_spark.registry import register
+from big_data_projects_spark.session import ensure_runtime_conf
+
+# Power-sum accumulator type. Per-row products (x·x, x·y) are computed
+# in IEEE double — bit-identical on both engines for the same inputs —
+# then cast to DECIMAL(38,6) so the SUM is partition-order independent
+# (same pattern as dsum over revenue expressions). Pure decimal·decimal
+# products would overflow DuckDB's width-addition rule instead.
+_DEC = "decimal(38,6)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_runtime_conf(spark)
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "q_stats_moments",
+    oracle="""
+    WITH sums AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sq,
+             SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS sqq,
+             SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sp,
+             SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6)))
+               AS spp,
+             SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS sqp
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(sq AS DOUBLE) / n AS mean_qty,
+           (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n)
+             / n AS var_pop_qty,
+           sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n)
+             / n) AS stddev_pop_qty,
+           round((n * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+             / (sqrt(n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                * sqrt(n * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 12)
+             AS corr_qty_price
+    FROM sums
+    """,
+)
+def q_stats_moments(spark, sf_dir):
+    """Distributed second-moment statistics (variance / stddev /
+    correlation) from exact decimal power sums: one hash aggregate
+    computes {n, Σx, Σx², Σy, Σy², Σxy} (all associative — map-side
+    partials merge exactly), then the moments are derived in double with
+    the identical expression on both engines. The correlation is rounded
+    to 12 decimals: its numerator n·Σxy − Σx·Σy cancels catastrophically
+    (corr ≈ 5e-4 here), so last-ulp double differences between engines
+    would otherwise surface; 12 digits is far beyond any statistical
+    meaning and engine-stable. Spark's built-in
+    var_pop/corr use Welford-style merging whose float rounding is
+    partition-order dependent — power sums in decimal are not."""
+    li = _t(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q.cast(_DEC)).alias("sq"),
+        F.sum((q * q).cast(_DEC)).alias("sqq"),
+        F.sum(p.cast(_DEC)).alias("sp"),
+        F.sum((p * p).cast(_DEC)).alias("spp"),
+        F.sum((q * p).cast(_DEC)).alias("sqp"),
+    )
+    n = F.col("n")
+    sq, sqq = F.col("sq").cast("double"), F.col("sqq").cast("double")
+    sp, spp = F.col("sp").cast("double"), F.col("spp").cast("double")
+    sqp = F.col("sqp").cast("double")
+    var_pop = (sqq - sq * sq / n) / n
+    corr = (n * sqp - sq * sp) / (
+        F.sqrt(n * sqq - sq * sq) * F.sqrt(n * spp - sp * sp)
+    )
+    return sums.select(
+        "l_returnflag",
+        "n",
+        (sq / n).alias("mean_qty"),
+        var_pop.alias("var_pop_qty"),
+        F.sqrt(var_pop).alias("stddev_pop_qty"),
+        F.round(corr, 12).alias("corr_qty_price"),
+    )
+
+
+N_SALT = 8
+
+
+@register(
+    "q_salted_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_salted_join(spark, sf_dir):
+    """Skew-defeating salted join: the fact side gets a deterministic
+    salt in [0, N_SALT) hashed from its unique row id, the dim side is
+    exploded N_SALT× so every (key, salt) combination exists, and the
+    join runs on (key, salt) — a hot key's rows now land in N_SALT
+    shuffle partitions instead of one straggler. Semantics are identical
+    to the unsalted join, which is exactly what the oracle runs."""
+    events = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(
+        events,
+        customer,
+        fact_key="user_id",
+        dim_key="c_custkey",
+        fact_unique_col="event_id",
+        n_salt=N_SALT,
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "total_value")
+    )
+
+
+@register(
+    "q_bucketed_join",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_bucketed_join(spark, sf_dir):
+    """Bucketed co-located fact⋈fact join (the 100 TB strategy for a
+    join both of whose sides are too big to broadcast and which recurs
+    on the same key): persist both sides bucketed+sorted by the join
+    key, and every later join on that key reads bucket-aligned splits
+    with NO shuffle — tests/test_plans.py asserts the plan has no
+    Exchange above the scans. The one-time bucketing write IS a shuffle;
+    it's amortized across every downstream join/aggregate on the key."""
+    ensure_runtime_conf(spark)
+    base = tempfile.mkdtemp(prefix="bdp_bucketed_")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    for df, name, key in (
+        (li, "bdp_li_bucketed", "l_orderkey"),
+        (orders, "bdp_orders_bucketed", "o_orderkey"),
+    ):
+        (
+            df.write.mode("overwrite")
+            .option("path", os.path.join(base, name))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    li_b = spark.table("bdp_li_bucketed")
+    orders_b = spark.table("bdp_orders_bucketed")
+    return (
+        li_b.join(orders_b, li_b.l_orderkey == orders_b.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_extendedprice", "sum_price"),
+        )
+    )
+
+
+@register(
+    "q_scan_json_schema",
+    oracle="""
+    SELECT event_type, year(ts) AS year, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_scan_json_schema(spark, sf_dir):
+    """S2, the reference's primary source: JSON lines read with an
+    explicit StructType (transform-data.py:77-79 — .schema(schema),
+    never inference, which would cost a second full scan). The events
+    table round-trips through JSON and aggregates to the same result as
+    the parquet original; doubles survive exactly (shortest-roundtrip
+    formatting), timestamps to millisecond precision (year-granularity
+    output is unaffected)."""
+    events = _t(spark, sf_dir, "events")
+    out = os.path.join(tempfile.mkdtemp(prefix="bdp_json_"), "events_json")
+    events.write.mode("overwrite").json(out)
+    back = spark.read.schema(events.schema).json(out)
+    return back.groupBy(
+        "event_type", F.year("ts").cast("long").alias("year")
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
