@@ -27,7 +27,11 @@ HEADLINE = [
     "q_tpch_q3",
     "q_tpch_q5",
     "q_tpch_q6",
+    "q_tpch_q9",
+    "q_tpch_q13",
     "q_tpch_q18",
+    "q_tpch_q21",
+    "q_stats_moments",
     "q_range_join",
     "q_explode_terms",
     "q_groupby_count",

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from big_data_projects_spark.data import load_table
 from big_data_projects_spark.operators import dedup as D
+from big_data_projects_spark.operators.components import connected_components
 from big_data_projects_spark.operators import multimodal as M
 from big_data_projects_spark.operators import similarity as S
 from big_data_projects_spark.operators import text as T
@@ -345,4 +346,61 @@ def q_multimodal_features(spark, sf_dir):
         "doc_id", "kind", "n_bytes", "decode_status",
         F.element_at("features", 1).alias("f_len"),
         F.element_at("features", 4).alias("f_mod256"),
+    )
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shingle
+        FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
+        WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+    ),
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION SELECT doc_b, doc_a FROM edges
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT LEAST(a, MIN(b)) AS cluster_id,
+           COUNT(DISTINCT CASE WHEN b <> a THEN b END) + 1 AS n_docs
+    FROM reach GROUP BY a
+    HAVING LEAST(a, MIN(b)) = a
+    """,
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Pairwise near-dup findings → dedup clusters: exact-Jaccard pairs
+    (the q_ngram_jaccard edges) fed through iterative min-label
+    connected components; one row per cluster (id = min doc_id in the
+    component, plus its size). The oracle computes the same components
+    with a recursive transitive-closure CTE — feasible only at test
+    scale, which is exactly why the engine side is the iterative join
+    form."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = D.ngram_jaccard_pairs(docs, threshold=0.1).select("doc_a", "doc_b")
+    comps = connected_components(edges, src="doc_a", dst="doc_b")
+    return comps.groupBy(F.col("comp").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_docs")
     )

@@ -8,6 +8,10 @@ from __future__ import annotations
 
 from big_data_projects_spark.registry import register
 from big_data_projects_spark.session import ensure_runtime_conf
+from big_data_projects_spark.streaming.joins import (
+    stream_static_enrich,
+    stream_stream_click_purchase,
+)
 from big_data_projects_spark.streaming.stateful import (
     session_window_stream,
     stream_dedup,
@@ -111,3 +115,43 @@ def q_stream_user_stats(spark, sf_dir):
     bounded run's final state matches the batch aggregate."""
     ensure_runtime_conf(spark)
     return user_running_stats_stream(spark, sf_dir)
+
+
+@register(
+    "q_stream_static_join",
+    oracle="""
+    SELECT epoch_ms(time_bucket(INTERVAL '1 day', ts)) AS window_start_ms,
+           c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_static_join(spark, sf_dir):
+    """Stream⋈static enrichment: each micro-batch joins the broadcast
+    customer dim (no streaming state for the static side), then a daily
+    tumbling-window aggregate per market segment. Run to completion over
+    the bounded source; equals the batch join+group."""
+    ensure_runtime_conf(spark)
+    return stream_static_enrich(spark, sf_dir)
+
+
+@register(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           epoch_ms(c.ts) AS click_ms, epoch_ms(p.ts) AS purchase_ms
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def q_stream_stream_join(spark, sf_dir):
+    """Stream⋈stream event-time join (clicks × same-user purchases
+    within 1 hour): watermarks on both sides plus the time-range bound
+    keep the join state finite — the only stream-stream formulation
+    that survives an unbounded source. Append mode; the bounded run
+    emits exactly the batch join's pairs."""
+    ensure_runtime_conf(spark)
+    return stream_stream_click_purchase(spark, sf_dir)

@@ -197,3 +197,22 @@ def test_multimodal_feature_shape(spark):
 
 def test_byte_features_empty_payload():
     assert _byte_features(b"") == [0.0] * 8
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Multi-hop chains converge (label must propagate the full
+    diameter) and disjoint islands keep distinct components."""
+    from big_data_projects_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (20, 21)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
