@@ -404,3 +404,138 @@ def q_dedup_clusters(spark, sf_dir):
     return comps.groupBy(F.col("comp").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+@register(
+    "q_tfidf_top_terms",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, term,
+               round(tf * (ln((n_docs + CAST(1 AS DOUBLE)) / (df + 1)) + 1), 10)
+                 AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf
+    FROM (SELECT doc_id, term, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, term) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF with smoothed idf (ln((N+1)/(df+1)) + 1), top-3 terms per
+    document. Term and document frequencies are exact integer counts;
+    the score is rounded to 10 decimals BEFORE ranking so the ranking
+    (and the emitted value) cannot depend on last-ulp ln() differences
+    between engines. The doc-count scalar joins in as a 1-row broadcast,
+    never a driver-side collect."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + 1)
+                    )
+                    + 1
+                ),
+                10,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+@register(
+    "q_embed_outliers",
+    oracle="""
+    WITH pos AS (
+        SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings,
+             UNNEST(generate_series(1, len(embedding))) AS u(i)
+    ),
+    cent AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS c
+        FROM pos GROUP BY 1, 2
+    ),
+    dist AS (
+        SELECT vec_id, p.label,
+               round(sqrt(CAST(SUM(CAST((v - c) * (v - c) AS DECIMAL(38,10)))
+                               AS DOUBLE)), 8) AS dist
+        FROM pos p JOIN cent USING (label, pos)
+        GROUP BY 1, 2
+    )
+    SELECT label, vec_id, dist
+    FROM (SELECT label, vec_id, dist,
+                 row_number() OVER (PARTITION BY label
+                                    ORDER BY dist DESC, vec_id) AS rk
+          FROM dist)
+    WHERE rk <= 5
+    """,
+)
+def q_embed_outliers(spark, sf_dir):
+    """Per-label embedding centroids + the 5 farthest members of each
+    label (outlier candidates for label-quality review). The centroid's
+    per-position mean and each vector's squared-distance sum accumulate
+    in DECIMAL(38,10), so both are partition-order independent; the
+    distance is rounded to 8 decimals before ranking. Shuffles are keyed
+    by (label, position) and vec_id — both uniform."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "vf")
+    ).select(
+        "vec_id",
+        "label",
+        # DuckDB list indexing is 1-based; align. float→double is
+        # exact (bit-widening), so both engines square identical doubles.
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("vf").cast("double").alias("v"),
+    )
+    dec10 = "decimal(38,10)"
+    cent = pos.groupBy("label", "pos").agg(
+        (F.sum(F.col("v").cast(dec10)).cast("double") / F.count(F.lit(1))).alias("c")
+    )
+    diff = F.col("v") - F.col("c")
+    dist = (
+        pos.join(cent, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((diff * diff).cast(dec10)).cast("double")), 8
+            ).alias("dist")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("label").orderBy(F.col("dist").desc(), "vec_id")
+    return (
+        dist.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("label", "vec_id", "dist")
+    )
