@@ -358,3 +358,41 @@ def q_median(spark, sf_dir):
     return orders.groupBy("o_orderpriority").agg(
         F.median("o_totalprice").alias("median_price")
     )
+
+
+@register(
+    "q_rolling_time_window",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_time_window(spark, sf_dir):
+    """Time-RANGE window frame: per-user rolling 1-hour event count and
+    value sum. RANGE frames bound by *values* of the ordering key (all
+    events within the trailing hour), unlike ROWS frames which bound by
+    position — the standard shape for rate limiting / rolling metrics.
+    Ordered on epoch seconds so both engines share frame edges exactly;
+    events at identical timestamps are RANGE peers and aggregate
+    together regardless of tie order, so no tiebreak column is needed
+    for determinism."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_1h"),
+    )

@@ -98,3 +98,28 @@ def test_flagship_wholestage_codegen(spark):
     # "*(n)" prefixes are the simpleString markers for WholeStageCodegen
     # spans; the scan→join→partial-agg pipeline must be codegen'd.
     assert "*(" in final and "BroadcastHashJoin" in final
+
+
+def test_partitioned_write_readback_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned layout (the reference's sink shape,
+    transform-data.py:323-327) must enable static partition pruning on
+    re-read: a filter on the partition column shows up as a
+    PartitionFilters entry, and non-matching directories are never
+    scanned."""
+    import pyspark.sql.functions as F
+    from big_data_projects_spark.data import load_table
+
+    out = str(tmp_path / "events_by_type")
+    ev = load_table(spark, SF, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
+    assert back.count() > 0
+
+
+def test_rolling_time_window_partitions_before_sorting(spark):
+    plan = plan_of(spark, "q_rolling_time_window")
+    assert "Exchange SinglePartition" not in plan
