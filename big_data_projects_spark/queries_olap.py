@@ -396,3 +396,75 @@ def q_rolling_time_window(spark, sf_dir):
         .cast("double")
         .alias("sum_1h"),
     )
+
+
+@register(
+    "q_quantiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.25), 9) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 9) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 9) AS p75,
+           round(quantile_cont(o_totalprice, 0.95), 9) AS p95
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles (p25/p50/p75/p95) per group.
+    Exact percentile sorts within each group — fine per-group, and the
+    groups are bounded (priority classes); for an unbounded-cardinality
+    column switch to approx_percentile (q_approx_agg). Interpolation
+    formulas may differ by an ulp between engines ((1−f)·lo+f·hi vs
+    lo+(hi−lo)·f), so both sides round to 9 decimals — absorbing ulp
+    noise at these magnitudes while proving exact-sort agreement."""
+    orders = _t(spark, sf_dir, "orders")
+    pcts = [0.25, 0.50, 0.75, 0.95]
+    return orders.groupBy("o_orderpriority").agg(
+        *[
+            F.round(F.percentile("o_totalprice", F.lit(p)), 9).alias(
+                f"p{int(p * 100)}"
+            )
+            for p in pcts
+        ]
+    )
+
+
+@register(
+    "q_set_ops_all",
+    oracle="""
+    WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+         b AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+    SELECT 'union_all' AS op, COUNT(*) AS n
+      FROM (SELECT k FROM a UNION ALL SELECT k FROM b)
+    UNION ALL
+    SELECT 'intersect_all', COUNT(*)
+      FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+    UNION ALL
+    SELECT 'except_all', COUNT(*)
+      FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+    """,
+)
+def q_set_ops_all(spark, sf_dir):
+    """Bag-semantics set operations (UNION ALL / INTERSECT ALL /
+    EXCEPT ALL) — multiplicity-preserving, complementing q_set_ops'
+    distinct forms. INTERSECT ALL keeps min(multiplicity), EXCEPT ALL
+    subtracts multiplicities; Spark's intersectAll/exceptAll implement
+    exactly these."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+
+    def one(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(op).alias("op"), "n"
+        )
+
+    return (
+        one("union_all", a.union(b))
+        .unionByName(one("intersect_all", a.intersectAll(b)))
+        .unionByName(one("except_all", a.exceptAll(b)))
+    )
