@@ -66,10 +66,12 @@ def shingles(
     Docs with fewer than n tokens produce no shingles (both here and in
     the SQL oracle, where generate_series is empty).
 
-    hasher: "md5" (32-char hex string — reproducible in the DuckDB
-    oracle, used by the exact ngram-Jaccard query) or "xxh64" (bigint —
-    8 bytes instead of 32, cheaper to distinct/join/aggregate; for the
-    rows-only LSH path where no SQL twin needs to recompute it).
+    hasher: "md5" (bigint from the first 15 md5 hex chars — engine-
+    portable, reproducible in the DuckDB oracle as
+    ``CAST('0x' || substr(md5(g),1,15) AS BIGINT)``; 60-bit ids keep
+    joins/distincts on 8-byte keys instead of 32-char strings) or
+    "xxh64" (bigint, hashed straight from the token tuple — fastest;
+    for the rows-only LSH path where no SQL twin recomputes it).
     """
     toks = tokens(text_col)
     slots = ", ".join(f"__toks[i + {j}]" for j in range(n))
@@ -83,7 +85,12 @@ def shingles(
         )
         return (
             base.select(F.col(id_col), F.explode(grams).alias("__gram"))
-            .select(F.col(id_col), F.md5("__gram").alias("shingle"))
+            .select(
+                F.col(id_col),
+                F.conv(F.substring(F.md5("__gram"), 1, 15), 16, 10)
+                .cast("long")
+                .alias("shingle"),
+            )
             .distinct()
         )
     # xxh64 path: hash the token tuple directly inside the lambda —

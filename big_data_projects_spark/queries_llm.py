@@ -151,7 +151,8 @@ def q_dedup_exact(spark, sf_dir):
     ),
     sh AS (
         SELECT DISTINCT doc_id,
-               md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shingle
+               CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))
+                    AS BIGINT) AS shingle
         FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
         WHERE len(t) >= 3
     ),
@@ -358,7 +359,8 @@ def q_multimodal_features(spark, sf_dir):
     ),
     sh AS (
         SELECT DISTINCT doc_id,
-               md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shingle
+               CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))
+                    AS BIGINT) AS shingle
         FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
         WHERE len(t) >= 3
     ),
