@@ -43,22 +43,36 @@ def connected_components(
         .select("node", F.col("node").alias("comp"))
         .persist()
     )
+    prev = labels  # persisted handle for the previous round's cache
     for _ in range(max_iter):
+        # One aggregate per round computes BOTH the new label and the
+        # node's previous label (the union tags which rows carry it), so
+        # convergence is a cheap scalar aggregate over the cached result
+        # instead of a separate join — two actions per round total, and
+        # the full count() materializes the cache before reuse (a
+        # short-circuiting probe would leave it partial and force each
+        # round to recompute the whole lineage — quadratic blowup).
         neigh = sym.join(labels, sym["b"] == labels["node"]).select(
-            F.col("a").alias("node"), F.col("comp")
+            F.col("a").alias("node"),
+            F.col("comp"),
+            F.lit(None).cast("long").alias("old"),
         )
+        tagged = labels.select(
+            "node", "comp", F.col("comp").alias("old")
+        ).union(neigh)
         new_labels = (
-            labels.union(neigh).groupBy("node").agg(F.min("comp").alias("comp"))
-        ).persist()
-        changed = (
-            new_labels.join(labels.withColumnRenamed("comp", "old"), "node")
-            .filter(F.col("comp") != F.col("old"))
-            .limit(1)
-            .count()
+            tagged.groupBy("node")
+            .agg(F.min("comp").alias("comp"), F.min("old").alias("old"))
+            .persist()
         )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        new_labels.count()
+        changed = new_labels.agg(
+            F.sum((F.col("comp") != F.col("old")).cast("long")).alias("c")
+        ).collect()[0]["c"]
+        prev.unpersist()
+        prev = new_labels
+        labels = new_labels.select("node", "comp")
+        if not changed:
             break
     sym.unpersist()
-    return labels
+    return labels.select("node", "comp")

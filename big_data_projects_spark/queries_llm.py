@@ -541,3 +541,133 @@ def q_embed_outliers(spark, sf_dir):
         .filter(F.col("rk") <= 5)
         .select("label", "vec_id", "dist")
     )
+
+
+@register(
+    "q_pipeline_corpus_clean",
+    oracle=r"""
+    WITH RECURSIVE feats AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                    AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(lower(text), '[.,;:!?]'))
+                    AS BIGINT) AS n_punct,
+               CAST(len(regexp_extract_all(lower(text),
+                    '\b(the|a|is|and|of|to|in|that|it|for)\b'))
+                    AS BIGINT) AS n_stopwords,
+               len(regexp_extract_all(lower(text), '\b(the|a|is|and|of)\b')) AS en,
+               len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS de,
+               len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS fr,
+               len(regexp_extract_all(lower(text), '\b(el|los|las|y|es)\b')) AS es,
+               len(regexp_extract_all(lower(text), '[\x{4e00}-\x{9fff}]')) AS zh,
+               md5(text) AS fp, text
+        FROM documents
+    ),
+    survivors AS (
+        SELECT doc_id, source, n_tokens, fp, text,
+               least(1.0, n_tokens / 50.0) * (1.0 - n_punct / n_tokens)
+                 * (0.5 + 0.5 * (n_stopwords / n_tokens)) AS quality_score
+        FROM feats
+        WHERE n_tokens >= 5
+          AND least(1.0, n_tokens / 50.0) * (1.0 - n_punct / n_tokens)
+                 * (0.5 + 0.5 * (n_stopwords / n_tokens)) >= 0.3
+          AND NOT (en=0 AND de=0 AND fr=0 AND es=0 AND zh=0)
+          AND en >= de AND en >= fr AND en >= es AND en >= zh
+    ),
+    exact_kept AS (
+        SELECT s.* FROM survivors s
+        JOIN (SELECT fp, MIN(doc_id) AS keep_id FROM survivors GROUP BY fp) k
+          ON s.doc_id = k.keep_id
+    ),
+    toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM exact_kept
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))
+                    AS BIGINT) AS shingle
+        FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
+        WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+    ),
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION SELECT doc_b, doc_a FROM edges
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    dropped AS (
+        SELECT a AS doc_id FROM reach GROUP BY a HAVING MIN(b) < a
+    )
+    SELECT source, COUNT(*) AS n_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(SUM(CAST(quality_score AS DECIMAL(38,10))) AS DOUBLE)
+                 / COUNT(*), 10) AS avg_quality
+    FROM exact_kept
+    WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    GROUP BY source
+    """,
+)
+def q_pipeline_corpus_clean(spark, sf_dir):
+    """The composed training-data pipeline, end to end: quality filter
+    (score ≥ 0.3, ≥ 5 tokens) → language filter (predicted English) →
+    exact dedup (keep min doc_id per content hash) → fuzzy dedup
+    (3-gram Jaccard ≥ 0.1 pairs → connected components → keep each
+    cluster's min doc_id) → per-source corpus accounting. Every stage is
+    an already-verified operator (text.quality_features, predict_lang,
+    dedup.ngram_jaccard_pairs, components.connected_components); this
+    query checks their composition against one oracle. The fuzzy stage
+    only ever joins on shingle/doc ids — the pair blow-up bound and
+    shuffle keys are identical to q_ngram_jaccard's."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = T.quality_features(docs)
+    survivors = (
+        feats.withColumn("pred_lang", T.predict_lang("text"))
+        .filter(
+            (F.col("n_tokens") >= 5)
+            & (F.col("quality_score") >= 0.3)
+            & (F.col("pred_lang") == "en")
+        )
+        .withColumn("fp", T.fingerprint("text"))
+        .select("doc_id", "source", "n_tokens", "quality_score", "fp", "text")
+    )
+    keepers = survivors.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    exact_kept = survivors.join(
+        F.broadcast(keepers),
+        survivors.doc_id == keepers.keep_id,
+        "left_semi",
+    ).persist()
+
+    edges = D.ngram_jaccard_pairs(
+        exact_kept.select("doc_id", "text"), threshold=0.1
+    ).select("doc_a", "doc_b")
+    comps = connected_components(edges, src="doc_a", dst="doc_b")
+    dropped = comps.filter(F.col("comp") < F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = exact_kept.join(F.broadcast(dropped), "doc_id", "left_anti")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            F.sum(F.col("quality_score").cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1)),
+            10,
+        ).alias("avg_quality"),
+    )
