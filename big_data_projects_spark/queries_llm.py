@@ -671,3 +671,42 @@ def q_pipeline_corpus_clean(spark, sf_dir):
             10,
         ).alias("avg_quality"),
     )
+
+
+@register(
+    "q_hash_split",
+    oracle="""
+    WITH b AS (
+        SELECT source, n_chars,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 10 AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket = 8 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM b GROUP BY 1
+    """,
+)
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split by content-independent id
+    hash (md5 prefix mod 10 → 80/10/10). Hash splits are how a 100 TB
+    corpus is partitioned reproducibly: no RNG state, stable under
+    re-runs and resharding, and any engine can recompute membership —
+    which is exactly what the oracle does."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 10
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    return docs.select(split.alias("split"), "n_chars").groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
