@@ -106,3 +106,88 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
             )
 
     return binary_df.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, kind string, n_bytes long, target_w int, target_h int, "
+    "resize_status string, payload binary"
+)
+
+
+def resize_payload(binary_df: DataFrame, width: int, height: int) -> DataFrame:
+    """mapInPandas resize: 1 row in → 1 row out, payload transformed.
+
+    STUB at the pixel level (no image libs in this container): media
+    kinds raise inside `_decode_payload` and pass through unchanged with
+    resize_status='stubbed'; text/bytes payloads are 'resized' by
+    deterministic truncation/padding to width·height bytes so the
+    batch shape, schema, and payload round-trip are exercised for real.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            kinds = pdf["meta"].map(lambda m: m["kind"])
+            out_payload, status = [], []
+            for payload, kind in zip(pdf["payload"], kinds):
+                raw = bytes(payload)
+                try:
+                    decoded = _decode_payload(raw, kind)
+                    resized = (decoded + b"\x00" * target)[:target]
+                    status.append("resized")
+                except NotImplementedError:
+                    resized = raw
+                    status.append("stubbed")
+                out_payload.append(resized)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": kinds,
+                    "n_bytes": [len(p) for p in out_payload],
+                    "target_w": width,
+                    "target_h": height,
+                    "resize_status": status,
+                    "payload": out_payload,
+                }
+            )
+
+    return binary_df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = (
+    "doc_id long, kind string, frame_index int, frame_ms long, "
+    "n_bytes long, payload binary"
+)
+
+
+def sample_frames(binary_df: DataFrame, n_frames: int = 3, fps: float = 1.0) -> DataFrame:
+    """mapInPandas frame sampler: 1 row in → n_frames rows out — the
+    fan-out batch shape a video pipeline needs (each emitted row is one
+    frame with its timestamp).
+
+    STUB at the codec level: real video kinds would be ffmpeg-decoded;
+    here frames are deterministic equal byte-slices of the payload, so
+    the 1→N Arrow plumbing, per-frame metadata, and downstream
+    partitioning are all real.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "kind", "frame_index", "frame_ms", "n_bytes", "payload")}
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                raw = bytes(payload)
+                step = max(1, len(raw) // n_frames)
+                for i in range(n_frames):
+                    frame = raw[i * step : (i + 1) * step]
+                    rows["doc_id"].append(doc_id)
+                    rows["kind"].append(meta["kind"])
+                    rows["frame_index"].append(i)
+                    rows["frame_ms"].append(int(i * 1000 / fps))
+                    rows["n_bytes"].append(len(frame))
+                    rows["payload"].append(frame)
+            yield pd.DataFrame(rows)
+
+    return binary_df.mapInPandas(run, schema=FRAMES_SCHEMA)

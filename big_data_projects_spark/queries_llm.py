@@ -710,3 +710,29 @@ def q_hash_split(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register("q_multimodal_resize")  # Python-stage op → rows-only
+def q_multimodal_resize(spark, sf_dir):
+    """Resize plumbing over binary payloads (stubbed pixel transform,
+    real mapInPandas batch shape): 64×32-byte targets, grouped status
+    accounting."""
+    docs = _t(spark, sf_dir, "documents")
+    binary = M.with_binary_payload(docs)
+    resized = M.resize_payload(binary, width=64, height=32)
+    return resized.groupBy("resize_status", "n_bytes").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register("q_multimodal_frames")  # Python-stage op → rows-only
+def q_multimodal_frames(spark, sf_dir):
+    """Frame sampling (1 row → 3 frame rows through Arrow batches):
+    per-frame-index byte accounting proves the fan-out shape."""
+    docs = _t(spark, sf_dir, "documents")
+    binary = M.with_binary_payload(docs)
+    frames = M.sample_frames(binary, n_frames=3, fps=2.0)
+    return frames.groupBy("frame_index", "frame_ms").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )

@@ -216,3 +216,29 @@ def test_connected_components_chain_and_islands(spark):
         10: 10, 11: 10, 12: 10,
         20: 20, 21: 20,
     }
+
+
+def test_multimodal_resize_and_frames_shapes(spark):
+    """Resize is 1→1 with exact target byte size; frame sampling is
+    1→n_frames with deterministic slicing and per-frame timestamps."""
+    from big_data_projects_spark.operators import multimodal as M
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xy")], "doc_id long, text string"
+    )
+    binary = M.with_binary_payload(df)
+
+    resized = M.resize_payload(binary, width=4, height=2).collect()
+    assert all(r["n_bytes"] == 8 for r in resized)
+    assert all(r["resize_status"] == "resized" for r in resized)
+    by_id = {r["doc_id"]: bytes(r["payload"]) for r in resized}
+    assert by_id[1] == b"abcdefgh"          # truncated
+    assert by_id[2] == b"xy" + b"\x00" * 6  # padded
+
+    frames = M.sample_frames(binary, n_frames=3, fps=1.0).collect()
+    assert len(frames) == 6  # 2 docs × 3 frames
+    f1 = sorted(
+        (r for r in frames if r["doc_id"] == 1), key=lambda r: r["frame_index"]
+    )
+    assert [bytes(r["payload"]) for r in f1] == [b"abc", b"def", b"ghi"]
+    assert [r["frame_ms"] for r in f1] == [0, 1000, 2000]
