@@ -532,3 +532,52 @@ def q_flagship_star_rollup(spark, sf_dir):
         "r_name", "n_name", "c_mktsegment", "year", "month",
         "n_listens", "total_value", "num",
     )
+
+
+@register(
+    "q_sql_entry_report",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, COUNT(*) AS click_count FROM events
+        WHERE event_type = 'click' GROUP BY user_id
+    ),
+    purchases AS (
+        SELECT user_id, COUNT(*) AS purchase_count FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT DISTINCT c_name || ' (' || c_mktsegment || ')' AS full_name,
+           click_count, purchase_count
+    FROM clicks a
+    JOIN purchases b ON a.user_id = b.user_id
+    JOIN customer ON a.user_id = c_custkey
+    WHERE a.user_id IS NOT NULL
+    """,
+)
+def q_sql_entry_report(spark, sf_dir):
+    """The reference's SQL entry point end-to-end (§3.2): temp-view
+    registration (S6, transform-data.py:140-159) + SQL-string queries
+    (transform-data.py:152-165) — the J1 shape (two filtered aggregates
+    of the same fact self-joined on user key = users active in BOTH
+    classes) composed with the J2 dim join + DISTINCT report, and the
+    F3 string concat. Identical Catalyst pipeline to the DataFrame API
+    from the analyzer onward; SQL text is the only difference."""
+    ensure_runtime_conf(spark)
+    from big_data_projects_spark.data import register_views
+
+    register_views(spark, sf_dir, ("events", "customer"))
+    return spark.sql("""
+        WITH clicks AS (
+            SELECT user_id, COUNT(*) AS click_count FROM events
+            WHERE event_type = 'click' GROUP BY user_id
+        ),
+        purchases AS (
+            SELECT user_id, COUNT(*) AS purchase_count FROM events
+            WHERE event_type = 'purchase' GROUP BY user_id
+        )
+        SELECT DISTINCT concat(c_name, ' (', c_mktsegment, ')') AS full_name,
+               click_count, purchase_count
+        FROM clicks a
+        JOIN purchases b ON a.user_id = b.user_id
+        JOIN customer ON a.user_id = c_custkey
+        WHERE a.user_id IS NOT NULL
+    """)
