@@ -242,3 +242,30 @@ def test_multimodal_resize_and_frames_shapes(spark):
     )
     assert [bytes(r["payload"]) for r in f1] == [b"abc", b"def", b"ghi"]
     assert [r["frame_ms"] for r in f1] == [0, 1000, 2000]
+
+
+def test_connected_components_empty_edges(spark):
+    from big_data_projects_spark.operators.components import (
+        connected_components,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(empty).count() == 0
+
+
+def test_salted_join_empty_and_null_keys(spark):
+    """Empty dim → empty inner join; null fact keys never match (same
+    as the unsalted join's null semantics)."""
+    from big_data_projects_spark.operators.relational import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, 1, 1.0), (2, None, 2.0)], "id long, k long, v double"
+    )
+    empty_dim = spark.createDataFrame([], "k2 long, tag string")
+    assert salted_join(
+        fact, empty_dim, "k", "k2", fact_unique_col="id"
+    ).count() == 0
+
+    dim = spark.createDataFrame([(1, "a")], "k2 long, tag string")
+    rows = salted_join(fact, dim, "k", "k2", fact_unique_col="id").collect()
+    assert [r["id"] for r in rows] == [1]
