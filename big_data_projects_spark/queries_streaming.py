@@ -6,6 +6,8 @@ is fully oracle-checked against DuckDB time_bucket.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from big_data_projects_spark.registry import register
 from big_data_projects_spark.session import ensure_runtime_conf
 from big_data_projects_spark.streaming.joins import (
@@ -155,3 +157,35 @@ def q_stream_stream_join(spark, sf_dir):
     emits exactly the batch join's pairs."""
     ensure_runtime_conf(spark)
     return stream_stream_click_purchase(spark, sf_dir)
+
+
+@register(
+    "q_stream_foreach_sink",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stream_foreach_sink(spark, sf_dir):
+    """foreachBatch sink: the stream's micro-batches are written to
+    parquet by arbitrary batch logic (the production escape hatch for
+    sinks Structured Streaming lacks), then the files are read back and
+    aggregated — proving the sink persisted exactly the source rows."""
+    import tempfile
+
+    from big_data_projects_spark.streaming.core import (
+        events_stream,
+        run_foreach_batch_to_parquet,
+    )
+
+    ensure_runtime_conf(spark)
+    out = tempfile.mkdtemp(prefix="bdp_stream_sink_") + "/events_out"
+    stream = events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+    run_foreach_batch_to_parquet(stream, out)
+    back = spark.read.parquet(out)
+    from big_data_projects_spark.operators.relational import dsum
+
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "total_value")
+    )

@@ -60,3 +60,19 @@ def run_to_completion(df: DataFrame, output_mode: str) -> DataFrame:
         query.stop()
     result = spark.table(name)
     return spark.createDataFrame(result.collect(), schema=result.schema)
+
+
+def run_foreach_batch_to_parquet(df, out_dir: str):
+    """Drive ``df`` as a stream whose sink is a foreachBatch writing
+    hive-partitioned parquet — the production sink shape (idempotent
+    re-runs key on batch_id; here each bounded run appends its batches).
+    Returns after the source is drained."""
+
+    def write_batch(batch_df, batch_id: int):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    query = df.writeStream.outputMode("append").foreachBatch(write_batch).start()
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
