@@ -649,7 +649,7 @@ def q_pipeline_corpus_clean(spark, sf_dir):
     )
     keepers = survivors.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
     exact_kept = survivors.join(
-        F.broadcast(keepers),
+        keepers,
         survivors.doc_id == keepers.keep_id,
         "left_semi",
     ).persist()
@@ -661,7 +661,7 @@ def q_pipeline_corpus_clean(spark, sf_dir):
     dropped = comps.filter(F.col("comp") < F.col("node")).select(
         F.col("node").alias("doc_id")
     )
-    kept = exact_kept.join(F.broadcast(dropped), "doc_id", "left_anti")
+    kept = exact_kept.join(dropped, "doc_id", "left_anti")
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("n_tokens").alias("total_tokens"),

@@ -9,8 +9,10 @@ conditional-aggregate ratios (Q14), and HAVING-subquery semi-joins
 hash-checked against DuckDB.
 
 Scale notes (100 TB design):
-- Dims (region/nation/customer/supplier/part) are broadcast; only
-  fact-fact joins (orders⋈lineitem) shuffle, on their natural join key.
+- Broadcast hints only where boundedness is provable (nation/region,
+  1-row scalars); SF-scaling relations (customer/part/supplier maps,
+  post-HAVING key sets) are left to AQE, which broadcasts them when
+  their runtime size fits and shuffle-joins otherwise.
 - Double aggregates go through decimal accumulation (dsum/davg) so
   results are partition-order independent — required for both the
   oracle hash and AQE-repartitioned reruns.
@@ -107,7 +109,7 @@ def q_tpch_q3(spark, sf_dir):
         li.join(
             orders, li.l_orderkey == orders.o_orderkey
         )
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(_revenue(), "revenue"))
         .select(
@@ -202,9 +204,9 @@ def q_tpch_q5(spark, sf_dir):
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(
-            F.broadcast(asia_supp),
+            asia_supp,
             (li.l_suppkey == asia_supp.s_suppkey)
             & (customer.c_nationkey == asia_supp.s_nationkey),
         )
@@ -240,7 +242,7 @@ def q_tpch_q14(spark, sf_dir):
     rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(dec)
     promo = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0).cast(dec))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (
                 (F.lit(100.0) * F.sum(promo).cast("double"))
@@ -281,12 +283,12 @@ def q_tpch_q18(spark, sf_dir):
     )
     return (
         li.join(
-            F.broadcast(big.withColumnRenamed("l_orderkey", "big_key")),
+            big.withColumnRenamed("l_orderkey", "big_key"),
             li.l_orderkey == F.col("big_key"),
             "inner",
         )
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate")
         .agg(dsum("l_quantity", "total_qty"))
         .select(

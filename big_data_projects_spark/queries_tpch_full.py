@@ -13,8 +13,12 @@ inner equi-joins + count aggregates); they are part of the "complete
 engine" surface, each hash-checked against DuckDB.
 
 Scale notes (100 TB design, applied throughout):
-- region/nation/supplier/part and all post-aggregation key sets are
-  broadcast; only fact⋈fact (lineitem⋈orders) shuffles, on the join key.
+- Broadcast HINTS only on provably bounded relations: nation/region
+  (constant cardinality) and 1-row scalar aggregates. Everything that
+  scales with SF — customer/supplier/part-derived maps, post-HAVING key
+  sets — carries no hint: AQE broadcasts them at runtime when the
+  actual size permits and shuffle-joins when it doesn't, which is the
+  only policy that is correct at every scale.
 - Double SUM/AVG goes through exact DECIMAL(38,6) accumulation
   (operators.relational.dsum/davg) so results are partition-order
   independent; correlated thresholds (Q11/Q17) compare doubles computed
@@ -108,7 +112,7 @@ def q_tpch_q2(spark, sf_dir):
         .select("s_suppkey", "s_name", "n_name")
     )
     costs = (
-        li.join(F.broadcast(euro_supp), li.l_suppkey == euro_supp.s_suppkey)
+        li.join(euro_supp, li.l_suppkey == euro_supp.s_suppkey)
         .groupBy("l_partkey", "l_suppkey", "s_name", "n_name")
         .agg(F.min("l_extendedprice").alias("cost"))
     )
@@ -117,10 +121,10 @@ def q_tpch_q2(spark, sf_dir):
     )
     return (
         costs.join(
-            F.broadcast(mins),
+            mins,
             (costs.l_partkey == mins.pk2) & (costs.cost == mins.mc),
         )
-        .join(F.broadcast(part), costs.l_partkey == part.p_partkey)
+        .join(part, costs.l_partkey == part.p_partkey)
         .select("p_partkey", "p_name", "s_name", "n_name", "cost")
         .orderBy("cost", "p_partkey", "s_name")
         .limit(100)
@@ -176,8 +180,8 @@ def q_tpch_q7(spark, sf_dir):
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp_map), li.l_suppkey == supp_map.s_suppkey)
-        .join(F.broadcast(cust_map), orders.o_custkey == cust_map.c_custkey)
+        .join(supp_map, li.l_suppkey == supp_map.s_suppkey)
+        .join(cust_map, orders.o_custkey == cust_map.c_custkey)
         .filter(pair)
         .groupBy(
             "supp_nation",
@@ -251,10 +255,10 @@ def q_tpch_q8(spark, sf_dir):
         F.lit(0).cast(_DEC)
     )
     return (
-        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(asia_cust), orders.o_custkey == F.col("c_custkey"))
-        .join(F.broadcast(supp_map), li.l_suppkey == F.col("s_suppkey"))
+        .join(asia_cust, orders.o_custkey == F.col("c_custkey"))
+        .join(supp_map, li.l_suppkey == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             (
@@ -302,10 +306,10 @@ def q_tpch_q9(spark, sf_dir):
     )
     return (
         li.join(
-            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            part.select("p_partkey", "p_retailprice"),
             li.l_partkey == F.col("p_partkey"),
         )
-        .join(F.broadcast(supp_map), li.l_suppkey == F.col("s_suppkey"))
+        .join(supp_map, li.l_suppkey == F.col("s_suppkey"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(dsum(profit, "sum_profit"))
@@ -351,7 +355,7 @@ def q_tpch_q10(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dsum(_revenue(), "revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
@@ -401,7 +405,7 @@ def q_tpch_q11(spark, sf_dir):
     scoped = (
         _t(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey", "l_extendedprice")
-        .join(F.broadcast(nation5), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation5, F.col("l_suppkey") == F.col("s_suppkey"))
     )
     vals = scoped.groupBy("l_partkey").agg(dsum("l_extendedprice", "part_value"))
     total = scoped.agg(dsum("l_extendedprice", "total_value"))
@@ -517,7 +521,7 @@ def q_tpch_q15(spark, sf_dir):
     return (
         revenue.join(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(supplier, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -554,9 +558,9 @@ def q_tpch_q16(spark, sf_dir):
     )
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(excluded), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        li.join(excluded, li.l_suppkey == F.col("s_suppkey"), "left_anti")
         .join(
-            F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+            part.select("p_partkey", "p_brand", "p_type", "p_size"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy("p_brand", "p_type", "p_size")
@@ -596,8 +600,8 @@ def q_tpch_q17(spark, sf_dir):
     )
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     return (
-        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(pa), li.l_partkey == F.col("pk"))
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+        .join(pa, li.l_partkey == F.col("pk"))
         .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
         .agg(
             (
@@ -651,7 +655,7 @@ def q_tpch_q19(spark, sf_dir):
         )
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(dsum(_revenue(), "revenue"), F.count(F.lit(1)).alias("n"))
     )
@@ -687,7 +691,7 @@ def q_tpch_q20(spark, sf_dir):
         & (F.col("l_shipdate") < _ts("1997-01-01"))
     )
     qualifying = (
-        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("q"))
         .filter(F.col("q") > 400)
@@ -702,7 +706,7 @@ def q_tpch_q20(spark, sf_dir):
         .select("s_suppkey", "s_name", "n_name")
     )
     return supplier.join(
-        F.broadcast(qualifying),
+        qualifying,
         supplier.s_suppkey == F.col("l_suppkey"),
         "left_semi",
     )
@@ -767,7 +771,7 @@ def q_tpch_q21(spark, sf_dir):
     )
     supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        waiting.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        waiting.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
