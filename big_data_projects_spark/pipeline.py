@@ -12,9 +12,11 @@ region on proper surrogate keys (the reference joined on non-unique
 natural attributes — artist *name*, song *title* — an unbounded fan-out
 hazard, SURVEY.md §4 anti-pattern 4) → grouped counts → surrogate key.
 
-Scale notes: dims are broadcast (no fact shuffle for the joins); the
-single groupBy is the only shuffle; the row_number runs over the
-already-aggregated (small) result, never over raw events.
+Scale notes: bounded dims (nation/region) carry broadcast hints; the
+SF-scaling customer join is left to AQE (broadcast when it fits,
+shuffle otherwise); the single groupBy is the only guaranteed shuffle;
+the row_number runs over the already-aggregated (small) result, never
+over raw events.
 """
 
 from __future__ import annotations
@@ -43,13 +45,17 @@ def songplays_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     listens = events.filter(F.col("event_type") == "click")
     listens = with_calendar_cols(listens, "ts")
 
+    # Hint only the provably bounded dims (nation/region are constant-
+    # cardinality); customer scales with the data, so AQE sizes that
+    # join at runtime — broadcast when it fits, shuffle when it doesn't.
     joined = star_join(
         listens,
         [
             (customer, F.col("user_id") == F.col("c_custkey")),
-            (nation, F.col("c_nationkey") == F.col("n_nationkey")),
-            (region, F.col("n_regionkey") == F.col("r_regionkey")),
+            (F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")),
+            (F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")),
         ],
+        broadcast_dims=False,
     )
 
     rollup = joined.groupBy("r_name", "n_name", "c_mktsegment", "year", "month").agg(

@@ -2,9 +2,10 @@
 event-time correlation.
 
 Stream-static: the canonical enrichment shape — each micro-batch of the
-stream hash-joins against the (broadcast) dimension snapshot; no
-streaming state is kept for the static side, so it scales with the
-stream alone. Stream-stream: both sides are buffered in the state store
+stream hash-joins against the dimension snapshot (the planner
+broadcasts it when its size fits; no hint is forced, since the dim
+scales with the data); no streaming state is kept for the static side,
+so state scales with the stream alone. Stream-stream: both sides are buffered in the state store
 bounded by their watermarks, and the event-time range condition lets
 Spark evict rows the other side can no longer match — without the time
 bound the state would grow forever.
@@ -22,9 +23,10 @@ from big_data_projects_spark.streaming.core import events_stream, run_to_complet
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events stream ⋈ static customer dim → daily counts per segment.
 
-    The dim join adds no streaming state; the windowed aggregate runs in
-    complete mode (bounded backfill) with decimal-accumulated sums so
-    state-update order cannot affect the result.
+    The dim join adds no streaming state; the windowed aggregate runs
+    in complete mode (bounded backfill) with decimal-accumulated sums
+    so state-update order cannot affect the result. No broadcast hint:
+    the static side's size decides the join strategy at plan time.
     """
     stream = events_stream(spark, sf_dir)
     cust = load_table(spark, sf_dir, "customer").select(
@@ -32,7 +34,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = (
         stream.withWatermark("ts", "2 hours")
-        .join(F.broadcast(cust), stream.user_id == cust.c_custkey)
+        .join(cust, stream.user_id == cust.c_custkey)
         .groupBy(F.window("ts", "1 day"), "c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n"),
