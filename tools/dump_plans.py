@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: formatted physical plans for representative
+queries, each with the scale property it demonstrates. Run from the
+repo root: python tools/dump_plans.py
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF = "/root/testdata/sf0.01"
+
+# (query, what the plan proves)
+SHOWCASE = [
+    (
+        "q_tpch_q6",
+        "Scan-dominant aggregate: every predicate reaches PushedFilters, "
+        "ReadSchema lists only the 4 needed columns of 11 — at 100 TB "
+        "this is the difference between scanning 4/11ths of the data and "
+        "all of it.",
+    ),
+    (
+        "q_tpch_q3",
+        "Fact⋈fact shuffle join (lineitem⋈orders on the join key) with "
+        "the filtered dim joined hash-side, and top-10 planned as "
+        "TakeOrderedAndProject — per-partition heaps merged at the "
+        "driver, never a global sort.",
+    ),
+    (
+        "q_tpch_q21",
+        "EXISTS / NOT EXISTS as left-semi + left-anti self-joins with "
+        "equi keys (orderkey) and non-equi residuals (suppkey, lateness "
+        "cutoff) — no nested-loop, no cartesian product.",
+    ),
+    (
+        "q_flagship_star_rollup",
+        "The reference's whole critical path: bounded dims broadcast, "
+        "the SF-scaling customer join sized by AQE, one shuffle at the "
+        "aggregate, surrogate-key window only over the 85-row result "
+        "(the reference's version single-partitioned ALL rows).",
+    ),
+    (
+        "q_rolling_time_window",
+        "Per-user RANGE frame: the window exchange partitions by "
+        "user_id — no Exchange SinglePartition anywhere.",
+    ),
+    (
+        "q_stats_moments",
+        "One pass, one shuffle: all six power sums accumulate in the "
+        "same partial/final hash aggregate pair.",
+    ),
+]
+
+
+def main() -> None:
+    from big_data_projects_spark.queries import REGISTRY
+    from big_data_projects_spark.session import get_spark
+
+    spark = get_spark(app_name="dump-plans", cpus=8, shuffle_partitions=8)
+
+    out = [
+        "# PLANS — physical-plan review of representative queries",
+        "",
+        "Regenerate with `python tools/dump_plans.py` (plans at sf0.01, "
+        "local[8]; structure is scale-independent, sizes are not). Each "
+        "section states the scale property the plan is required to show — "
+        "tests/test_plans.py asserts the load-bearing ones.",
+        "",
+    ]
+    for name, why in SHOWCASE:
+        df = REGISTRY[name].spark(spark, SF)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        plan = buf.getvalue()
+        # keep the operator tree, drop the verbose per-node detail
+        # section — but surface the scan facts (pushdown + pruning)
+        tree = plan.split("\n\n")[0]
+        scan_facts = [
+            line.strip()
+            for line in plan.splitlines()
+            if "PushedFilters" in line or "ReadSchema" in line
+        ]
+        out += [f"## {name}", "", why, "", "```", tree.rstrip()]
+        if scan_facts:
+            out += ["", "-- scan facts --", *scan_facts]
+        out += ["```", ""]
+
+    (REPO / "PLANS.md").write_text("\n".join(out))
+    print(f"wrote {REPO / 'PLANS.md'} ({len(SHOWCASE)} plans)")
+
+
+if __name__ == "__main__":
+    main()
