@@ -217,3 +217,88 @@ def q_scan_json_schema(spark, sf_dir):
     return back.groupBy(
         "event_type", F.year("ts").cast("long").alias("year")
     ).agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+
+
+@register(
+    "q_compaction",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    """,
+)
+def q_compaction(spark, sf_dir):
+    """Small-file compaction — the housekeeping a 100 TB table needs
+    after streaming/append ingestion: read the fragmented layout,
+    repartition to the target file count, rewrite. The query fragments
+    orders into 64 files, compacts to 4, verifies the file count
+    dropped, and proves the data survived byte-for-byte by aggregating
+    the compacted copy against the original's oracle."""
+    ensure_runtime_conf(spark)
+    orders = _t(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="bdp_compact_")
+    frag, compact = os.path.join(base, "frag"), os.path.join(base, "compact")
+    orders.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(
+        compact
+    )
+    n_frag = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    n_compact = len(
+        [f for f in os.listdir(compact) if f.endswith(".parquet")]
+    )
+    assert n_compact < n_frag, (n_compact, n_frag)
+    return (
+        spark.read.parquet(compact)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", "total_price"),
+        )
+    )
+
+
+@register(
+    "q_scan_json_corrupt",
+    oracle="""
+    SELECT 'good' AS status, COUNT(*) AS n FROM events
+    UNION ALL
+    SELECT 'corrupt', 3
+    """,
+)
+def q_scan_json_corrupt(spark, sf_dir):
+    """PERMISSIVE corrupt-record handling on the JSON source: 3 broken
+    lines are injected into an otherwise-valid JSON dump; the schema'd
+    read routes them to _corrupt_record instead of failing the job (at
+    100 TB a single bad record must never kill a scan), and the query
+    accounts for good vs corrupt rows. The oracle pins the invariant:
+    all original rows parse, exactly the injected lines quarantine."""
+    ensure_runtime_conf(spark)
+    events = _t(spark, sf_dir, "events")
+    out = os.path.join(tempfile.mkdtemp(prefix="bdp_json_bad_"), "events_json")
+    events.write.mode("overwrite").json(out)
+    bad = os.path.join(out, "zz_corrupt.json")
+    with open(bad, "w") as fh:
+        fh.write('{"event_id": broken\n{not json at all\n{"ts": "}\n')
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        list(events.schema.fields)
+        + [StructField("_corrupt_record", StringType(), True)]
+    )
+    # Spark refuses scans whose only referenced column is the internal
+    # corrupt-record column (the pruned projection here); caching the
+    # parsed result first is the documented pattern.
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+        .cache()
+    )
+    status = F.when(F.col("_corrupt_record").isNull(), "good").otherwise(
+        "corrupt"
+    )
+    return back.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -14,12 +14,12 @@ NAMES = sorted(
     n for n, q in REGISTRY.items()
     if q.oracle is not None
     and n in ("q_stats_moments", "q_salted_join", "q_bucketed_join",
-              "q_scan_json_schema")
+              "q_scan_json_schema", "q_scan_json_corrupt", "q_compaction")
 )
 
 
 def test_all_registered():
-    assert len(NAMES) == 4
+    assert len(NAMES) == 6
 
 
 @pytest.mark.parametrize("name", NAMES)
