@@ -468,3 +468,117 @@ def q_set_ops_all(spark, sf_dir):
         .unionByName(one("intersect_all", a.intersectAll(b)))
         .unionByName(one("except_all", a.exceptAll(b)))
     )
+
+
+@register(
+    "q_window_firstlast",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(value) OVER w AS first_v,
+           last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_v,
+           nth_value(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS third_v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_firstlast(spark, sf_dir):
+    """first_value / last_value / nth_value navigation functions.
+    last/nth use an explicit unbounded-both-sides frame: the default
+    frame ends at CURRENT ROW, which silently turns last_value into
+    'current value' — a classic window bug both engines share, pinned
+    here with the correct frame."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(wfull).alias("last_v"),
+        F.nth_value("value", 3).over(wfull).alias("third_v"),
+    )
+
+
+@register(
+    "q_gapfill_hourly",
+    oracle="""
+    WITH bounds AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '1 hour', MIN(ts)) AS h_min,
+               time_bucket(INTERVAL '1 hour', MAX(ts)) AS h_max
+        FROM events GROUP BY event_type
+    ),
+    spine AS (
+        SELECT event_type, unnest(generate_series(h_min, h_max,
+                                                  INTERVAL '1 hour')) AS h
+        FROM bounds
+    ),
+    actual AS (
+        SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT s.event_type, epoch_ms(s.h) AS hour_ms,
+           COALESCE(a.n, 0) AS n
+    FROM spine s
+    LEFT JOIN actual a ON s.event_type = a.event_type AND s.h = a.h
+    """,
+)
+def q_gapfill_hourly(spark, sf_dir):
+    """Gap-filling: a generated hourly spine per series (explode of
+    sequence(min,max,1h)) left-joined with the actual counts, zeros for
+    missing hours — the shape dashboards and rate monitors need. The
+    spine generation is per-group and bounded by the group's own time
+    range; no cross join against a global calendar."""
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = ev.groupBy("event_type").agg(
+        F.min(hour).alias("h_min"), F.max(hour).alias("h_max")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("h_min", "h_max", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    actual = ev.groupBy(
+        "event_type", hour.alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.join(actual, ["event_type", "h"], "left_outer")
+        .select(
+            "event_type",
+            F.unix_millis(F.col("h").cast("timestamp")).alias("hour_ms"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+
+
+@register("q_pandas_udaf_trimmed")  # Python-stage aggregate → rows-only
+def q_pandas_udaf_trimmed(spark, sf_dir):
+    """Custom UDAF via a grouped-agg pandas UDF (PySpark's UDAF path):
+    10%-trimmed mean of event value per type — a robust statistic with
+    no built-in equivalent. Arrow ships each group's values as one
+    numpy vector; the UDF sorts before reducing so the result is
+    independent of shuffle arrival order."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # Explicit GROUPED_AGG (this module's `from __future__ import
+    # annotations` stringifies type hints, so hint-based inference
+    # can't see the Series -> scalar signature).
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def trimmed_mean(v):
+        arr = np.sort(v.to_numpy())
+        k = int(len(arr) * 0.1)
+        trimmed = arr[k : len(arr) - k] if len(arr) > 2 * k else arr
+        return float(trimmed.mean())
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        trimmed_mean("value").alias("trimmed_mean_value")
+    )

@@ -269,3 +269,27 @@ def test_salted_join_empty_and_null_keys(spark):
     dim = spark.createDataFrame([(1, "a")], "k2 long, tag string")
     rows = salted_join(fact, dim, "k", "k2", fact_unique_col="id").collect()
     assert [r["id"] for r in rows] == [1]
+
+
+def test_pandas_udaf_trimmed_mean_value(spark):
+    """The grouped-agg pandas UDAF computes the documented statistic:
+    10% trimmed off each tail (by count), mean of the rest."""
+    from big_data_projects_spark.queries import REGISTRY
+    import numpy as np
+
+    df = REGISTRY["q_pandas_udaf_trimmed"].spark(
+        spark, "/root/testdata/sf0.01"
+    )
+    got = {r["event_type"]: r["trimmed_mean_value"] for r in df.collect()}
+
+    import duckdb
+
+    raw = duckdb.sql(
+        "SELECT event_type, list(value) FROM "
+        "'/root/testdata/sf0.01/events.parquet' GROUP BY 1"
+    ).fetchall()
+    for etype, values in raw:
+        arr = np.sort(np.array(values))
+        k = int(len(arr) * 0.1)
+        expect = arr[k: len(arr) - k].mean() if len(arr) > 2 * k else arr.mean()
+        assert abs(got[etype] - expect) < 1e-9, etype
