@@ -123,3 +123,51 @@ def test_partitioned_write_readback_prunes_partitions(spark, tmp_path):
 def test_rolling_time_window_partitions_before_sorting(spark):
     plan = plan_of(spark, "q_rolling_time_window")
     assert "Exchange SinglePartition" not in plan
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The skew path the engine relies on at 100 TB: one hot key holding
+    75% of the fact rows would serialize into a single straggler task; a
+    shuffle join under AQE must detect the oversized partition and split
+    it (SortMergeJoin(skew=true) + 'AQEShuffleRead ... skewed' in the
+    final plan). Thresholds are lowered to make test-scale data exceed
+    them; the detection logic is the same at any scale."""
+    import pyspark.sql.functions as F
+
+    overrides = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "128KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        fact = (
+            spark.range(400000)
+            .withColumn(
+                "k",
+                F.when(F.col("id") < 300000, F.lit(7)).otherwise(
+                    F.pmod("id", 1000)
+                ),
+            )
+            .withColumn("p1", F.md5(F.col("id").cast("string")))
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k2"),
+            F.md5(F.col("id").cast("string")).alias("tag"),
+        )
+        j = fact.join(dim, fact.k == dim.k2).select(
+            F.sum(F.length("p1")).alias("s")
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
