@@ -582,3 +582,82 @@ def q_pandas_udaf_trimmed(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         trimmed_mean("value").alias("trimmed_mean_value")
     )
+
+
+@register(
+    "q_union_by_name",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+        FROM orders WHERE o_orderstatus = 'F'
+    ),
+    v2 AS (
+        SELECT o_orderkey, o_orderpriority, NULL AS o_totalprice
+        FROM orders WHERE o_orderstatus = 'O'
+    ),
+    unioned AS (
+        SELECT o_orderkey, o_totalprice, o_orderpriority FROM v1
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_orderpriority FROM v2
+    )
+    SELECT COUNT(*) AS n,
+           COUNT(o_totalprice) AS with_price,
+           COUNT(o_orderpriority) AS with_priority
+    FROM unioned
+    """,
+)
+def q_union_by_name(spark, sf_dir):
+    """Schema-evolution union: two versions of a feed with different
+    column sets combined by NAME (position-based union silently
+    misaligns evolved schemas — the classic ingestion bug), missing
+    columns null-filled. The count triple proves which side carried
+    which column."""
+    orders = _t(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    unioned = v1.unionByName(v2, allowMissingColumns=True)
+    return unioned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_totalprice").alias("with_price"),
+        F.count("o_orderpriority").alias("with_priority"),
+    )
+
+
+@register(
+    "q_nullsafe_join",
+    oracle="""
+    WITH a AS (
+        SELECT event_id,
+               CASE WHEN value < 0.1 THEN NULL
+                    ELSE CAST(floor(value * 10) AS BIGINT) END AS bucket
+        FROM events
+    ),
+    b AS (
+        SELECT DISTINCT CASE WHEN value < 0.1 THEN NULL
+                    ELSE CAST(floor(value * 10) AS BIGINT) END AS bucket2
+        FROM events
+    )
+    SELECT COUNT(*) AS n_pairs,
+           COUNT(CASE WHEN bucket IS NULL THEN 1 END) AS null_pairs
+    FROM a JOIN b ON bucket IS NOT DISTINCT FROM bucket2
+    """,
+)
+def q_nullsafe_join(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): ordinary
+    equi-joins drop null keys silently; null-safe joins pair them —
+    the semantics data-repair and SCD merge logic depend on. The null
+    bucket must survive the join (null_pairs > 0 proves it)."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.when(F.col("value") < 0.1, F.lit(None)).otherwise(
+        F.floor(F.col("value") * 10).cast("long")
+    )
+    a = ev.select("event_id", bucket.alias("bucket"))
+    b = ev.select(bucket.alias("bucket2")).distinct()
+    return a.join(b, a.bucket.eqNullSafe(b.bucket2)).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count(F.when(F.col("bucket").isNull(), 1)).alias("null_pairs"),
+    )

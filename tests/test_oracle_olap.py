@@ -13,7 +13,8 @@ OLAP_QUERIES = sorted(
     and n.startswith(("q_join_left", "q_join_semi", "q_join_anti", "q_set_",
                       "q_rollup", "q_cube", "q_pivot", "q_window_",
                       "q_having", "q_scalar_", "q_case_", "q_distinct_",
-                      "q_median", "q_rolling_", "q_quantiles", "q_gapfill"))
+                      "q_median", "q_rolling_", "q_quantiles", "q_gapfill",
+                      "q_union_by", "q_nullsafe"))
 )
 
 
