@@ -661,3 +661,54 @@ def q_nullsafe_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_pairs"),
         F.count(F.when(F.col("bucket").isNull(), 1)).alias("null_pairs"),
     )
+
+
+@register(
+    "q_scd2_intervals",
+    oracle="""
+    SELECT user_id, event_type AS attr_value,
+           epoch_ms(ts) AS valid_from_ms,
+           epoch_ms(lead(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id)) AS valid_to_ms
+    FROM events
+    """,
+)
+def q_scd2_intervals(spark, sf_dir):
+    """Slowly-changing-dimension type-2 construction: each attribute
+    observation becomes a [valid_from, valid_to) interval, valid_to =
+    the next observation's timestamp via lead() (null = current row).
+    The as-of join (q_asof_join) is the read-side twin of this
+    write-side shape. Partitioned window only — no global sort."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("attr_value"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("valid_from_ms"),
+        F.unix_millis(F.lead("ts").over(w).cast("timestamp")).alias(
+            "valid_to_ms"
+        ),
+    )
+
+
+@register(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / CAST(50000 AS DOUBLE)) AS BIGINT)
+             AS bucket,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def q_histogram(spark, sf_dir):
+    """Fixed-width histogram with an explicit bucket formula (floor of
+    v / width). Literal bounds — a data-derived min/max would need an
+    extra pass — and an explicit formula rather than width_bucket,
+    whose edge rounding differs between engines. One shuffle on the
+    bucket id."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.floor(F.col("o_totalprice") / F.lit(50000.0))
+        .cast("long")
+        .alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
