@@ -712,3 +712,92 @@ def q_histogram(spark, sf_dir):
         .cast("long")
         .alias("bucket")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q_string_agg",
+    oracle="""
+    SELECT c_mktsegment,
+           string_agg(DISTINCT c_name, ',' ORDER BY c_name) AS names
+    FROM (SELECT c_mktsegment, c_name FROM customer
+          WHERE c_custkey % 100 = 0) t
+    GROUP BY c_mktsegment
+    """,
+)
+def q_string_agg(spark, sf_dir):
+    """Ordered string aggregation (listagg): collect_list is
+    arrival-order nondeterministic, so the list is sorted before
+    joining — the only deterministic form of string_agg, matching the
+    oracle's ORDER BY clause. At scale the per-group payload must be
+    bounded (here: 1% of customers) — an unbounded listagg is an OOM,
+    not an operator."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 100 == 0
+    )
+    return cust.groupBy("c_mktsegment").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("c_name")), ","
+        ).alias("names")
+    )
+
+
+@register(
+    "q_grouping_id",
+    oracle="""
+    SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN NULL
+                ELSE l_returnflag END AS returnflag,
+           CASE WHEN GROUPING(l_linestatus) = 1 THEN NULL
+                ELSE l_linestatus END AS linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_grouping_id(spark, sf_dir):
+    """grouping() markers on ROLLUP subtotals: the only correct way to
+    distinguish a subtotal row from a genuine NULL in the data (the
+    COALESCE('ALL') idiom in q_rollup conflates them)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.when(F.col("g_flag") == 1, F.lit(None))
+            .otherwise(F.col("l_returnflag"))
+            .alias("returnflag"),
+            F.when(F.col("g_status") == 1, F.lit(None))
+            .otherwise(F.col("l_linestatus"))
+            .alias("linestatus"),
+            "g_flag",
+            "g_status",
+            "n",
+        )
+    )
+
+
+@register(
+    "q_bitwise_agg",
+    oracle="""
+    SELECT user_id,
+           bit_and(event_id) AS all_bits,
+           bit_or(event_id) AS any_bits,
+           bit_xor(event_id) AS parity_bits
+    FROM events GROUP BY user_id
+    """,
+)
+def q_bitwise_agg(spark, sf_dir):
+    """Bitwise aggregates (and/or/xor over int64) — flag-set fusion and
+    parity checks; associative+commutative, so partial aggregation works
+    and results are order-independent by construction."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.bit_and("event_id").alias("all_bits"),
+        F.bit_or("event_id").alias("any_bits"),
+        F.bit_xor("event_id").alias("parity_bits"),
+    )
