@@ -141,3 +141,44 @@ def top_k_per_group(
         df.withColumn(rank_col, F.row_number().over(w).cast("long"))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key: str,
+    update_cols: list[str] | None = None,
+) -> DataFrame:
+    """MERGE INTO semantics (WHEN MATCHED UPDATE / WHEN NOT MATCHED
+    INSERT) as a pure DataFrame transform: full outer join on the key,
+    matched rows take the source's update columns, unmatched target
+    rows pass through, unmatched source rows insert.
+
+    This is the table-format-free upsert: the result is a new snapshot
+    to write out (on Delta/Iceberg the same logic runs in-place). The
+    join shuffles both sides on the key once; at scale, bucket the
+    target on the key so recurring merges co-locate (q_bucketed_join).
+    Source must be unique per key (enforce upstream) — duplicate source
+    keys would fan out like any join.
+    """
+    update_cols = update_cols or [
+        c for c in source.columns if c != key and c in target.columns
+    ]
+    src = source.select(
+        F.col(key).alias("__mk"),
+        *[F.col(c).alias(f"__s_{c}") for c in update_cols],
+    )
+    joined = target.join(src, target[key] == src["__mk"], "full_outer")
+    out_cols = []
+    for c in target.columns:
+        if c == key:
+            out_cols.append(F.coalesce(F.col(key), F.col("__mk")).alias(key))
+        elif c in update_cols:
+            out_cols.append(
+                F.when(F.col("__mk").isNotNull(), F.col(f"__s_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        else:
+            out_cols.append(F.col(c))
+    return joined.select(*out_cols)

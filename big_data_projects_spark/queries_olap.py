@@ -801,3 +801,62 @@ def q_bitwise_agg(spark, sf_dir):
         F.bit_or("event_id").alias("any_bits"),
         F.bit_xor("event_id").alias("parity_bits"),
     )
+
+
+@register(
+    "q_merge_upsert",
+    oracle="""
+    WITH source AS (
+        SELECT user_id AS k,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS new_bal
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    merged AS (
+        SELECT COALESCE(c_custkey, k) AS c_custkey,
+               CASE WHEN k IS NOT NULL THEN new_bal ELSE c_acctbal END
+                 AS c_acctbal,
+               CASE WHEN c_custkey IS NULL THEN 'inserted'
+                    WHEN k IS NULL THEN 'untouched'
+                    ELSE 'updated' END AS row_fate
+        FROM customer FULL OUTER JOIN source ON c_custkey = k
+    )
+    SELECT row_fate, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+             AS total_bal
+    FROM merged GROUP BY row_fate
+    """,
+)
+def q_merge_upsert(spark, sf_dir):
+    """MERGE INTO (upsert) without a table format: purchase totals per
+    user merged into the customer snapshot — matched customers get the
+    new balance, unmatched keep theirs, unknown users insert. The fate
+    accounting proves each WHEN branch fired; the balance sum proves
+    values landed in the right rows."""
+    from big_data_projects_spark.operators.relational import merge_upsert
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    source = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("c_custkey"))
+        .agg(dsum("value", "c_acctbal"))
+    )
+    known = cust.select(F.col("c_custkey").alias("known_k"))
+    merged = merge_upsert(cust, source, key="c_custkey")
+    src_keys = source.select(F.col("c_custkey").alias("src_k"))
+    fate = (
+        merged.join(
+            F.broadcast(src_keys), merged.c_custkey == src_keys.src_k, "left"
+        )
+        .join(F.broadcast(known), merged.c_custkey == known.known_k, "left")
+        .select(
+            "c_acctbal",
+            F.when(F.col("known_k").isNull(), "inserted")
+            .when(F.col("src_k").isNull(), "untouched")
+            .otherwise("updated")
+            .alias("row_fate"),
+        )
+    )
+    return fate.groupBy("row_fate").agg(
+        F.count(F.lit(1)).alias("n"), dsum("c_acctbal", "total_bal")
+    )

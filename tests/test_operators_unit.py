@@ -293,3 +293,26 @@ def test_pandas_udaf_trimmed_mean_value(spark):
         k = int(len(arr) * 0.1)
         expect = arr[k: len(arr) - k].mean() if len(arr) > 2 * k else arr.mean()
         assert abs(got[etype] - expect) < 1e-9, etype
+
+
+def test_merge_upsert_semantics(spark):
+    """Matched rows update only the update columns, unmatched target
+    rows pass through untouched, unmatched source keys insert (with
+    nulls for target-only columns)."""
+    from big_data_projects_spark.operators.relational import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b")], "k long, bal double, tag string"
+    )
+    source = spark.createDataFrame(
+        [(2, 99.0), (3, 30.0)], "k long, bal double"
+    )
+    got = {
+        r["k"]: (r["bal"], r["tag"])
+        for r in merge_upsert(target, source, key="k").collect()
+    }
+    assert got == {
+        1: (10.0, "a"),   # untouched
+        2: (99.0, "b"),   # updated bal, tag kept
+        3: (30.0, None),  # inserted, target-only col null
+    }
