@@ -736,3 +736,44 @@ def q_multimodal_frames(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("n_bytes").alias("total_bytes"),
     )
+
+
+@register(
+    "q_data_quality",
+    oracle="""
+    WITH checks AS (
+        SELECT COUNT(CASE WHEN NOT (text IS NOT NULL) THEN 1 END)
+                 AS text_not_null,
+               COUNT(CASE WHEN NOT (n_chars >= 1) THEN 1 END)
+                 AS n_chars_positive,
+               COUNT(CASE WHEN NOT (lang IN ('en','de','fr','es','zh'))
+                     THEN 1 END) AS lang_known,
+               COUNT(CASE WHEN NOT (length(text) = n_chars) THEN 1 END)
+                 AS n_chars_consistent,
+               COUNT(*) AS total
+        FROM documents
+    )
+    SELECT 'text_not_null' AS rule, text_not_null AS n_violations,
+           total AS n_rows FROM checks
+    UNION ALL SELECT 'n_chars_positive', n_chars_positive, total FROM checks
+    UNION ALL SELECT 'lang_known', lang_known, total FROM checks
+    UNION ALL SELECT 'n_chars_consistent', n_chars_consistent, total
+    FROM checks
+    """,
+)
+def q_data_quality(spark, sf_dir):
+    """Declarative expectation gate over the corpus: not-null, range,
+    set-membership, and cross-column consistency rules evaluated as
+    conditional aggregates in ONE scan (never a job per rule). The
+    violation counts are the publish/block signal a pipeline acts on;
+    operators.quality.split_quarantine peels the failing rows."""
+    from big_data_projects_spark.operators.quality import violations_summary
+
+    docs = _t(spark, sf_dir, "documents")
+    rules = [
+        ("text_not_null", F.col("text").isNotNull()),
+        ("n_chars_positive", F.col("n_chars") >= 1),
+        ("lang_known", F.col("lang").isin("en", "de", "fr", "es", "zh")),
+        ("n_chars_consistent", F.length("text") == F.col("n_chars")),
+    ]
+    return violations_summary(docs, rules)

@@ -316,3 +316,22 @@ def test_merge_upsert_semantics(spark):
         2: (99.0, "b"),   # updated bal, tag kept
         3: (30.0, None),  # inserted, target-only col null
     }
+
+
+def test_quality_split_quarantine(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_projects_spark.operators.quality import split_quarantine
+
+    df = spark.createDataFrame(
+        [(1, "ok", 5), (2, None, 5), (3, "bad", -1)],
+        "id long, txt string, n long",
+    )
+    rules = [
+        ("txt_not_null", F.col("txt").isNotNull()),
+        ("n_positive", F.col("n") > 0),
+    ]
+    clean, quarantined = split_quarantine(df, rules)
+    assert [r["id"] for r in clean.collect()] == [1]
+    got = {r["id"]: sorted(r["failed_rules"]) for r in quarantined.collect()}
+    assert got == {2: ["txt_not_null"], 3: ["n_positive"]}
