@@ -860,3 +860,43 @@ def q_merge_upsert(spark, sf_dir):
     return fate.groupBy("row_fate").agg(
         F.count(F.lit(1)).alias("n"), dsum("c_acctbal", "total_bal")
     )
+
+
+@register(
+    "q_incremental_rollup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_incremental_rollup(spark, sf_dir):
+    """Incremental aggregation algebra: the stream of data arrives in
+    batches (here: two halves split by event id), each batch aggregates
+    independently, and the stored partials MERGE — count adds, decimal
+    sums add exactly, max takes max — to the identical result as a
+    direct global aggregate (the oracle). This mergeability is why
+    daily rollups never reprocess history; non-decomposable aggregates
+    (exact median) can't do this and need the full input."""
+    ev = _t(spark, sf_dir, "events")
+    dec = "decimal(38,6)"
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(dec)).alias("sum_dec"),
+            F.max("value").alias("max_value"),
+        )
+
+    batch1 = partial(ev.filter(F.col("event_id") % 2 == 0))
+    batch2 = partial(ev.filter(F.col("event_id") % 2 == 1))
+    return (
+        batch1.unionByName(batch2)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_dec").cast("double").alias("total_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )

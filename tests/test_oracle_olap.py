@@ -16,7 +16,7 @@ OLAP_QUERIES = sorted(
                       "q_median", "q_rolling_", "q_quantiles", "q_gapfill",
                       "q_union_by", "q_nullsafe", "q_scd2", "q_histogram",
                       "q_string_agg", "q_grouping_id", "q_bitwise",
-                      "q_merge"))
+                      "q_merge", "q_incremental"))
 )
 
 
