@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis): semantic invariants that must
+hold for ARBITRARY inputs, not just the testdata.
+
+Each property uses small generated relations (Spark job per example is
+expensive — examples are few but adversarial: nulls, duplicates, empty
+sides, hot keys)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows = st.lists(
+    st.tuples(
+        st.integers(0, 9),                      # join key (hot: small domain)
+        st.floats(-1e6, 1e6, allow_nan=False),  # value
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(data=rows, n_salt=st.integers(2, 5))
+@settings(**SETTINGS)
+def test_salted_join_equals_plain_join(spark, data, n_salt):
+    from big_data_projects_spark.operators.relational import salted_join
+
+    fact = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(data)],
+        "id long, k long, v double",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"t{k}") for k in range(0, 10, 2)], "k2 long, tag string"
+    )
+    salted = salted_join(
+        fact, dim, "k", "k2", fact_unique_col="id", n_salt=n_salt
+    ).select("id", "k", "v", "tag")
+    plain = fact.join(dim, fact.k == dim.k2).select("id", "k", "v", "tag")
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+@given(
+    target=st.lists(
+        st.tuples(st.integers(0, 6), st.floats(-100, 100, allow_nan=False)),
+        max_size=10,
+        unique_by=lambda t: t[0],
+    ),
+    source=st.lists(
+        st.tuples(st.integers(0, 6), st.floats(-100, 100, allow_nan=False)),
+        max_size=10,
+        unique_by=lambda t: t[0],
+    ),
+)
+@settings(**SETTINGS)
+def test_merge_upsert_is_dict_update(spark, target, source):
+    """merge_upsert on unique keys is exactly Python dict.update."""
+    from big_data_projects_spark.operators.relational import merge_upsert
+
+    tdf = spark.createDataFrame(target, "k long, v double")
+    sdf = spark.createDataFrame(source, "k long, v double")
+    got = {
+        r["k"]: r["v"] for r in merge_upsert(tdf, sdf, key="k").collect()
+    }
+    expect = dict(target)
+    expect.update(dict(source))
+    assert got == expect
+
+
+@given(
+    values=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=40
+    ),
+    nparts=st.integers(1, 7),
+)
+@settings(**SETTINGS)
+def test_dsum_invariant_under_repartitioning(spark, values, nparts):
+    """The decimal accumulator returns the identical double no matter
+    how rows are distributed — the property every oracle hash relies
+    on. (Plain float sum would fail this for adversarial magnitudes.)"""
+    from big_data_projects_spark.operators.relational import dsum
+
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    a = df.coalesce(1).agg(dsum("v", "s")).collect()[0]["s"]
+    b = df.repartition(nparts).agg(dsum("v", "s")).collect()[0]["s"]
+    assert a == b
