@@ -239,32 +239,32 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # Exact-Jaccard verification restricted to candidate pairs only:
-    # route each candidate pair through doc_a's shingles, then count the
-    # shingles doc_b shares. Cost is O(|candidates| · shingles/doc) —
-    # never the full shared-shingle pair blow-up LSH exists to avoid.
-    sh = sh_shared
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    n_common = (
-        candidates.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # Exact-Jaccard verification restricted to candidate pairs only,
+    # via per-doc shingle-set arrays: two id-keyed joins attach each
+    # side's (distinct) shingle array to the pair, then a JVM-side
+    # array_intersect computes |A∩B| per pair. This touches each doc's
+    # shingles once (the aggregate), instead of re-shuffling the full
+    # (doc, shingle) relation through the pair join twice — at any
+    # scale the pair count ≪ shingle count, so the per-pair array work
+    # is the cheap side.
+    doc_arrays = sh_shared.groupBy(id_col).agg(
+        F.collect_list("shingle").alias("arr")
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    arr_a = doc_arrays.select(
+        F.col(id_col).alias("doc_a"), F.col("arr").alias("arr_a")
+    )
+    arr_b = doc_arrays.select(
+        F.col(id_col).alias("doc_b"), F.col("arr").alias("arr_b")
+    )
+    n_common = F.size(F.array_intersect("arr_a", "arr_b"))
+    n_a, n_b = F.size("arr_a"), F.size("arr_b")
     return (
-        n_common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        candidates.join(arr_a, "doc_a")
+        .join(arr_b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            (
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-            ).alias("jaccard"),
+            (n_common / (n_a + n_b - n_common)).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
