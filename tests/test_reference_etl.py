@@ -136,3 +136,16 @@ def test_star_schema_sink_partitioned(etl, spark):
     assert any(p.startswith("year=2018") for p in sp_parts)
     back = spark.read.parquet(f"{out}/songplays.parquet")
     assert back.count() == 14
+
+
+def test_cached_listens_resident_in_memory(spark, etl):
+    """C1+C2 parity (transform-data.py:235,241,247-248): the cleaned
+    listens relation is cache()d and, after an action has materialized
+    it, its storage level reports memory use — the reference's only
+    'performance verification'. We assert the same introspection on the
+    one cached relation in the rebuilt ETL."""
+    cached = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(cached) >= 1, "no cached RDDs after the ETL ran"
+    assert any(info.memSize() > 0 for info in cached), (
+        "cached relation not memory-resident"
+    )
