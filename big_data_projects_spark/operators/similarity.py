@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -205,4 +205,112 @@ def lsh_neardup_pairs(
         cands.dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", cosine_sim(F.col("__va"), F.col("__vb")).alias("sim"))
         .filter(F.col("sim") >= threshold)
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed k-means (Lloyd) in pure DataFrame ops — the honest
+    coarse quantizer for an IVF index (ivf_topk partitions by an
+    existing label; this builds the partitioning when none exists).
+
+    - init: deterministic farthest-first traversal (the k-center
+      2-approximation): first seed = smallest xxhash64(id), each next
+      seed = the point farthest from its nearest chosen seed. One scan
+      per seed; immune to the duplicate-seed collapse that random
+      sampling hits on clustered data. No rand() anywhere — retried
+      stages reproduce identical seeds.
+    - assign: cross join against the k-row broadcast centroid table,
+      per-row argmin of squared L2 distance (JVM fold, no UDF).
+    - update: per-(cluster, position) decimal means via posexplode →
+      groupBy — the same merge-exact pattern as q_embed_outliers.
+    - n_iter is fixed (no convergence probe): each iteration is one
+      broadcast join + one shuffle keyed by (cluster, pos); at 100 TB
+      the assign scan dominates and iterations are strictly bounded.
+
+    Returns (id, cluster) assignments.
+    """
+    def _sq_dist(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double"))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    vecs = emb.select(
+        F.col(id_col).alias("__id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__v"),
+    ).persist()
+
+    # Farthest-first seeding: one argmax scan per seed.
+    first = (
+        vecs.withColumn("__h", F.xxhash64("__id"))
+        .orderBy("__h", "__id")
+        .limit(1)
+        .select(F.lit(1).alias("cluster"), F.col("__v").alias("__c"))
+    )
+    seeds = first.collect()
+    for i in range(2, k + 1):
+        seed_df = vecs.sparkSession.createDataFrame(
+            seeds, schema="cluster int, __c array<double>"
+        )
+        farthest = (
+            vecs.crossJoin(F.broadcast(seed_df))
+            .groupBy("__id", "__v")
+            .agg(F.min(_sq_dist(F.col("__v"), F.col("__c"))).alias("__dmin"))
+            .orderBy(F.col("__dmin").desc(), "__id")
+            .limit(1)
+            .select(F.lit(i).alias("cluster"), F.col("__v").alias("__c"))
+        )
+        seeds.extend(farthest.collect())
+    centroids = vecs.sparkSession.createDataFrame(
+        seeds, schema="cluster int, __c array<double>"
+    )
+    for _ in range(n_iter):
+        scored = (
+            vecs.crossJoin(F.broadcast(centroids))
+            .select("__id", "__v", "cluster", _sq_dist(F.col("__v"), F.col("__c")).alias("__d"))
+        )
+        w = Window.partitionBy("__id").orderBy(F.col("__d"), F.col("cluster"))
+        assigned = (
+            scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select("__id", "__v", "cluster")
+        )
+        centroids = (
+            assigned.select(
+                "cluster", F.posexplode("__v").alias("pos", "x")
+            )
+            .groupBy("cluster", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(38,10)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select("cluster", F.expr("transform(pm, s -> s.m)").alias("__c"))
+        )
+    final = (
+        vecs.crossJoin(F.broadcast(centroids))
+        .select("__id", "cluster", _sq_dist(F.col("__v"), F.col("__c")).alias("__d"))
+    )
+    w = Window.partitionBy("__id").orderBy(F.col("__d"), F.col("cluster"))
+    return (
+        final.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(F.col("__id").alias(id_col), "cluster")
     )

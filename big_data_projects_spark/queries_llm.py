@@ -777,3 +777,16 @@ def q_data_quality(spark, sf_dir):
         ("n_chars_consistent", F.length("text") == F.col("n_chars")),
     ]
     return violations_summary(docs, rules)
+
+
+@register("q_kmeans_clusters")  # iterative + driver-side seed loop → rows-only
+def q_kmeans_clusters(spark, sf_dir):
+    """Distributed k-means over the embedding corpus (farthest-first
+    deterministic seeding, Lloyd iterations in DataFrame ops) — the
+    coarse quantizer that builds an IVF partitioning when no natural
+    block key exists. Output: cluster sizes (k rows)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assignments = S.kmeans_assign(emb, k=8, n_iter=2)
+    return assignments.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )

@@ -335,3 +335,19 @@ def test_quality_split_quarantine(spark):
     assert [r["id"] for r in clean.collect()] == [1]
     got = {r["id"]: sorted(r["failed_rules"]) for r in quarantined.collect()}
     assert got == {2: ["txt_not_null"], 3: ["n_positive"]}
+
+
+def test_kmeans_recovers_separable_clusters(spark):
+    from big_data_projects_spark.operators.similarity import kmeans_assign
+
+    rows = []
+    for cid, base in enumerate([0.0, 10.0, -10.0]):
+        for i in range(20):
+            rows.append((cid * 100 + i, [base + (i % 3) * 0.01] * 8))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_assign(df, k=3, n_iter=3)
+    groups = {}
+    for r in out.collect():
+        groups.setdefault(r["cluster"], set()).add(r["vec_id"] // 100)
+    assert len(groups) == 3
+    assert all(len(s) == 1 for s in groups.values()), groups
