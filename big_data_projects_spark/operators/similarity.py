@@ -15,6 +15,9 @@
                  partitions (partition pruning on the block key).
 - lsh_neardup_pairs : random-hyperplane signature bucketing → candidate
                  pairs → exact cosine verify. Fully join-based.
+- kmeans_assign: distributed Lloyd k-means with deterministic
+                 farthest-first seeding — builds the IVF partitioning
+                 when no natural block key exists.
 
 No Python in the similarity hot loop: folds are Catalyst higher-order
 functions. A Pandas-UDF matmul variant is deliberately *not* the
