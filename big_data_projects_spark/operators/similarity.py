@@ -317,3 +317,63 @@ def kmeans_assign(
         .filter(F.col("__rk") == 1)
         .select(F.col("__id").alias(id_col), "cluster")
     )
+
+
+def batch_topk_matmul(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine top-k for MANY queries at once: the query block (q×d,
+    collected once — queries are a control-plane-sized set) broadcasts
+    to an Arrow-batched mapInPandas that computes a q×batch similarity
+    matrix per corpus chunk with one numpy matmul, emits each chunk's
+    per-query top-k, and a final per-query window keeps the global
+    top-k. For a handful of queries the JVM fold (topk_cosine) wins;
+    past ~dozens of queries the matmul's arithmetic density wins —
+    this is that path. Returns (query_id, vec_id, sim) — sim in float64
+    (numpy), ranked per query with vec_id tiebreak.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            sims = (qmat @ mat.T) / (
+                qnorm[:, None] * np.linalg.norm(mat, axis=1)[None, :]
+            )
+            out = {"query_id": [], id_col: [], "sim": []}
+            for qi, qid in enumerate(qids):
+                row = sims[qi]
+                mask = ids != qid
+                cand_idx = np.argsort(-row[mask])[:k]
+                cids, csims = ids[mask][cand_idx], row[mask][cand_idx]
+                out["query_id"].extend([qid] * len(cids))
+                out[id_col].extend(cids.tolist())
+                out["sim"].extend(csims.tolist())
+            yield pd.DataFrame(out)
+
+    chunk_topk = emb.select(id_col, vec_col).mapInPandas(
+        score, schema=f"query_id long, {id_col} long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col(id_col)
+    )
+    return (
+        chunk_topk.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -790,3 +790,13 @@ def q_kmeans_clusters(spark, sf_dir):
     return assignments.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vectors")
     )
+
+
+@register("q_knn_batch")  # Python matmul stage → rows-only
+def q_knn_batch(spark, sf_dir):
+    """Batched ANN: top-5 neighbors for 8 query vectors in ONE corpus
+    pass — a q×batch numpy matmul per Arrow chunk, per-query top-k
+    merged by a partitioned window. The many-queries fast path
+    complementing the JVM-fold single-query q_knn_cosine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.batch_topk_matmul(emb, query_ids=list(range(8)), k=5)

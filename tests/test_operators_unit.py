@@ -351,3 +351,26 @@ def test_kmeans_recovers_separable_clusters(spark):
         groups.setdefault(r["cluster"], set()).add(r["vec_id"] // 100)
     assert len(groups) == 3
     assert all(len(s) == 1 for s in groups.values()), groups
+
+
+def test_batch_matmul_topk_agrees_with_fold_topk(spark):
+    """The numpy-matmul batch path must return the same neighbor ids
+    (same ranking) as the JVM-fold single-query path."""
+    from big_data_projects_spark.data import load_table
+    from big_data_projects_spark.operators.similarity import (
+        batch_topk_matmul,
+        topk_cosine,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    rows = batch_topk_matmul(emb, query_ids=[0, 1, 2], k=5).collect()
+    for qid in [0, 1, 2]:
+        batch_ids = [
+            r["vec_id"]
+            for r in sorted(
+                (r for r in rows if r["query_id"] == qid),
+                key=lambda r: (-r["sim"], r["vec_id"]),
+            )
+        ]
+        fold_ids = [r["vec_id"] for r in topk_cosine(emb, qid, k=5).collect()]
+        assert batch_ids == fold_ids, qid
