@@ -800,3 +800,82 @@ def q_knn_batch(spark, sf_dir):
     complementing the JVM-fold single-query q_knn_cosine."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.batch_topk_matmul(emb, query_ids=list(range(8)), k=5)
+
+
+@register(
+    "q_dedup_keep_best",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))
+                    AS BIGINT) AS shingle
+        FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
+        WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT doc_a, doc_b FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+    ),
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION SELECT doc_b, doc_a FROM edges
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+             FROM reach GROUP BY a),
+    qual AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT cluster_id,
+           max_by(c.doc_id, n_tokens * 100000000 - c.doc_id) AS kept_doc_id,
+           MAX(n_tokens) AS kept_n_tokens
+    FROM comp c JOIN qual USING (doc_id)
+    GROUP BY cluster_id
+    """,
+)
+def q_dedup_keep_best(spark, sf_dir):
+    """Cluster-representative selection by QUALITY: within each
+    near-dup cluster keep the doc with the most tokens (doc_id as
+    tiebreak — smaller id wins ties via the negated id in the argmax
+    key), instead of the arbitrary min-id of q_dedup_clusters. This is
+    the policy real corpus dedup uses: keep the longest/cleanest
+    variant, drop the rest."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = D.ngram_jaccard_pairs(docs, threshold=0.1).select("doc_a", "doc_b")
+    comps = connected_components(edges, src="doc_a", dst="doc_b")
+    qual = docs.select(
+        "doc_id", F.size(T.tokens("text")).cast("long").alias("n_tokens")
+    )
+    return (
+        comps.join(qual, comps.node == qual.doc_id)
+        .groupBy(F.col("comp").alias("cluster_id"))
+        .agg(
+            # scalar argmax key: monotone in (n_tokens asc, doc_id
+            # desc) so the longest doc wins, smaller id breaks ties —
+            # exact int64 arithmetic, identical on both engines.
+            F.max_by(
+                "doc_id",
+                F.col("n_tokens") * F.lit(100000000) - F.col("doc_id"),
+            ).alias("kept_doc_id"),
+            F.max("n_tokens").alias("kept_n_tokens"),
+        )
+    )
