@@ -317,3 +317,28 @@ def q_max_by(spark, sf_dir):
         F.max(s)["v"].cast("double").alias("top_value"),
         F.min(s)["id"].alias("bottom_event_id"),
     )
+
+
+@register(
+    "q_map_ops",
+    oracle="""
+    SELECT 'k' AS key, COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS total
+    FROM events
+    """,
+)
+def q_map_ops(spark, sf_dir):
+    """MapType end-to-end: the JSON props column parses into
+    map<string,long>, explodes to (key, value) rows, and aggregates per
+    key — the map-typed path (map_keys/map_values/explode) the flat
+    reference schema never touches. Integer sums are exact on both
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        F.from_json("props", "map<string,bigint>").alias("m")
+    )
+    kv = parsed.select(F.explode("m").alias("key", "value"))
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+    )

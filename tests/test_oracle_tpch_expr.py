@@ -14,7 +14,7 @@ NAMES = sorted(
     and n.startswith(
         ("q_tpch_", "q_json_", "q_explode_", "q_grouping_", "q_date_arith",
          "q_string_funcs", "q_range_join", "q_ntile_", "q_array_ops",
-         "q_max_by")
+         "q_max_by", "q_map_ops")
     )
 )
 
