@@ -400,3 +400,63 @@ def test_ivf_recall_floor(spark):
         }
         recalls.append(len(exact & approx) / 10)
     assert sum(recalls) / len(recalls) >= 0.2, recalls
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Event-time watermark semantics across micro-batches: after the
+    watermark passes a window, a late row for that window is DROPPED in
+    append mode (the state was finalized and emitted). Two files arrive
+    as separate micro-batches; the second contains a row older than the
+    watermark established by the first."""
+    import os
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write_file(name, times):
+        tbl = pa.table(
+            {
+                "ts": pa.array(times, pa.timestamp("us")),
+                "k": pa.array(["a"] * len(times)),
+            }
+        )
+        pq.write_table(tbl, os.path.join(src, name))
+
+    # batch 1: rows at 10:30 and 12:30 -> watermark advances to 11:30,
+    # finalizing and emitting the [10:00, 11:00) window with n=1.
+    write_file("f1.parquet", [datetime(2024, 1, 1, 10, 30),
+                              datetime(2024, 1, 1, 12, 30)])
+    stream = spark.readStream.schema("ts timestamp, k string").parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_millis("window.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_sink")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: 10:45 is behind the 11:30 watermark -> dropped;
+        # 14:30 advances the watermark to 13:30, emitting 12:00's window.
+        write_file("f2.parquet", [datetime(2024, 1, 1, 10, 45),
+                                  datetime(2024, 1, 1, 14, 30)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted(
+        (r["ws"], r["n"]) for r in spark.table("wm_sink").collect()
+    )
+    # two emitted windows (10:00 and 12:00), each n=1 — if the late
+    # 10:45 row had been accepted, the earliest window would show n=2
+    # (update) or a duplicate emission.
+    assert [n for _, n in rows] == [1, 1], rows
