@@ -21,6 +21,10 @@ try:  # extension modules land incrementally
 except ImportError:
     pass
 try:
+    import big_data_projects_spark.queries_corpus  # noqa: F401,E402
+except ImportError:
+    pass
+try:
     import big_data_projects_spark.queries_streaming  # noqa: F401,E402
 except ImportError:
     pass

@@ -1,0 +1,230 @@
+"""Corpus-preparation operators a large-scale training-data pipeline
+needs beyond dedup/similarity: fixed-budget chunking, benchmark-
+contamination detection, PII redaction, and stratified hash sampling.
+
+Like queries_llm.py these are additive (no reference citation — the
+reference at Song-Analytics-with-Spark/transform-data.py has no text
+surface at all); each is built-ins-only in the hot path and carries a
+DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_projects_spark.data import load_table
+from big_data_projects_spark.operators import dedup as D
+from big_data_projects_spark.operators import text as T
+from big_data_projects_spark.registry import register
+from big_data_projects_spark.session import ensure_runtime_conf
+
+
+def _t(spark, sf_dir, name):
+    ensure_runtime_conf(spark)
+    return load_table(spark, sf_dir, name)
+
+
+CHUNK = 32  # tokens per training chunk
+
+
+@register(
+    "q_doc_chunking",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           array_to_string(t[(i*{CHUNK}+1):(i*{CHUNK}+{CHUNK})], ' ') AS chunk_text,
+           CAST(least({CHUNK}, len(t) - i*{CHUNK}) AS INT) AS n_chunk_tokens
+    FROM toks,
+         UNNEST(generate_series(0, CAST(ceil(len(t)/{CHUNK}.0) AS BIGINT) - 1)) AS u(i)
+    """,
+)
+def q_doc_chunking(spark, sf_dir):
+    """Sequence chunking for LLM training: split each document's token
+    stream into fixed token-budget chunks (CHUNK tokens, last chunk
+    ragged). sequence+explode generates chunk indices without exploding
+    per-token — rows out = sum(ceil(len/CHUNK)), not sum(len) — and
+    slice/array_join stay in codegen. Per-row independent → embarrass-
+    ingly parallel at 100 TB, no shuffle at all."""
+    docs = _t(spark, sf_dir, "documents")
+    n_chunks = F.ceil(F.size("t") / F.lit(float(CHUNK))).cast("int")
+    start = F.col("chunk_id") * CHUNK + 1
+    return (
+        docs.select("doc_id", T.tokens("text").alias("t"))
+        .select(
+            "doc_id",
+            "t",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.array_join(F.slice("t", start, CHUNK), " ").alias("chunk_text"),
+            F.least(F.lit(CHUNK), F.size("t") - F.col("chunk_id") * CHUNK)
+            .cast("int")
+            .alias("n_chunk_tokens"),
+        )
+    )
+
+
+_SHINGLE_SQL = r"""
+    toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))
+                    AS BIGINT) AS shingle
+        FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
+        WHERE len(t) >= 3
+    )
+"""
+
+
+@register(
+    "q_contamination",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+    train AS (SELECT * FROM sh WHERE doc_id % 10 != 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id),
+    hits AS (
+        SELECT t.doc_id, COUNT(*) AS n_contaminated
+        FROM train t JOIN eval_sh e ON t.shingle = e.shingle
+        GROUP BY t.doc_id
+    )
+    SELECT s.doc_id, s.n_shingles,
+           COALESCE(h.n_contaminated, 0) AS n_contaminated,
+           COALESCE(h.n_contaminated, 0) / s.n_shingles AS contamination_ratio,
+           COALESCE(h.n_contaminated, 0) / s.n_shingles >= 0.5 AS is_contaminated
+    FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    """,
+)
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination check: fraction of each training doc's
+    word-3-gram shingles that also appear in a held-out eval set
+    (doc_id % 10 = 0 here; in production, the benchmark corpus).
+
+    Scale shape: the eval shingle set is orders of magnitude smaller
+    than the training corpus, so the membership probe is a broadcast-
+    able semi-ish join — AQE picks broadcast when it fits, shuffle-hash
+    otherwise (policy: no manual hint, eval size is data-dependent).
+    The ratio is bigint/bigint → IEEE double, identical cross-engine.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.shingles(docs, "doc_id", "text", 3).persist()
+    is_eval = F.col("doc_id") % 10 == 0
+    eval_sh = sh.filter(is_eval).select("shingle").distinct()
+    train = sh.filter(~is_eval)
+    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        train.join(eval_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    ratio = F.col("n_contaminated") / F.col("n_shingles")
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .withColumn("n_contaminated", F.coalesce("n_contaminated", F.lit(0)))
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            ratio.alias("contamination_ratio"),
+            (ratio >= 0.5).alias("is_contaminated"),
+        )
+    )
+
+
+# Portable regex subset: character classes + bounded quantifiers only —
+# identical semantics in Java regex (Spark) and RE2 (DuckDB).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?\d[\d-]{7,}\d"
+
+
+@register(
+    "q_pii_redact",
+    oracle=rf"""
+    WITH synth AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com or +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.' AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(raw, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{PHONE_RE}', '[PHONE]', 'g') AS redacted
+    FROM synth
+    """,
+)
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing: count and redact email/phone spans with anchor
+    tokens. The corpus is synthetic, so PII is injected determinist-
+    ically per doc first (same expression on both engines), then both
+    engines redact. Pure per-row regexp in codegen — no UDF, no
+    shuffle; Spark regexp_replace is global-by-default, DuckDB needs
+    the 'g' flag (a classic cross-engine trap, pinned here)."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit("."),
+    )
+    synth = docs.select("doc_id", raw.alias("raw"))
+    return synth.select(
+        "doc_id",
+        F.regexp_count("raw", F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("raw", F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("raw", EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+        ).alias("redacted"),
+    )
+
+
+@register(
+    "q_stratified_sample",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, source, n_chars,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS bucket,
+               CASE WHEN source IN ('src0', 'src1') THEN 60
+                    WHEN source = 'src2' THEN 0
+                    ELSE 20 END AS pct
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars FROM b WHERE bucket < pct
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Stratified sampling by deterministic id hash: per-source keep
+    rates (60% for the two up-weighted sources, 0% for an excluded
+    one, 20% elsewhere) — the domain-mixing step of corpus assembly.
+    Unlike df.sample(), membership is a pure function of the id, so
+    it is reproducible across runs, resharding, and engines (the
+    oracle recomputes it), and composable with q_hash_split's buckets
+    (same md5-prefix scheme). Row-level output so the oracle checks
+    exact membership, not just rates."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    pct = (
+        F.when(F.col("source").isin("src0", "src1"), 60)
+        .when(F.col("source") == "src2", 0)
+        .otherwise(20)
+    )
+    return docs.select(
+        "doc_id", "source", "n_chars", bucket.alias("b"), pct.alias("p")
+    ).filter(F.col("b") < F.col("p")).drop("b", "p")

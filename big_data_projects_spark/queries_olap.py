@@ -900,3 +900,73 @@ def q_incremental_rollup(spark, sf_dir):
             F.max("max_value").alias("max_value"),
         )
     )
+
+
+@register(
+    "q_order_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_order_limit(spark, sf_dir):
+    """Global top-k (ORDER BY ... LIMIT). Physically this must compile
+    to TakeOrderedAndProject — per-partition heap top-k then a driver
+    merge of k·P rows — never a full global sort: at 100 TB a total
+    sort shuffles the whole table to rank 100 rows. The unique
+    o_orderkey tie-break makes the selected SET deterministic, which
+    is what the order-insensitive oracle hash checks."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "q_window_ignore_nulls",
+    oracle="""
+    WITH g AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'click' THEN NULL ELSE value END AS gapped
+        FROM events
+    )
+    SELECT event_id, user_id, gapped,
+           LAST_VALUE(gapped IGNORE NULLS) OVER w AS filled,
+           LAG(gapped IGNORE NULLS) OVER w2 AS prev_obs
+    FROM g
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_ignore_nulls(spark, sf_dir):
+    """IGNORE NULLS window navigation — the forward-fill (LOCF)
+    pattern for gappy time-series: nulls are synthesized determinist-
+    ically (click events), then last_value(... IGNORE NULLS) over an
+    unbounded-preceding ROWS frame carries the prior observation
+    forward, and lag(... IGNORE NULLS) fetches the previous non-null
+    reading. Total order inside each user partition (ts, event_id)
+    makes the fill deterministic. Scales as one hash-partition
+    shuffle on user_id — no global sort."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = F.when(F.col("event_type") == "click", None).otherwise(F.col("value"))
+    return (
+        ev.select("event_id", "user_id", "ts", gapped.alias("gapped"))
+        .select(
+            "event_id",
+            "user_id",
+            "gapped",
+            F.last("gapped", ignorenulls=True).over(w).alias("filled"),
+            F.expr("lag(gapped) ignore nulls").over(w2).alias("prev_obs"),
+        )
+    )

@@ -51,7 +51,10 @@ def test_star_joins_broadcast_dims(spark):
 
 
 def test_topk_uses_take_ordered_not_global_sort(spark):
-    for name in ("q_tpch_q3", "q_tpch_q18", "q_knn_cosine", "q_explode_terms"):
+    for name in (
+        "q_tpch_q3", "q_tpch_q18", "q_knn_cosine", "q_explode_terms",
+        "q_order_limit",
+    ):
         plan = plan_of(spark, name)
         assert "TakeOrderedAndProject" in plan, f"{name}: global sort for top-k"
 
