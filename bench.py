@@ -47,6 +47,9 @@ HEADLINE = [
     "q_embed_neardup",
     "q_text_quality",
     "q_lang_id",
+    "q_doc_chunking",
+    "q_sequence_packing",
+    "q_contamination",
     "q_stream_hourly_counts",
 ]
 

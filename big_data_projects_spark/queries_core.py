@@ -500,6 +500,28 @@ def q_sink_csv_roundtrip(spark, sf_dir):
     )
 
 
+@register(
+    "q_sink_orc_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_sink_orc_roundtrip(spark, sf_dir):
+    """Columnar-sink coverage beyond parquet (S4 family): ORC write +
+    read-back, aggregated after the round trip. ORC is the other
+    splittable columnar format a lake engine must speak; same
+    predicate-pushdown/column-pruning machinery applies on scan."""
+    orders = _t(spark, sf_dir, "orders")
+    out = os.path.join(tempfile.mkdtemp(prefix="bdp_orc_"), "orders_orc")
+    orders.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship composition (used by entry(); rows-only — includes surrogate key)
 # ---------------------------------------------------------------------------

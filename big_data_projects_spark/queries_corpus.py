@@ -228,3 +228,123 @@ def q_stratified_sample(spark, sf_dir):
     return docs.select(
         "doc_id", "source", "n_chars", bucket.alias("b"), pct.alias("p")
     ).filter(F.col("b") < F.col("p")).drop("b", "p")
+
+
+BUDGET = 512  # tokens per packed context window
+PACK_SHARD = 256  # docs per prefix-sum shard
+
+
+@register(
+    "q_sequence_packing",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n,
+               CAST(SUM(n) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+                    AS BIGINT) AS start
+        FROM t
+    )
+    SELECT start // {BUDGET} AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_tokens
+    FROM c GROUP BY 1
+    """,
+)
+def q_sequence_packing(spark, sf_dir):
+    """Concat-and-pack for LLM training: documents are concatenated in
+    deterministic doc_id order and every BUDGET-token window becomes
+    one training sequence; each doc is assigned to the bin its start
+    offset falls in. The primitive underneath is a *distributed prefix
+    sum*, done in the only shape that scales:
+
+      1. intra-shard running sums — Window partitioned by a coarse
+         shard key (doc_id div PACK_SHARD), so all heavy window work is
+         parallel across shards;
+      2. per-shard totals (tiny aggregate, one row per shard) get a
+         global running offset via a window over that aggregated
+         relation — the single-partition exchange there carries
+         |docs|/PACK_SHARD rows, not data-scale rows;
+      3. broadcast the offsets back onto the shards.
+
+    The oracle is the naive global cumsum — identical results, but its
+    plan would be a single-partition window over ALL rows, exactly the
+    anti-pattern (SURVEY.md §4) this query exists to avoid."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(T.tokens("text")).cast("long").alias("n"),
+        F.expr(f"doc_id div {PACK_SHARD}").alias("shard"),
+    )
+    w_intra = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    intra = t.withColumn("start_in_shard", F.sum("n").over(w_intra) - F.col("n"))
+    totals = t.groupBy("shard").agg(F.sum("n").alias("tot"))
+    w_off = (
+        Window.orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "shard", F.coalesce(F.sum("tot").over(w_off), F.lit(0)).alias("offset")
+    )
+    placed = intra.join(F.broadcast(offsets), "shard").withColumn(
+        "start", F.col("start_in_shard") + F.col("offset")
+    )
+    return placed.groupBy(
+        F.expr(f"start div {BUDGET}").alias("bin_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("n_tokens"),
+    )
+
+
+@register(
+    "q_mode_per_group",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT user_id, event_type, n,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, event_type) AS rk
+        FROM c
+    )
+    SELECT user_id, event_type AS mode_event, n AS n_occurrences
+    FROM r WHERE rk = 1
+    """,
+)
+def q_mode_per_group(spark, sf_dir):
+    """Statistical mode per group (most frequent event_type per user)
+    with a deterministic lexicographic tie-break. Count-then-rank: the
+    aggregate collapses data-scale rows to (user, type) pairs before
+    the window ever runs, and the window partitions by user — both
+    stages shuffle once on bounded-cardinality keys."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    )
+    return (
+        counts.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_event"),
+            F.col("n").alias("n_occurrences"),
+        )
+    )

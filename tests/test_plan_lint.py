@@ -30,6 +30,7 @@ SF = "/root/testdata/sf0.01"
 # read-back plans are trivial; linting would execute the side effect.
 SIDE_EFFECTING = {
     "q_sink_parquet_partitioned", "q_sink_csv_roundtrip",
+    "q_sink_orc_roundtrip",
     "q_bucketed_join", "q_scan_json_schema", "q_scan_json_corrupt",
     "q_compaction", "q_multimodal_resize", "q_multimodal_frames",
 }
@@ -37,7 +38,13 @@ SIDE_EFFECTING = {
 # Surrogate-key windows documented to run over post-aggregation results
 # (dozens of rows): a single-partition exchange there is free, and it is
 # exactly the reference-intent semantics (SURVEY.md §2.5).
-SINGLE_PARTITION_OK = {"q_flagship_star_rollup", "q_row_number", "q_mono_id"}
+SINGLE_PARTITION_OK = {
+    "q_flagship_star_rollup", "q_row_number", "q_mono_id",
+    # distributed prefix-sum: its global-offset window runs over the
+    # per-shard totals (|docs|/PACK_SHARD rows, already aggregated) —
+    # the data-scale cumsum is partitioned by shard.
+    "q_sequence_packing",
+}
 
 # Sanctioned Python stages (Arrow-batched by design).
 PYTHON_OK = {"q_multimodal_features"}
