@@ -970,3 +970,110 @@ def q_window_ignore_nulls(spark, sf_dir):
             F.expr("lag(gapped) ignore nulls").over(w2).alias("prev_obs"),
         )
     )
+
+
+@register(
+    "q_snapshot_diff",
+    oracle="""
+    WITH old AS (
+        SELECT event_id, value FROM events WHERE event_id % 11 != 0
+    ),
+    new AS (
+        SELECT event_id,
+               value + CASE WHEN event_id % 3 = 0 THEN 1.0 ELSE 0.0 END AS value
+        FROM events WHERE event_id % 13 != 0
+    )
+    SELECT CASE WHEN o.event_id IS NULL THEN 'added'
+                WHEN n.event_id IS NULL THEN 'removed'
+                WHEN o.value != n.value THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           COUNT(*) AS n
+    FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
+    GROUP BY 1
+    """,
+)
+def q_snapshot_diff(spark, sf_dir):
+    """Change-data detection between two table snapshots (no CDC log
+    available): full outer join on the key, classify each row as
+    added / removed / changed / unchanged. The snapshots are carved
+    deterministically from events (different modulus filters; 'new'
+    perturbs every third value). At scale both sides shuffle once on
+    the same key — with bucketed snapshots the join is co-located and
+    shuffle-free (see q_bucketed_join)."""
+    ev = _t(spark, sf_dir, "events")
+    old = ev.filter(F.col("event_id") % 11 != 0).select("event_id", "value")
+    new = ev.filter(F.col("event_id") % 13 != 0).select(
+        "event_id",
+        (
+            F.col("value")
+            + F.when(F.col("event_id") % 3 == 0, 1.0).otherwise(0.0)
+        ).alias("value"),
+    )
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(n, F.col("o.event_id") == F.col("n.event_id"), "full_outer")
+    status = (
+        F.when(F.col("o.event_id").isNull(), "added")
+        .when(F.col("n.event_id").isNull(), "removed")
+        .when(F.col("o.value") != F.col("n.value"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.select(status.alias("status")).groupBy("status").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "q_user_gap_features",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(us - prev) AS BIGINT) AS max_gap_us,
+           CASE WHEN COUNT(prev) > 0
+                THEN CAST(SUM(us - prev) AS BIGINT) / CAST(COUNT(prev) AS BIGINT)
+                END AS mean_gap_us
+    FROM o GROUP BY user_id
+    """,
+)
+def q_user_gap_features(spark, sf_dir):
+    """Grouped-map Python stage (applyInPandas): per-user inter-arrival
+    features — event count, max gap, mean gap. The API surface this
+    exercises is the sanctioned custom-operator escape hatch: arbitrary
+    per-group Python over Arrow batches, for logic built-ins can't
+    express (here they could — the oracle proves it — which is exactly
+    what makes the result checkable).
+
+    Scale discipline for grouped maps: the whole group materializes in
+    one Python worker, so only group on bounded-size keys (a user's
+    events, not a source's documents). Timestamps cross into Python as
+    unix_micros int64 — no tz/DST semantics can leak into the gaps."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+    narrow = ev.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+
+    def features(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["us", "event_id"])
+        gaps = pdf["us"].diff().dropna()
+        if len(gaps):
+            max_gap = int(gaps.max())
+            mean_gap = float(int(gaps.sum())) / len(gaps)
+        else:
+            max_gap, mean_gap = None, None
+        return pd.DataFrame(
+            [[int(pdf["user_id"].iloc[0]), len(pdf), max_gap, mean_gap]],
+            columns=["user_id", "n_events", "max_gap_us", "mean_gap_us"],
+        )
+
+    return narrow.groupBy("user_id").applyInPandas(
+        features,
+        "user_id long, n_events long, max_gap_us long, mean_gap_us double",
+    )

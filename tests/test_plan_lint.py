@@ -47,7 +47,7 @@ SINGLE_PARTITION_OK = {
 }
 
 # Sanctioned Python stages (Arrow-batched by design).
-PYTHON_OK = {"q_multimodal_features"}
+PYTHON_OK = {"q_multimodal_features", "q_user_gap_features"}
 
 LINTABLE = sorted(
     n for n in REGISTRY

@@ -1,0 +1,82 @@
+"""Checkpoint recovery: a restarted streaming query resumes from its
+checkpoint and processes each source file exactly once.
+
+This is the fault-tolerance contract production streams depend on:
+the file source's committed offsets live in the checkpoint, so a
+driver restart neither loses data (file B, added while down, is
+picked up) nor duplicates it (file A, already committed, is not
+re-emitted into the append sink).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_projects_spark.data import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _drain(stream_df, out_dir: str, ck_dir: str) -> None:
+    def write_batch(batch_df, batch_id: int):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    query = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", ck_dir)
+        .foreachBatch(write_batch)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+
+def test_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
+    ev = load_table(spark, SF, "events").select("event_id", "event_type", "value")
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    # Run 1: only file A exists; drain and stop (simulated crash).
+    half_a.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    _drain(stream, out, ck)
+    n_after_a = spark.read.parquet(out).count()
+    assert n_after_a == half_a.count()
+
+    # File B lands while the query is down.
+    half_b.coalesce(1).write.mode("append").parquet(src)
+
+    # Run 2: a fresh query object, same checkpoint → resumes offsets.
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    _drain(stream2, out, ck)
+
+    back = spark.read.parquet(out)
+    total = ev.count()
+    assert back.count() == total, "lost or duplicated rows across restart"
+    assert back.select("event_id").distinct().count() == total
+    # Value-level: the recovered sink is exactly the source table.
+    src_sum = ev.agg(F.sum(F.col("value").cast("decimal(38,6)"))).collect()[0][0]
+    out_sum = back.agg(F.sum(F.col("value").cast("decimal(38,6)"))).collect()[0][0]
+    assert src_sum == out_sum
+
+
+def test_restart_without_new_data_emits_nothing(spark, tmp_path):
+    ev = load_table(spark, SF, "events").select("event_id", "value")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    ev.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    _drain(spark.readStream.schema(schema).parquet(src), out, ck)
+    n1 = spark.read.parquet(out).count()
+    # Restart with no new files: committed offsets make this a no-op.
+    _drain(spark.readStream.schema(schema).parquet(src), out, ck)
+    assert spark.read.parquet(out).count() == n1
