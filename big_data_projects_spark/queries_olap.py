@@ -1077,3 +1077,153 @@ def q_user_gap_features(spark, sf_dir):
         features,
         "user_id long, n_events long, max_gap_us long, mean_gap_us double",
     )
+
+
+@register(
+    "q_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, COUNT(*) AS n_users FROM s1
+    UNION ALL SELECT 'click', COUNT(*) FROM s2
+    UNION ALL SELECT 'purchase', COUNT(*) FROM s3
+    """,
+)
+def q_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view → click → purchase): a user
+    counts at stage k only if stage k's first qualifying event is
+    strictly after their stage-(k-1) entry time. Each stage is one
+    filtered aggregate joined to the previous stage's entry times —
+    the per-stage relations shrink monotonically, so every join after
+    stage 1 has a small build side (AQE broadcasts it)."""
+    ev = _t(spark, sf_dir, "events")
+
+    def stage(event_type, prev, tcol, prev_tcol):
+        e = ev.filter(F.col("event_type") == event_type)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias(tcol))
+        return (
+            e.join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_tcol))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcol))
+        )
+
+    s1 = stage("view", None, "t1", None)
+    s2 = stage("click", s1, "t2", "t1")
+    s3 = stage("purchase", s2, "t3", "t2")
+
+    def count_of(df, label):
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(label).alias("stage"), "n_users"
+        )
+
+    return (
+        count_of(s1, "view")
+        .unionByName(count_of(s2, "click"))
+        .unionByName(count_of(s3, "purchase"))
+    )
+
+
+@register(
+    "q_retention_cohorts",
+    oracle="""
+    WITH cohort AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events
+    )
+    SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', c.cohort_week, a.week) // 7 AS BIGINT)
+               AS week_offset,
+           COUNT(*) AS n_active_users
+    FROM cohort c JOIN active a ON c.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention: users are grouped by the week of their first
+    event; n_active_users counts cohort members active k weeks later.
+    Two bounded aggregations (per-user first week; distinct user-weeks)
+    joined on user_id — both collapse data-scale rows to |users|-scale
+    before the join. Week truncation is Monday-based ISO on both
+    engines; outputs are DATE-typed so no tz leaks in."""
+    ev = _t(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_format(F.date_trunc("week", F.min("ts")), "yyyy-MM-dd").alias(
+            "cohort_week"
+        )
+    )
+    active = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("week")
+    ).distinct()
+    return (
+        cohort.join(active, "user_id")
+        .select(
+            "cohort_week",
+            F.expr("datediff(week, cohort_week) div 7").cast("long").alias(
+                "week_offset"
+            ),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
+@register(
+    "q_running_count_distinct",
+    oracle="""
+    SELECT event_id, event_type,
+           COUNT(DISTINCT user_id) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS n_distinct_users
+    FROM events
+    """,
+)
+def q_running_count_distinct(spark, sf_dir):
+    """Running COUNT(DISTINCT) over a window — an operator Spark's
+    window functions lack (no DISTINCT in windowed aggregates), re-
+    expressed as a composition: flag each (event_type, user)'s first
+    occurrence with row_number, then a running sum of flags. Both
+    windows partition on bounded keys; no buffered distinct set is
+    ever materialized per row, which is also why this scales where a
+    naive per-row HashSet (the single-node implementation) would not."""
+    ev = _t(spark, sf_dir, "events")
+    w_first = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "user_id",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first"),
+    )
+    return flagged.select(
+        "event_id",
+        "event_type",
+        F.sum("first").over(w_run).alias("n_distinct_users"),
+    )
