@@ -342,3 +342,88 @@ def q_map_ops(spark, sf_dir):
     return kv.groupBy("key").agg(
         F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
     )
+
+
+@register(
+    "q_edit_distance",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source, n_chars // 50 AS len_bucket,
+               substr(text, 1, 80) AS head
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+    FROM d a JOIN d b
+      ON a.source = b.source AND a.len_bucket = b.len_bucket
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 55
+    """,
+)
+def q_edit_distance(spark, sf_dir):
+    """Blocked edit-distance pairing: candidate pairs come from an
+    equi-join on a block key (source, length bucket) — never an
+    unblocked quadratic cross join — then Levenshtein distance on a
+    fixed-length prefix filters near-matches. levenshtein() is unit-
+    cost edit distance in both engines, so the ints agree exactly.
+    Blocking is the same scale discipline as LSH banding: at 100 TB
+    the pair count is sum of per-block squares, tunable via block
+    granularity, not corpus-squared."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.expr("n_chars div 50").alias("len_bucket"),
+        F.substring("text", 1, 80).alias("head"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        "source",
+        "len_bucket",
+        F.col("head").alias("head_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        "source",
+        "len_bucket",
+        F.col("head").alias("head_b"),
+    )
+    dist = F.levenshtein("head_a", "head_b")
+    return (
+        a.join(b, ["source", "len_bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(dist <= 55)
+        .select("doc_a", "doc_b", dist.cast("long").alias("edit_dist"))
+    )
+
+
+@register(
+    "q_try_arith",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           CASE WHEN CAST(event_id % 5 AS BIGINT) = 0 THEN NULL
+                ELSE value / (event_id % 5) END AS safe_ratio,
+           COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), -1)
+               AS k_or_default
+    FROM events
+    """,
+)
+def q_try_arith(spark, sf_dir):
+    """Error-safe expression family: try_cast turns malformed input
+    into NULL instead of a task failure (the difference between a
+    100 TB job surviving one bad row and dying at hour three), and
+    division guards against zero denominators NULL-safely. Under ANSI
+    SQL mode (Spark 4 default) the non-try variants would throw —
+    try_* is the scale-safe idiom."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("long")
+    denom = F.col("event_id") % 5
+    return ev.select(
+        "event_id",
+        k.alias("k_int"),
+        F.when(denom == 0, None).otherwise(F.col("value") / denom).alias(
+            "safe_ratio"
+        ),
+        F.coalesce(k, F.lit(-1)).alias("k_or_default"),
+    )

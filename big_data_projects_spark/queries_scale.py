@@ -302,3 +302,39 @@ def q_scan_json_corrupt(spark, sf_dir):
     return back.groupBy(status.alias("status")).agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@register(
+    "q_salted_agg",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation for skewed group keys: phase 1
+    aggregates on (key, salt) — a hot key's rows spread over N_SALT
+    reducers instead of one straggler — phase 2 merges the per-salt
+    partials on the bare key. Only decomposable aggregates qualify
+    (count adds, decimal sums add, max takes max — the same merge
+    algebra as q_incremental_rollup). With only 5 event types, every
+    group is "hot" relative to 32 reducers, which is precisely the
+    cardinality regime (few groups, huge groups) where this rewrite
+    pays off at scale. The oracle is the plain one-phase aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    dec = "decimal(38,6)"
+    salted = ev.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALT))
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(dec)).alias("sum_dec"),
+        F.max("value").alias("max_value"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_dec").cast("double").alias("total_value"),
+        F.max("max_value").alias("max_value"),
+    )

@@ -55,6 +55,19 @@ SHOWCASE = [
         "One pass, one shuffle: all six power sums accumulate in the "
         "same partial/final hash aggregate pair.",
     ),
+    (
+        "q_sequence_packing",
+        "Distributed prefix sum: the data-scale cumsum window is "
+        "partitioned by shard; the only single-partition window runs "
+        "over the per-shard totals (|docs|/256 rows), whose offsets "
+        "broadcast back to the shards.",
+    ),
+    (
+        "q_salted_agg",
+        "Two-phase salted aggregation: partial aggregate on (key, "
+        "salt) fans a hot key over N_SALT reducers; the final merge "
+        "on the bare key touches only per-salt partial rows.",
+    ),
 ]
 
 
