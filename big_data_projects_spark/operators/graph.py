@@ -1,0 +1,92 @@
+"""Graph analytics over an edge list: deterministic PageRank.
+
+Companion to components.py (which turns similarity pairs into dedup
+clusters): PageRank ranks nodes *within* the similarity graph — e.g.
+the most-connected document in a near-duplicate neighborhood, a
+centrality-based alternative to q_dedup_keep_best's quality argmax
+for choosing cluster representatives.
+
+Determinism discipline: each iteration's rank updates are sums of
+per-edge contributions, and double summation is order-dependent under
+parallelism — so contributions are cast to DECIMAL(38,18) before the
+aggregate (order-independent exact addition, same trick as
+relational.dsum), making ranks bit-stable across runs, partitionings,
+and cluster sizes. Per-round cost is one shuffle join (edges⋈ranks on
+the uniform node key) plus one keyed aggregate — the same shape as
+connected_components, and the only shape that holds at 100 TB.
+
+Beyond-reference capability (SURVEY.md §7 phase 3; the reference has
+no graph surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,18)"
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 10,
+    directed: bool = False,
+) -> DataFrame:
+    """(node, rank) after a fixed number of power iterations.
+
+    Undirected by default (edges are symmetrized), so every node has
+    out-degree ≥ 1 and no dangling-mass correction is needed; ranks
+    over the node set sum to 1 (up to the final double cast). A fixed
+    iteration count (not a convergence epsilon) keeps the result a
+    pure function of the input.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    if not directed:
+        e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    e = e.distinct().persist()
+
+    out_deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    links = e.join(out_deg, "a").select("a", "b", "deg").persist()
+    links.count()
+    e.unpersist()
+
+    nodes = links.select(F.col("a").alias("node")).distinct().persist()
+    n_nodes = nodes.count()
+    base = (1.0 - damping) / n_nodes
+
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(iterations):
+        contribs = links.join(ranks, links["a"] == ranks["node"]).select(
+            F.col("b").alias("node"),
+            (F.col("rank") / F.col("deg")).cast(_DEC).alias("contrib"),
+        )
+        summed = contribs.groupBy("node").agg(
+            F.sum("contrib").alias("mass")
+        )
+        # Nodes with no in-links keep the teleport term only. (With
+        # symmetrized edges every node has in-degree ≥ 1, but the
+        # directed path needs the left join.)
+        new_ranks = nodes.join(summed, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping)
+                * F.coalesce(F.col("mass"), F.lit(0).cast(_DEC)).cast(
+                    "double"
+                )
+            ).alias("rank"),
+        )
+        # Iterative lineage MUST be truncated, not just cached: with
+        # persist() alone the logical plan (and per-round analysis
+        # cost) grows linearly with the iteration count. localCheckpoint
+        # materializes and cuts the plan; on a multi-node cluster use
+        # reliable checkpoint(dir) for executor-loss tolerance.
+        ranks = new_ranks.localCheckpoint(eager=True)
+    links.unpersist()
+    nodes.unpersist()
+    return ranks

@@ -879,3 +879,22 @@ def q_dedup_keep_best(spark, sf_dir):
             F.max("n_tokens").alias("kept_n_tokens"),
         )
     )
+
+
+@register("q_pagerank_sim_graph")  # iterative float fixpoint → rows-only
+def q_pagerank_sim_graph(spark, sf_dir):
+    """PageRank centrality over the n-gram-Jaccard similarity graph
+    (undirected, threshold 0.1): ranks every document that has at
+    least one near-duplicate neighbor, a centrality-based way to pick
+    cluster representatives (vs q_dedup_keep_best's quality argmax).
+    Decimal-accumulated contributions make the ranks bit-stable (see
+    operators/graph.py); 10 fixed power iterations keep the result a
+    pure function of the input."""
+    from big_data_projects_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.1)
+    edges = pairs.select("doc_a", "doc_b")
+    return pagerank(edges, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), "rank"
+    )

@@ -460,3 +460,44 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # 10:45 row had been accepted, the earliest window would show n=2
     # (update) or a duplicate emission.
     assert [n for _, n in rows] == [1, 1], rows
+
+
+def test_pagerank_star_graph(spark):
+    """Star graph: the hub must outrank every leaf; undirected ranks
+    sum to 1; structurally symmetric leaves get bit-identical ranks
+    (the decimal accumulation makes this exact, not approximate)."""
+    from big_data_projects_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], ["src", "dst"]
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+    assert set(ranks) == set(range(6))
+    hub, leaves = ranks[0], [ranks[i] for i in range(1, 6)]
+    assert all(hub > lv for lv in leaves)
+    assert len(set(leaves)) == 1, "symmetric leaves must rank identically"
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_is_deterministic_across_runs(spark):
+    from big_data_projects_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], ["src", "dst"]
+    )
+    r1 = sorted(map(tuple, pagerank(edges, iterations=5).collect()))
+    r2 = sorted(map(tuple, pagerank(edges, iterations=5).collect()))
+    assert r1 == r2, "ranks must be bit-identical across runs"
+
+
+def test_pagerank_directed_dangling_source(spark):
+    """Directed chain 1→2→3: node 1 has no in-links so it keeps only
+    the teleport term; ranks increase down the chain."""
+    from big_data_projects_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 3)], ["src", "dst"])
+    ranks = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, directed=True, iterations=20).collect()
+    }
+    assert ranks[1] < ranks[2] < ranks[3]
