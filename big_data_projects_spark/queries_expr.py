@@ -427,3 +427,71 @@ def q_try_arith(spark, sf_dir):
         ),
         F.coalesce(k, F.lit(-1)).alias("k_or_default"),
     )
+
+
+@register(
+    "q_variant_json",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_variant_json(spark, sf_dir):
+    """Semi-structured VARIANT type (Spark 4): props parses ONCE into
+    a binary-encoded variant; every later field access is a cheap
+    typed path lookup instead of re-running a JSON string parser per
+    extraction — at 100 TB the difference between one parse and one
+    parse per accessed field. The oracle reads the same paths with
+    DuckDB's JSON extraction."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(F.parse_json("props").alias("v"))
+    k = F.variant_get("v", "$.k", "long")
+    return v.select((k % 10).alias("k_bucket"), k.alias("k")).groupBy(
+        "k_bucket"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT measure, COUNT(*) AS n,
+           CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM (
+        SELECT 'quantity' AS measure, l_quantity AS val FROM lineitem
+        UNION ALL SELECT 'discount', l_discount FROM lineitem
+        UNION ALL SELECT 'tax', l_tax FROM lineitem
+    )
+    GROUP BY measure
+    """,
+)
+def q_unpivot(spark, sf_dir):
+    """UNPIVOT / melt — the inverse of q_pivot: wide per-row measures
+    become (measure, value) pairs, then a per-measure aggregate.
+    Spark's unpivot is a zero-shuffle row-local expansion (rows out =
+    rows × measures); the only shuffle is the final bounded-key
+    aggregate. The oracle spells it as UNION ALL, which is what the
+    operator desugars to relationally."""
+    li = _t(spark, sf_dir, "lineitem")
+    melted = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    ).withColumn(
+        "measure",
+        F.expr(
+            "CASE measure WHEN 'l_quantity' THEN 'quantity' "
+            "WHEN 'l_discount' THEN 'discount' ELSE 'tax' END"
+        ),
+    )
+    return melted.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"), dsum("val", "total")
+    )

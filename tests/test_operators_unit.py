@@ -501,3 +501,35 @@ def test_pagerank_directed_dangling_source(spark):
         for r in pagerank(edges, directed=True, iterations=20).collect()
     }
     assert ranks[1] < ranks[2] < ranks[3]
+
+
+def test_observe_metrics_single_pass(spark):
+    """df.observe(): pipeline health metrics (row count, null count,
+    value sum) accumulate DURING the main action — no second scan.
+    At 100 TB a separate metrics pass doubles the read; Observation
+    is the built-in single-pass accounting the data-quality gate's
+    quarantine split complements."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from big_data_projects_spark.data import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    obs = Observation("health")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
+        F.count(F.when(F.col("user_id").isNull(), 1)).alias("null_users"),
+    )
+    result = observed.groupBy("event_type").count()
+    n_types = result.count()  # the one and only action
+    metrics = obs.get
+    direct = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("s"),
+    ).collect()[0]
+    assert n_types == 5
+    assert metrics["n_rows"] == direct["n"]
+    assert metrics["sum_value"] == direct["s"]
+    assert metrics["null_users"] == 0
