@@ -495,3 +495,36 @@ def q_unpivot(spark, sf_dir):
     return melted.groupBy("measure").agg(
         F.count(F.lit(1)).alias("n"), dsum("val", "total")
     )
+
+
+@register(
+    "q_lateral_topn",
+    oracle="""
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n, LATERAL (
+        SELECT c_name, c_acctbal FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) t
+    """,
+)
+def q_lateral_topn(spark, sf_dir):
+    """Correlated LATERAL subquery (SQL-string path): per nation, the
+    top-2 customers by balance. Catalyst decorrelates this into the
+    same join+partitioned-rank plan as q_top_k_per_group — proving the
+    two surfaces (LATERAL SQL and the Window DataFrame idiom) converge
+    on one scalable physical shape rather than a per-row re-execution
+    of the inner query."""
+    ensure_runtime_conf(spark)
+    for t in ("nation", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation n, LATERAL (
+            SELECT c_name, c_acctbal FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name LIMIT 2
+        ) t
+        """
+    )

@@ -174,3 +174,22 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """AQE right-sizes reducer counts at runtime: a tiny aggregate
+    shuffled over 8 static partitions must coalesce to fewer reads
+    (at 100 TB the same mechanism prevents 10k-reducer stages over
+    kilobyte partials). Assert on the executed adaptive plan."""
+    from big_data_projects_spark.data import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    df = ev.groupBy("event_type").count()
+    df.collect()  # finalize the adaptive plan
+    import io, contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "AQEShuffleRead" in plan and "coalesced" in plan, plan

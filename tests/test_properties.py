@@ -92,3 +92,48 @@ def test_dsum_invariant_under_repartitioning(spark, values, nparts):
     a = df.coalesce(1).agg(dsum("v", "s")).collect()[0]["s"]
     b = df.repartition(nparts).agg(dsum("v", "s")).collect()[0]["s"]
     assert a == b
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=60),
+    st.integers(min_value=8, max_value=64),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_sequence_packing_partitions_the_token_stream(spark, lens, budget):
+    """Packing invariants for any doc-length sequence and budget:
+    every doc lands in exactly one bin, bin ids are the dense prefix
+    0..max, and each bin's docs start inside the bin's token range —
+    i.e. the sharded prefix-sum reproduces the sequential greedy
+    packing exactly."""
+    from pyspark.sql import Window
+
+    rows = [(i, n) for i, n in enumerate(lens)]
+    t = spark.createDataFrame(rows, ["doc_id", "n"]).withColumn(
+        "shard", F.expr("doc_id div 4")
+    )
+    w_intra = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    intra = t.withColumn("sis", F.sum("n").over(w_intra) - F.col("n"))
+    totals = t.groupBy("shard").agg(F.sum("n").alias("tot"))
+    w_off = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "shard", F.coalesce(F.sum("tot").over(w_off), F.lit(0)).alias("off")
+    )
+    placed = (
+        intra.join(offsets, "shard")
+        .withColumn("start", F.col("sis") + F.col("off"))
+        .withColumn("bin", F.expr(f"start div {budget}"))
+        .collect()
+    )
+    # Sequential reference implementation.
+    expected = {}
+    cum = 0
+    for i, n in enumerate(lens):
+        expected[i] = cum // budget
+        cum += n
+    got = {r["doc_id"]: r["bin"] for r in placed}
+    assert got == expected
