@@ -898,3 +898,82 @@ def q_pagerank_sim_graph(spark, sf_dir):
     return pagerank(edges, "doc_a", "doc_b").select(
         F.col("node").alias("doc_id"), "rank"
     )
+
+
+@register(
+    "q_bigram_pmi",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    bi AS (
+        SELECT t[i] AS a, t[i+1] AS b
+        FROM toks, UNNEST(generate_series(1, len(t)-1)) AS u(i)
+        WHERE len(t) >= 2
+    ),
+    uni AS (
+        SELECT unnest(t) AS w FROM toks
+    ),
+    cb AS (SELECT a, b, COUNT(*) AS c_ab FROM bi GROUP BY 1, 2),
+    cu AS (SELECT w, COUNT(*) AS c_w FROM uni GROUP BY 1),
+    nb AS (SELECT COUNT(*) AS n_bi FROM bi),
+    nu AS (SELECT COUNT(*) AS n_uni FROM uni)
+    SELECT a, b, c_ab,
+           round(ln((c_ab / CAST(n_bi AS DOUBLE))
+                    / ((ca.c_w / CAST(n_uni AS DOUBLE))
+                       * (cb2.c_w / CAST(n_uni AS DOUBLE)))), 10) AS pmi
+    FROM cb
+    JOIN cu ca ON cb.a = ca.w
+    JOIN cu cb2 ON cb.b = cb2.w
+    CROSS JOIN nb CROSS JOIN nu
+    WHERE c_ab >= 5
+    """,
+)
+def q_bigram_pmi(spark, sf_dir):
+    """Collocation mining via pointwise mutual information over word
+    bigrams — the classic phrase-detection signal for corpus curation.
+    All probabilities come from exact integer counts; the PMI double is
+    a fixed-shape expression (identical IEEE ops both engines) rounded
+    to 10 decimals so last-ulp ln() differences can't leak. The two
+    corpus totals join in as 1-row broadcasts; the only data-scale
+    shuffles are the bigram/unigram count aggregates."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(T.tokens("text").alias("t"))
+    bi = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS a, t[i+1] AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    uni = toks.select(F.explode("t").alias("w"))
+    cb = bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    cu = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    n_bi = bi.agg(F.count(F.lit(1)).alias("n_bi"))
+    n_uni = uni.agg(F.count(F.lit(1)).alias("n_uni"))
+    ca = cu.select(F.col("w").alias("a"), F.col("c_w").alias("c_a"))
+    cbw = cu.select(F.col("w").alias("b"), F.col("c_w").alias("c_b"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab") / F.col("n_bi").cast("double"))
+            / (
+                (F.col("c_a") / F.col("n_uni").cast("double"))
+                * (F.col("c_b") / F.col("n_uni").cast("double"))
+            )
+        ),
+        10,
+    )
+    return (
+        cb.filter(F.col("c_ab") >= 5)
+        .join(ca, "a")
+        .join(cbw, "b")
+        .join(F.broadcast(n_bi))
+        .join(F.broadcast(n_uni))
+        .select("a", "b", "c_ab", pmi.alias("pmi"))
+    )

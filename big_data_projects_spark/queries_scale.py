@@ -338,3 +338,38 @@ def q_salted_agg(spark, sf_dir):
         F.sum("sum_dec").cast("double").alias("total_value"),
         F.max("max_value").alias("max_value"),
     )
+
+
+@register(
+    "q_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS k
+        FROM events GROUP BY 1, 2
+    ),
+    n AS (SELECT user_id, CAST(SUM(k) AS BIGINT) AS n FROM c GROUP BY 1)
+    SELECT c.user_id,
+           round(-SUM(CAST(round((k / CAST(n AS DOUBLE))
+                                 * ln(k / CAST(n AS DOUBLE)), 12)
+                           AS DECIMAL(38,18))), 10) AS entropy
+    FROM c JOIN n ON c.user_id = n.user_id
+    GROUP BY c.user_id
+    """,
+)
+def q_entropy(spark, sf_dir):
+    """Per-user Shannon entropy of the event-type mix — the diversity
+    score a curation pipeline uses to find single-behavior bots (H→0)
+    vs uniform explorers (H→ln 5). Each p·ln p term is a fixed-shape
+    double expression rounded to 12 decimals, then summed as DECIMAL
+    so the per-user total is order-independent; the final value rounds
+    to 10. Two bounded-key aggregates, no window."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("k"))
+    n = c.groupBy("user_id").agg(F.sum("k").alias("n"))
+    p = F.col("k") / F.col("n").cast("double")
+    term = F.round(p * F.log(p), 12).cast("decimal(38,18)")
+    return (
+        c.join(n, "user_id")
+        .groupBy("user_id")
+        .agg(F.round(-F.sum(term), 10).cast("double").alias("entropy"))
+    )
