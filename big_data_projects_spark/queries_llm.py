@@ -977,3 +977,79 @@ def q_bigram_pmi(spark, sf_dir):
         .join(F.broadcast(n_uni))
         .select("a", "b", "c_ab", pmi.alias("pmi"))
     )
+
+
+@register(
+    "q_recursive_reachability",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))
+                    AS BIGINT) AS shingle
+        FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
+        WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+    ),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    seed AS (SELECT MIN(s) AS s0 FROM edges),
+    walk(node, hop) AS (
+        SELECT s0, 0 FROM seed
+        UNION ALL
+        SELECT e.d, w.hop + 1
+        FROM walk w JOIN edges e ON w.node = e.s
+        WHERE w.hop < 3
+    )
+    SELECT node AS doc_id, CAST(MIN(hop) AS INT) AS hops
+    FROM walk GROUP BY node
+    """,
+)
+def q_recursive_reachability(spark, sf_dir):
+    """Recursive CTE (Spark 4): bounded-depth reachability from the
+    lowest-id document through the n-gram-Jaccard similarity graph —
+    WITH RECURSIVE runs IDENTICAL SQL text on Spark and DuckDB, the
+    declarative counterpart of the DataFrame-loop connected components
+    (components.py). Depth is bounded (hop < 3) because recursion over
+    a cyclic graph enumerates paths, not nodes: the MIN(hop) aggregate
+    collapses them; unbounded-depth closure belongs to the iterative
+    operator, which dedups per round. The similarity pairs are built
+    by the same DataFrame operator q_ngram_jaccard checks, exposed to
+    SQL as a temp view."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.1)
+    pairs.select("doc_a", "doc_b").createOrReplaceTempView("sim_pairs")
+    return spark.sql(
+        """
+        WITH RECURSIVE edges AS (
+            SELECT doc_a AS s, doc_b AS d FROM sim_pairs
+            UNION ALL SELECT doc_b, doc_a FROM sim_pairs
+        ),
+        seed AS (SELECT MIN(s) AS s0 FROM edges),
+        walk(node, hop) AS (
+            SELECT s0, 0 FROM seed
+            UNION ALL
+            SELECT e.d, w.hop + 1
+            FROM walk w JOIN edges e ON w.node = e.s
+            WHERE w.hop < 3
+        )
+        SELECT node AS doc_id, CAST(MIN(hop) AS INT) AS hops
+        FROM walk GROUP BY node
+        """
+    )
