@@ -603,3 +603,50 @@ def q_sql_entry_report(spark, sf_dir):
         JOIN customer ON a.user_id = c_custkey
         WHERE a.user_id IS NOT NULL
     """)
+
+
+@register(
+    "q_ctas_insert",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderpriority, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT o_orderpriority, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+    FROM t GROUP BY o_orderpriority
+    """,
+)
+def q_ctas_insert(spark, sf_dir):
+    """Catalog DML surface: CREATE TABLE AS SELECT materializes a
+    managed parquet table, INSERT INTO appends a second selection,
+    and the read-back aggregate proves both wrote exactly their input
+    (the oracle is the UNION ALL of the two selections). Managed-table
+    writes go through the same committer as path writes — appends are
+    new files, never rewrites, which is what makes INSERT INTO safe
+    to parallelize across jobs at scale."""
+    import uuid
+
+    ensure_runtime_conf(spark)
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_src")
+    tbl = f"bdp_ctas_{uuid.uuid4().hex[:8]}"
+    spark.sql(
+        f"""CREATE TABLE {tbl} USING parquet AS
+            SELECT o_orderpriority, o_totalprice FROM orders_src
+            WHERE o_orderstatus = 'F'"""
+    )
+    spark.sql(
+        f"""INSERT INTO {tbl}
+            SELECT o_orderpriority, o_totalprice FROM orders_src
+            WHERE o_orderstatus = 'O'"""
+    )
+    out = spark.table(tbl).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price")
+    )
+    # Materialize the result before the table would go stale; keep the
+    # builder side-effect-contained (drop the catalog entry + files).
+    result = spark.createDataFrame(out.collect(), schema=out.schema)
+    spark.sql(f"DROP TABLE {tbl}")
+    return result

@@ -80,3 +80,48 @@ def test_restart_without_new_data_emits_nothing(spark, tmp_path):
     # Restart with no new files: committed offsets make this a no-op.
     _drain(spark.readStream.schema(schema).parquet(src), out, ck)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_stateful_restart_resumes_aggregation_state(spark, tmp_path):
+    """STATEFUL recovery: a running-count aggregation's state store
+    survives the restart — after file B arrives, per-type counts equal
+    the batch aggregate over A ∪ B (a fresh query without the old
+    state would count only B)."""
+    ev = load_table(spark, SF, "events").select("event_id", "event_type")
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+
+    def drain_counts(schema):
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = stream.groupBy("event_type").count()
+
+        def write_batch(batch_df, batch_id):
+            batch_df.write.mode("overwrite").parquet(out)
+
+        q = (
+            agg.writeStream.outputMode("complete")
+            .option("checkpointLocation", ck)
+            .foreachBatch(write_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    half_a.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    drain_counts(schema)
+    half_b.coalesce(1).write.mode("append").parquet(src)
+    drain_counts(schema)  # fresh query object, same checkpoint + state
+
+    got = {
+        r["event_type"]: r["count"]
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want, f"state lost across restart: {got} != {want}"
