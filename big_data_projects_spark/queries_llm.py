@@ -1053,3 +1053,15 @@ def q_recursive_reachability(spark, sf_dir):
         FROM walk GROUP BY node
         """
     )
+
+
+@register("q_knn_int8")  # quantization error is float-shaped → rows-only
+def q_knn_int8(spark, sf_dir):
+    """ANN over int8-quantized embeddings (scalar quantization,
+    per-vector scale): 4-8× smaller vector payload with exact integer
+    dot products — the memory-bound scale path for serving similarity
+    over a 100 TB corpus. Recall vs the exact top-k is pinned by a
+    unit test; scores are deterministic because int dots have no
+    float summation order."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.quantized_topk_cosine(emb, query_id=0, k=10)

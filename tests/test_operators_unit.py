@@ -533,3 +533,37 @@ def test_observe_metrics_single_pass(spark):
     assert metrics["n_rows"] == direct["n"]
     assert metrics["sum_value"] == direct["s"]
     assert metrics["null_users"] == 0
+
+
+def test_int8_quantized_ann_recall(spark):
+    """Scalar int8 quantization must preserve the cosine neighborhood:
+    recall@10 vs the exact top-k ≥ 0.8 on the real embedding table,
+    and the quantized ranking is bit-stable across runs (integer dot
+    products have no float summation order)."""
+    from big_data_projects_spark.data import load_table
+    from big_data_projects_spark.operators import similarity as S
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = [r[0] for r in S.topk_cosine(emb, 0, k=10).collect()]
+    q1 = S.quantized_topk_cosine(emb, 0, k=10).collect()
+    q2 = S.quantized_topk_cosine(emb, 0, k=10).collect()
+    assert [tuple(r) for r in q1] == [tuple(r) for r in q2]
+    recall = len(set(exact) & {r[0] for r in q1}) / 10
+    assert recall >= 0.8, f"recall@10 {recall}"
+
+
+def test_int8_quantization_bounds(spark):
+    """Quantized components stay in [-127, 127] and reconstruct the
+    original within one scale step."""
+    from big_data_projects_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [100.0, -50.0, 0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    rows = S.quantize_int8(emb).collect()
+    for r in rows:
+        assert all(-127 <= v <= 127 for v in r["q_vec"])
+        for orig, q in zip(r["embedding"], r["q_vec"]):
+            assert abs(orig - q * r["q_scale"]) <= r["q_scale"] / 2 + 1e-12
