@@ -1227,3 +1227,32 @@ def q_running_count_distinct(spark, sf_dir):
         "event_type",
         F.sum("first").over(w_run).alias("n_distinct_users"),
     )
+
+
+@register(
+    "q_null_ordering",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_type = 'click' THEN NULL ELSE value END AS gapped
+    FROM events
+    ORDER BY gapped ASC NULLS FIRST, event_id
+    LIMIT 50
+    """,
+)
+def q_null_ordering(spark, sf_dir):
+    """Explicit NULL placement in ordered top-k. Engines disagree on
+    defaults (Spark: NULLS FIRST for ASC; DuckDB: NULLS LAST), so any
+    cross-engine ORDER BY...LIMIT over a nullable key MUST spell the
+    placement out — here NULLS FIRST makes the top-50 the 50 lowest-id
+    null rows, which only matches because both engines agree on the
+    explicit clause and the unique tie-break. Still planned as
+    TakeOrderedAndProject."""
+    ev = _t(spark, sf_dir, "events")
+    gapped = F.when(F.col("event_type") == "click", None).otherwise(
+        F.col("value")
+    )
+    return (
+        ev.select("event_id", gapped.alias("gapped"))
+        .orderBy(F.col("gapped").asc_nulls_first(), F.col("event_id").asc())
+        .limit(50)
+    )
