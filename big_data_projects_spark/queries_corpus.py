@@ -348,3 +348,38 @@ def q_mode_per_group(spark, sf_dir):
             F.col("n").alias("n_occurrences"),
         )
     )
+
+
+@register(
+    "q_domain_mix",
+    oracle=r"""
+    WITH s AS (
+        SELECT source,
+               CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+                    AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM s)
+    SELECT source, n_tokens,
+           round(n_tokens / CAST(total AS DOUBLE), 10) AS mix_weight
+    FROM s CROSS JOIN t
+    """,
+)
+def q_domain_mix(spark, sf_dir):
+    """Domain-mix accounting: per-source token mass and its share of
+    the corpus — the numbers that set per-domain sampling rates (see
+    q_stratified_sample) when assembling a training mix. One bounded
+    aggregate plus a 1-row broadcast total; the weight is an exact
+    bigint ratio rounded to 10 decimals."""
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.select("source", F.size(T.tokens("text")).alias("nt")).groupBy(
+        "source"
+    ).agg(F.sum("nt").alias("n_tokens"))
+    total = s.agg(F.sum("n_tokens").alias("total"))
+    return s.join(F.broadcast(total)).select(
+        "source",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("total").cast("double"), 10).alias(
+            "mix_weight"
+        ),
+    )

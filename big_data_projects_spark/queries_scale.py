@@ -373,3 +373,33 @@ def q_entropy(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.round(-F.sum(term), 10).cast("double").alias("entropy"))
     )
+
+
+@register(
+    "q_shuffle_hash_hint",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_shuffle_hash_hint(spark, sf_dir):
+    """Explicit physical join-strategy control: the SHUFFLE_HASH hint
+    forces a ShuffledHashJoin where the planner would default to
+    broadcast or sort-merge. The knob matters at scale when the build
+    side fits per-partition memory but not the broadcast threshold —
+    hash build beats the sort-merge's two sorts. Results are
+    strategy-independent (the oracle is the plain join); the plan
+    shape is asserted in tests/test_plans.py."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        orders.join(
+            customer.hint("shuffle_hash"),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -193,3 +193,8 @@ def test_aqe_coalesces_small_shuffle_partitions(spark):
         df.explain(mode="formatted")
     plan = buf.getvalue()
     assert "AQEShuffleRead" in plan and "coalesced" in plan, plan
+
+
+def test_shuffle_hash_hint_controls_join_strategy(spark):
+    plan = plan_of(spark, "q_shuffle_hash_hint")
+    assert "ShuffledHashJoin" in plan, "hint ignored"
