@@ -650,3 +650,32 @@ def q_ctas_insert(spark, sf_dir):
     result = spark.createDataFrame(out.collect(), schema=out.schema)
     spark.sql(f"DROP TABLE {tbl}")
     return result
+
+
+@register(
+    "q_sink_json_roundtrip",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_sink_json_roundtrip(spark, sf_dir):
+    """JSON-lines sink + schema'd re-scan round trip (the S2 reader
+    path applied to our own output), aggregated after read-back.
+    Doubles survive because Spark serializes them shortest-roundtrip;
+    the re-read passes the explicit schema — never inference, which
+    at scale costs an extra full pass and can mistype sparse
+    columns."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    joined = customer.join(
+        nation, customer.c_nationkey == nation.n_nationkey
+    ).select("n_name", "c_acctbal")
+    out = os.path.join(tempfile.mkdtemp(prefix="bdp_json_"), "cust_json")
+    joined.write.mode("overwrite").json(out)
+    back = spark.read.schema(joined.schema).json(out)
+    return back.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"), dsum("c_acctbal", "sum_bal")
+    )

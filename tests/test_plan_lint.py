@@ -30,7 +30,7 @@ SF = "/root/testdata/sf0.01"
 # read-back plans are trivial; linting would execute the side effect.
 SIDE_EFFECTING = {
     "q_sink_parquet_partitioned", "q_sink_csv_roundtrip",
-    "q_sink_orc_roundtrip", "q_ctas_insert",
+    "q_sink_orc_roundtrip", "q_ctas_insert", "q_sink_json_roundtrip",
     "q_bucketed_join", "q_scan_json_schema", "q_scan_json_corrupt",
     "q_compaction", "q_multimodal_resize", "q_multimodal_frames",
 }
