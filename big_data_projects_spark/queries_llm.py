@@ -1065,3 +1065,85 @@ def q_knn_int8(spark, sf_dir):
     float summation order."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.quantized_topk_cosine(emb, query_id=0, k=10)
+
+
+@register(
+    "q_repetition",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(greatest(len(t) - 2, 0) AS BIGINT) AS n_g3,
+               CAST(CASE WHEN len(t) >= 3 THEN (
+                   SELECT COUNT(DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                   FROM UNNEST(generate_series(1, len(t)-2)) AS u(i)
+               ) ELSE 0 END AS BIGINT) AS n_distinct_g3
+        FROM toks
+    ),
+    topt AS (
+        SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_token_count
+        FROM (
+            SELECT doc_id, w, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+            GROUP BY doc_id, w
+        ) GROUP BY doc_id
+    )
+    SELECT g.doc_id, g.n_tokens, g.n_g3, g.n_distinct_g3,
+           CASE WHEN g.n_g3 = 0 THEN 0.0
+                ELSE 1.0 - n_distinct_g3 / CAST(n_g3 AS DOUBLE) END AS dup_gram_ratio,
+           top_token_count / CAST(n_tokens AS DOUBLE) AS top_token_ratio,
+           (CASE WHEN g.n_g3 = 0 THEN 0.0
+                 ELSE 1.0 - n_distinct_g3 / CAST(n_g3 AS DOUBLE) END) > 0.5
+               OR top_token_count / CAST(n_tokens AS DOUBLE) > 0.2
+               AS is_repetitive
+    FROM grams g JOIN topt USING (doc_id)
+    """,
+)
+def q_repetition(spark, sf_dir):
+    """Repetition detection (Gopher-style quality rule): fraction of
+    duplicated word-3-grams inside the doc plus the most-frequent
+    token's mass share; docs past either threshold get flagged. The
+    gram ratio never explodes rows — size/array_distinct on the gram
+    array per row; only the top-token pass shuffles, keyed on
+    (doc, token). All ratios are exact-int divisions → identical
+    doubles cross-engine."""
+    docs = _t(spark, sf_dir, "documents")
+    t = T.tokens("text")
+    # sequence(0, -1) is DESCENDING in Spark, so the short-doc case
+    # must branch to an empty array instead of relying on the bound.
+    grams = F.expr(
+        "CASE WHEN size(__t) >= 3 THEN transform(sequence(0, size(__t) - 3),"
+        " i -> concat_ws(' ', __t[i], __t[i+1], __t[i+2]))"
+        " ELSE array() END"
+    )
+    base = docs.select("doc_id", t.alias("__t")).select(
+        "doc_id",
+        "__t",
+        F.size("__t").cast("long").alias("n_tokens"),
+        F.greatest(F.size("__t") - 2, F.lit(0)).cast("long").alias("n_g3"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct_g3"),
+    )
+    topt = (
+        docs.select("doc_id", F.explode(t).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_token_count"))
+    )
+    dup_ratio = F.when(F.col("n_g3") == 0, 0.0).otherwise(
+        1.0 - F.col("n_distinct_g3") / F.col("n_g3").cast("double")
+    )
+    top_ratio = F.col("top_token_count") / F.col("n_tokens").cast("double")
+    return base.join(topt, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_g3",
+        "n_distinct_g3",
+        dup_ratio.alias("dup_gram_ratio"),
+        top_ratio.alias("top_token_ratio"),
+        ((dup_ratio > 0.5) | (top_ratio > 0.2)).alias("is_repetitive"),
+    )
