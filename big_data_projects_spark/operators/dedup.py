@@ -112,9 +112,22 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.1,
     shingle_df: DataFrame | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every doc pair sharing ≥1
     shingle. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    Hot-shingle guard (the 100 TB safety valve): a shingle shared by d
+    documents contributes d² candidate rows to the self-join, so one
+    boilerplate n-gram appearing in millions of docs would go quadratic.
+    ``max_shingle_df`` drops shingles whose document frequency exceeds
+    the cap *before* the self-join — the anti-join side is only the hot
+    shingles, a tiny relation. Jaccard is then computed over the capped
+    shingle universe (both |A∩B| and |A|,|B|), which keeps the operator
+    exactly SQL-expressible (the oracle applies the identical df-filter
+    CTE). Recall loss is confined to pairs whose *only* shared shingles
+    are corpus-wide boilerplate — pairs that near-dup detection should
+    not flag anyway. ``None`` disables the cap.
 
     The shingle relation feeds three consumers (join side a, join side
     b, sizes) and alias'd self-joins defeat Spark's exchange reuse, so
@@ -127,6 +140,14 @@ def ngram_jaccard_pairs(
         if shingle_df is not None
         else shingles(df, id_col, text_col, n).persist()
     )
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")

@@ -149,12 +149,18 @@ def q_dedup_exact(spark, sf_dir):
         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
         FROM documents
     ),
-    sh AS (
+    sh_all AS (
         SELECT DISTINCT doc_id,
                CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))
                     AS BIGINT) AS shingle
         FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
         WHERE len(t) >= 3
+    ),
+    sh AS (  -- hot-shingle document-frequency cap, same as the Spark side
+        SELECT doc_id, shingle FROM sh_all
+        WHERE shingle NOT IN (
+            SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > 1000
+        )
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     common AS (
@@ -357,12 +363,18 @@ def q_multimodal_features(spark, sf_dir):
         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
         FROM documents
     ),
-    sh AS (
+    sh_all AS (
         SELECT DISTINCT doc_id,
                CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))
                     AS BIGINT) AS shingle
         FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
         WHERE len(t) >= 3
+    ),
+    sh AS (  -- hot-shingle document-frequency cap, same as the Spark side
+        SELECT doc_id, shingle FROM sh_all
+        WHERE shingle NOT IN (
+            SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > 1000
+        )
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     common AS (
@@ -583,12 +595,18 @@ def q_embed_outliers(spark, sf_dir):
         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
         FROM exact_kept
     ),
-    sh AS (
+    sh_all AS (
         SELECT DISTINCT doc_id,
                CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))
                     AS BIGINT) AS shingle
         FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
         WHERE len(t) >= 3
+    ),
+    sh AS (  -- hot-shingle document-frequency cap, same as the Spark side
+        SELECT doc_id, shingle FROM sh_all
+        WHERE shingle NOT IN (
+            SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > 1000
+        )
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     common AS (
@@ -809,12 +827,18 @@ def q_knn_batch(spark, sf_dir):
         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
         FROM documents
     ),
-    sh AS (
+    sh_all AS (
         SELECT DISTINCT doc_id,
                CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))
                     AS BIGINT) AS shingle
         FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
         WHERE len(t) >= 3
+    ),
+    sh AS (  -- hot-shingle document-frequency cap, same as the Spark side
+        SELECT doc_id, shingle FROM sh_all
+        WHERE shingle NOT IN (
+            SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > 1000
+        )
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     common AS (
@@ -986,12 +1010,18 @@ def q_bigram_pmi(spark, sf_dir):
         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
         FROM documents
     ),
-    sh AS (
+    sh_all AS (
         SELECT DISTINCT doc_id,
                CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))
                     AS BIGINT) AS shingle
         FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
         WHERE len(t) >= 3
+    ),
+    sh AS (  -- hot-shingle document-frequency cap, same as the Spark side
+        SELECT doc_id, shingle FROM sh_all
+        WHERE shingle NOT IN (
+            SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > 1000
+        )
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     common AS (

@@ -145,6 +145,25 @@ def test_ngram_jaccard_identical_docs(spark):
     assert (pairs[0].doc_a, pairs[0].doc_b, pairs[0].jaccard) == (1, 2, 1.0)
 
 
+def test_ngram_jaccard_hot_shingle_cap_bounds_candidates(spark):
+    # One boilerplate phrase shared by every doc would make the shingle
+    # self-join quadratic (d docs sharing a shingle → d² candidate
+    # rows). With a df-cap the hot shingles are dropped before the
+    # join, so docs related ONLY through boilerplate produce no pairs,
+    # while true near-dups (sharing rare shingles) are still found.
+    boiler = "terms of service apply to all users"
+    rows = [Row(doc_id=i, text=f"{boiler} unique{i} tail{i} end{i}")
+            for i in range(12)]
+    rows += [Row(doc_id=100, text="rare alpha beta gamma delta epsilon"),
+             Row(doc_id=101, text="rare alpha beta gamma delta zeta")]
+    df = spark.createDataFrame(rows)
+    capped = ngram_jaccard_pairs(df, threshold=0.01, max_shingle_df=5).collect()
+    # boilerplate-only relations gone; the rare-shingle near-dup remains
+    assert [(p.doc_a, p.doc_b) for p in capped] == [(100, 101)]
+    uncapped = ngram_jaccard_pairs(df, threshold=0.01, max_shingle_df=None)
+    assert uncapped.count() == 12 * 11 // 2 + 1  # quadratic without the cap
+
+
 def test_minhash_lsh_finds_near_duplicates(spark):
     base = "the quick brown fox jumps over the lazy dog and runs far away today"
     near = base.replace("runs", "walks")
