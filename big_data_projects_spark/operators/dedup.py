@@ -12,9 +12,10 @@ Four tiers, each a standard large-scale training-data technique:
                  pairs → exact-Jaccard verification. The 100 TB path:
                  candidates come from equi-joins on (band, bucket),
                  never from a cross join.
-- simhash      : 32-bit SimHash per doc from md5-derived token hashes —
+- simhash      : 60-bit SimHash per doc from md5-derived token hashes —
                  bit-vote aggregation, engine-portable (the oracle
-                 reproduces it in pure SQL).
+                 reproduces it in pure SQL); near-pairs via pigeonhole
+                 blocking over 15-bit segments.
 
 All hashing is md5/xxhash64-based and deterministic; no Python UDFs.
 """
@@ -291,46 +292,132 @@ def minhash_lsh_pairs(
     )
 
 
-SIMHASH_BITS = 32
+# 60 bits = 15 md5 hex chars: the widest md5 prefix that fits a SIGNED
+# int64 on both engines (16 chars could exceed 2^63 and overflow the
+# BIGINT cast) — same portability trick as the shingle ids above.
+SIMHASH_BITS = 60
+# Blocking: ≤3 flipped bits touch at most 3 of the 4 segments, so two
+# docs within hamming distance 3 agree exactly on ≥1 segment — the
+# pigeonhole guarantee. 15-bit segments give 32768 distinct join keys
+# per segment (vs 16 for the naive 4-bit scheme: ~2000× fewer
+# within-bucket candidate pairs at any corpus size).
+SIMHASH_SEGMENTS = 4
+SIMHASH_SEG_BITS = SIMHASH_BITS // SIMHASH_SEGMENTS
 
 
-def simhash32(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
-    """32-bit SimHash per doc.
+    """``bits``-wide SimHash per doc (bits ≤ 60, multiple of 4).
 
-    Token hash = first 8 hex chars of md5 (portable across engines);
-    per-bit votes (+1/−1, weighted by token multiplicity) aggregated in
-    one groupBy with 32 conditional sums; bit set iff vote > 0.
+    Token hash = first bits/4 hex chars of md5 (portable across
+    engines); per-bit votes (+1/−1, weighted by token multiplicity)
+    aggregated in one groupBy with ``bits`` conditional sums — a single
+    shuffle keyed on the doc id, map-side partial aggregation keeps it
+    narrow; bit set iff vote > 0.
     """
     toks = tokens(text_col)
     exploded = df.select(F.col(id_col), F.explode(toks).alias("__tok")).select(
         F.col(id_col),
-        F.conv(F.substring(F.md5("__tok"), 1, 8), 16, 10).cast("long").alias("h"),
+        F.conv(F.substring(F.md5("__tok"), 1, bits // 4), 16, 10)
+        .cast("long")
+        .alias("h"),
     )
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
         ).alias(f"v{i}")
-        for i in range(SIMHASH_BITS)
+        for i in range(bits)
     ]
     agg = exploded.groupBy(id_col).agg(*votes)
     acc = F.lit(0).cast("long")
-    for i in range(SIMHASH_BITS):
+    for i in range(bits):
         acc = acc + F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(0).cast("long")
     return agg.select(F.col(id_col), acc.alias("simhash"))
 
 
-def simhash32_oracle_sql(table: str = "documents", id_col: str = "doc_id",
-                         text_col: str = "text") -> str:
-    """Generate the DuckDB twin of simhash32 (same bit votes, same hash)."""
+def simhash32(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Legacy 32-bit variant (kept for comparison tests)."""
+    return simhash(df, id_col, text_col, bits=32)
+
+
+def simhash_near_pairs(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    segments: int = SIMHASH_SEGMENTS,
+) -> DataFrame:
+    """All doc pairs whose simhashes differ by ≤ ``max_hamming`` bits.
+
+    Pigeonhole blocking: the hash splits into ``segments`` equal slices;
+    ≤ max_hamming flipped bits can touch at most max_hamming segments,
+    so every qualifying pair agrees exactly on ≥1 segment (requires
+    segments ≥ max_hamming + 1). Candidates come from per-segment
+    equi-joins on (segment index, segment value) — 2^(bits/segments)
+    distinct keys per segment — then the exact hamming filter runs only
+    on candidates. Returns (doc_a, doc_b, hamming), doc_a < doc_b.
+    """
+    if segments < max_hamming + 1:
+        raise ValueError(
+            f"pigeonhole needs segments ({segments}) > max_hamming ({max_hamming})"
+        )
+    seg_bits = bits // segments
+    mask = (1 << seg_bits) - 1
+    segs = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("seg"),
+                        F.shiftright(F.col("simhash"), i * seg_bits)
+                        .bitwiseAND(mask)
+                        .alias("key"),
+                    )
+                    for i in range(segments)
+                ]
+            )
+        ).alias("sk"),
+    ).select(id_col, "simhash", "sk.seg", "sk.key")
+    a = segs.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("h_a"), "seg", "key"
+    )
+    b = segs.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("h_b"), "seg", "key"
+    )
+    pairs = (
+        a.join(b, ["seg", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "h_a", "h_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return pairs.select(
+        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> str:
+    """Generate the DuckDB twin of simhash (same bit votes, same hash)."""
     vote_cols = ",\n          ".join(
         f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
-        for i in range(SIMHASH_BITS)
+        for i in range(bits)
     )
     bit_terms = " + ".join(
         f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
-        for i in range(SIMHASH_BITS)
+        for i in range(bits)
     )
     return f"""
     WITH toks AS (
@@ -340,7 +427,7 @@ def simhash32_oracle_sql(table: str = "documents", id_col: str = "doc_id",
     ),
     hashed AS (
         SELECT {id_col},
-               CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+               CAST(('0x' || substr(md5(tok), 1, {bits // 4})) AS BIGINT) AS h
         FROM toks
     ),
     votes AS (

@@ -194,55 +194,25 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 @register("q_simhash_pairs")  # hamming-ball pairing over simhash
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup candidates: docs whose 32-bit simhash differs
-    by ≤ 3 bits, paired via pigeonhole blocking over 8 segments of 4
+    """SimHash near-dup candidates: docs whose 60-bit simhash differs
+    by ≤ 3 bits, paired via pigeonhole blocking over 4 segments of 15
     bits (≤3 flipped bits can touch at most 3 segments, so at least one
     segment matches exactly → equi-join per segment finds every such
-    pair), then exact hamming filter. Rows-only: the candidate set is
-    exact for the ≤3 threshold, but hashes aren't SQL-portable here."""
+    pair; 32768 distinct keys per segment keeps within-bucket candidate
+    counts ~2000× below the old 4-bit scheme at any corpus size), then
+    exact hamming filter. Rows-only: the candidate set is exact for the
+    ≤3 threshold, but the pairing isn't naturally SQL-shaped."""
     docs = _t(spark, sf_dir, "documents")
-    sh = D.simhash32(docs)
-    segs = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("seg"),
-                        F.shiftright(F.col("simhash"), i * 4)
-                        .bitwiseAND(0xF)
-                        .alias("key"),
-                    )
-                    for i in range(8)
-                ]
-            )
-        ).alias("sk"),
-    ).select("doc_id", "simhash", "sk.seg", "sk.key")
-    a = segs.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a"), "seg", "key"
-    )
-    b = segs.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b"), "seg", "key"
-    )
-    pairs = (
-        a.join(b, ["seg", "key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "h_a", "h_b")
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return pairs.select(
-        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
-    ).filter(F.col("hamming") <= 3)
+    return D.simhash_near_pairs(D.simhash(docs), max_hamming=3)
 
 
-@register("q_simhash", oracle=D.simhash32_oracle_sql())
+@register("q_simhash", oracle=D.simhash_oracle_sql())
 def q_simhash(spark, sf_dir):
-    """32-bit SimHash per document — fully engine-portable (md5-derived
-    token hashes, bit-vote aggregation), so it IS oracle-checked."""
+    """60-bit SimHash per document — fully engine-portable (md5-derived
+    token hashes fit a signed int64 on both engines, bit-vote
+    aggregation), so it IS oracle-checked."""
     docs = _t(spark, sf_dir, "documents")
-    return D.simhash32(docs)
+    return D.simhash(docs)
 
 
 # ---------------------------------------------------------------------------

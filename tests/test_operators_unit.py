@@ -14,9 +14,11 @@ from big_data_projects_spark.functions.timestamps import (
 )
 from big_data_projects_spark.operators.asof import asof_join
 from big_data_projects_spark.operators.dedup import (
+    SIMHASH_BITS,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
-    simhash32,
+    simhash,
+    simhash_near_pairs,
 )
 from big_data_projects_spark.operators.multimodal import (
     _byte_features,
@@ -180,9 +182,62 @@ def test_simhash_identical_docs_equal_hash(spark):
     df = spark.createDataFrame(
         [Row(doc_id=1, text="alpha beta gamma"), Row(doc_id=2, text="alpha beta gamma")]
     )
-    hashes = {r.doc_id: r.simhash for r in simhash32(df).collect()}
+    hashes = {r.doc_id: r.simhash for r in simhash(df).collect()}
     assert hashes[1] == hashes[2]
-    assert 0 <= hashes[1] < (1 << 32)
+    assert 0 <= hashes[1] < (1 << SIMHASH_BITS)
+
+
+def test_simhash_near_pairs_matches_brute_force(spark):
+    # Pigeonhole blocking must find EXACTLY the pairs within hamming ≤3
+    # — verified against an all-pairs brute force on controlled hashes.
+    import itertools
+
+    import random as _random
+
+    rng = _random.Random(7)
+    hashes = {i: rng.getrandbits(SIMHASH_BITS) for i in range(20)}
+    hashes[100] = hashes[0] ^ 0b111        # 3 flips: in
+    hashes[101] = hashes[0] ^ 0b10111      # 4 flips from 0, 1 from 100
+    hashes[102] = hashes[1]                # exact dup: hamming 0
+    expected = sorted(
+        (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+        for a, b in itertools.combinations(sorted(hashes), 2)
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    )
+    sh = spark.createDataFrame(
+        [Row(doc_id=k, simhash=v) for k, v in hashes.items()],
+        "doc_id int, simhash long",
+    )
+    got = sorted(
+        (r.doc_a, r.doc_b, r.hamming) for r in simhash_near_pairs(sh).collect()
+    )
+    assert got == expected
+    assert len(got) >= 2  # the planted near-dups were actually exercised
+
+
+def test_simhash_blocking_candidate_reduction():
+    # Scale property of the scheme itself (pure python, no Spark):
+    # 15-bit segment keys produce orders of magnitude fewer candidate
+    # pairs than the naive 4-bit segmentation on random 60-bit hashes.
+    import collections
+    import random as _random
+
+    rng = _random.Random(11)
+    hashes = [rng.getrandbits(60) for _ in range(2000)]
+
+    def n_candidates(seg_bits, n_segs):
+        total = 0
+        for s in range(n_segs):
+            buckets = collections.Counter(
+                (h >> (s * seg_bits)) & ((1 << seg_bits) - 1) for h in hashes
+            )
+            total += sum(c * (c - 1) // 2 for c in buckets.values())
+        return total
+
+    naive = n_candidates(4, 8)       # old scheme: 16 keys/segment
+    blocked = n_candidates(15, 4)    # new scheme: 32768 keys/segment
+    assert naive > 100_000           # quadratic: ~n²/16 per segment
+    assert blocked < naive / 1000    # ≥3 orders of magnitude fewer
 
 
 def test_topk_cosine_identical_vector_ranks_first(spark):
