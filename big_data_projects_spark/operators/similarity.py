@@ -14,7 +14,9 @@
                  The 100 TB path: the fine search touches only probed
                  partitions (partition pruning on the block key).
 - lsh_neardup_pairs : random-hyperplane signature bucketing → candidate
-                 pairs → exact cosine verify. Fully join-based.
+                 pairs → exact cosine verify. Fully join-based; the
+                 signature width scales with corpus size so buckets
+                 stay bounded (recall pinned by unit test).
 - kmeans_assign: distributed Lloyd k-means with deterministic
                  farthest-first seeding — builds the IVF partitioning
                  when no natural block key exists.
@@ -169,12 +171,26 @@ def ivf_topk(
     return fine.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
 
 
-N_HYPERPLANES = 16
+DEFAULT_LSH_BANDS = 4
+# Bucket-occupancy target used when bits_per_band is derived from the
+# corpus size: E[bucket size] = n / 2^bits ≤ this, so within-bucket
+# verify work stays ~linear in n instead of quadratic.
+_LSH_TARGET_BUCKET = 64
+_LSH_MIN_BITS, _LSH_MAX_BITS = 8, 24
 
 
-def _hyperplanes(dim: int, n: int = N_HYPERPLANES) -> list[list[float]]:
+def _hyperplanes(dim: int, n: int) -> list[list[float]]:
     rng = random.Random(7)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n)]
+
+
+def lsh_bits_for(n_rows: int) -> int:
+    """Signature bits per band scaled to corpus size: smallest b with
+    n / 2^b ≤ the target bucket occupancy, clamped to [8, 24]."""
+    b = _LSH_MIN_BITS
+    while (1 << b) * _LSH_TARGET_BUCKET < n_rows and b < _LSH_MAX_BITS:
+        b += 1
+    return b
 
 
 def lsh_neardup_pairs(
@@ -183,26 +199,55 @@ def lsh_neardup_pairs(
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bits_per_band: int | None = None,
+    n_bands: int = DEFAULT_LSH_BANDS,
 ) -> DataFrame:
-    """Random-hyperplane LSH: 16-bit sign signature (2 bands × 8 bits)
-    → bucket equi-join for candidates → exact cosine verification."""
-    planes = _hyperplanes(dim)
+    """Random-hyperplane LSH near-dup pairs: per-band sign signatures →
+    bucket equi-joins for candidates → exact cosine verification.
+
+    Scale contract: within-bucket pair work grows with (bucket size)²,
+    so the signature width must grow with the corpus — ``bits_per_band``
+    defaults to the smallest width whose expected bucket occupancy
+    (n / 2^bits) stays ≤ 64 (one cheap count() action to size it;
+    pass it explicitly to keep the plan fully lazy). Recall comes from
+    ``n_bands`` independent bands (a pair is a candidate if ANY band
+    matches); recall ≥ 0.8 at threshold 0.3 is pinned by
+    tests/test_operators_unit.py against exact brute-force pairs.
+    """
+    if bits_per_band is None:
+        bits_per_band = lsh_bits_for(emb.count())
+    planes = _hyperplanes(dim, bits_per_band * n_bands)
     sign_bits = [
         F.when(_dot(F.col(vec_col), F.array(*[F.lit(v) for v in p])) > 0, 1).otherwise(0)
         for p in planes
     ]
-    half = N_HYPERPLANES // 2
-    band0 = sum(b * (1 << i) for i, b in enumerate(sign_bits[:half]))
-    band1 = sum(b * (1 << i) for i, b in enumerate(sign_bits[half:]))
-    sig = emb.select(
-        F.col(id_col), F.col(vec_col),
-        band0.alias("b0"), band1.alias("b1"),
-    )
+    bands = [
+        sum(
+            b * (1 << i)
+            for i, b in enumerate(
+                sign_bits[band * bits_per_band : (band + 1) * bits_per_band]
+            )
+        ).alias(f"b{band}")
+        for band in range(n_bands)
+    ]
+    sig = emb.select(F.col(id_col), F.col(vec_col), *bands)
     cands = None
-    for band in ("b0", "b1"):
-        a = sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), F.col(band).alias("__k"))
-        b = sig.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), F.col(band).alias("__k"))
-        c = a.join(b, "__k").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "__va", "__vb")
+    for band in range(n_bands):
+        a = sig.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("__va"),
+            F.col(f"b{band}").alias("__k"),
+        )
+        b = sig.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("__vb"),
+            F.col(f"b{band}").alias("__k"),
+        )
+        c = (
+            a.join(b, "__k")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "__va", "__vb")
+        )
         cands = c if cands is None else cands.unionByName(c)
     return (
         cands.dropDuplicates(["id_a", "id_b"])
@@ -386,13 +431,21 @@ def quantize_int8(
     round(x_i / s), s = max|x| / 127. The 4-8× memory cut is what
     makes a 100 TB embedding corpus RAM-resident for ANN serving;
     integer dot products are exact (no float-order sensitivity), so
-    quantized scores are deterministic under any partitioning."""
+    quantized scores are deterministic under any partitioning.
+
+    An all-zero vector would give scale 0 and a 0/0 division (NULL
+    components, or DIVIDE_BY_ZERO under ANSI mode) — the scale is
+    clamped to a tiny epsilon so zero vectors quantize to zero vectors.
+    """
     x = F.col(vec_col)
-    scale = F.aggregate(
-        F.transform(x, lambda v: F.abs(v.cast("double"))),
-        F.lit(0.0),
-        lambda acc, v: F.greatest(acc, v),
-    ) / F.lit(127.0)
+    scale = F.greatest(
+        F.aggregate(
+            F.transform(x, lambda v: F.abs(v.cast("double"))),
+            F.lit(0.0),
+            lambda acc, v: F.greatest(acc, v),
+        ) / F.lit(127.0),
+        F.lit(1e-300),
+    )
     return emb.select(
         F.col(id_col),
         F.col(vec_col),

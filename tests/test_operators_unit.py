@@ -427,6 +427,65 @@ def test_kmeans_recovers_separable_clusters(spark):
     assert all(len(s) == 1 for s in groups.values()), groups
 
 
+def test_quantize_int8_zero_vector(spark):
+    # all-zero embedding: scale must not be 0 (0/0 → NULLs, or a
+    # DIVIDE_BY_ZERO error under ANSI mode); quantizes to zero vector
+    from big_data_projects_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in S.quantize_int8(df).collect()}
+    assert rows[1].q_vec == [0, 0, 0]
+    assert all(v is not None for v in rows[1].q_vec)
+    assert rows[2].q_vec == [64, -127, 32]
+
+
+def test_lsh_neardup_recall_floor(spark):
+    """Hyperplane-LSH quality guard: recall ≥ 0.8 against exact
+    brute-force pairs on planted near-duplicates, with the signature
+    width derived from the corpus size (the scale path)."""
+    import itertools
+
+    import numpy as np
+
+    from big_data_projects_spark.operators.similarity import (
+        lsh_bits_for,
+        lsh_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    dim = 16
+    vecs = {i: rng.normal(size=dim) for i in range(40)}
+    for i in range(15):  # planted near-dups: cosine ≈ 0.97
+        vecs[100 + i] = vecs[i] + rng.normal(scale=0.1, size=dim)
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    exact = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(vecs), 2)
+        if cos(vecs[a], vecs[b]) >= 0.8
+    }
+    assert len(exact) >= 15
+    df = spark.createDataFrame(
+        [(k, [float(x) for x in v]) for k, v in sorted(vecs.items())],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in lsh_neardup_pairs(df, dim=dim, threshold=0.8).collect()
+    }
+    assert got <= exact  # exact-verify stage: no false positives
+    assert len(got & exact) / len(exact) >= 0.8
+    # width derivation: bounded buckets at any corpus size
+    assert lsh_bits_for(55) == 8
+    assert lsh_bits_for(1 << 20) == 14
+    assert lsh_bits_for(1 << 40) == 24  # clamped
+
+
 def test_batch_matmul_topk_agrees_with_fold_topk(spark):
     """The numpy-matmul batch path must return the same neighbor ids
     (same ranking) as the JVM-fold single-query path."""
