@@ -28,7 +28,12 @@ def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
 ) -> DataFrame:
     """(node, comp) for every node appearing in ``edges``; ``comp`` is
-    the minimum node id of the node's connected component."""
+    the minimum node id of the node's connected component.
+
+    Raises RuntimeError if labels have not converged after ``max_iter``
+    rounds (component diameter > max_iter) — a silently-unconverged
+    result would be a wrong-but-plausible clustering, strictly worse
+    than failing."""
     e = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     )
@@ -74,5 +79,13 @@ def connected_components(
         labels = new_labels.select("node", "comp")
         if not changed:
             break
+    else:
+        sym.unpersist()
+        prev.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — raise max_iter (the "
+            "round count is bounded by the largest component diameter)"
+        )
     sym.unpersist()
     return labels.select("node", "comp")

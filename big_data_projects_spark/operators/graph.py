@@ -38,10 +38,13 @@ def pagerank(
     """(node, rank) after a fixed number of power iterations.
 
     Undirected by default (edges are symmetrized), so every node has
-    out-degree ≥ 1 and no dangling-mass correction is needed; ranks
-    over the node set sum to 1 (up to the final double cast). A fixed
-    iteration count (not a convergence epsilon) keeps the result a
-    pure function of the input.
+    out-degree ≥ 1 and no dangling-mass correction is needed. In
+    directed mode the node set is the union of sources AND sinks, and
+    dangling nodes (out-degree 0 — e.g. pure sinks) redistribute their
+    rank mass uniformly each iteration, the standard correction —
+    ranks over the node set sum to 1 either way (up to the final
+    double cast). A fixed iteration count (not a convergence epsilon)
+    keeps the result a pure function of the input.
     """
     e = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
@@ -53,11 +56,23 @@ def pagerank(
     out_deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     links = e.join(out_deg, "a").select("a", "b", "deg").persist()
     links.count()
-    e.unpersist()
 
-    nodes = links.select(F.col("a").alias("node")).distinct().persist()
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .persist()
+    )
     n_nodes = nodes.count()
+    e.unpersist()
     base = (1.0 - damping) / n_nodes
+    # Dangling nodes: no outgoing edges (only possible in directed
+    # mode). Their rank mass would otherwise leak out of the system
+    # each iteration, deflating every rank.
+    dangling = nodes.join(
+        out_deg.select(F.col("a").alias("node")), "node", "left_anti"
+    ).persist()
+    has_dangling = directed and dangling.count() > 0
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     for _ in range(iterations):
@@ -72,14 +87,30 @@ def pagerank(
         # symmetrized edges every node has in-degree ≥ 1, but the
         # directed path needs the left join.)
         new_ranks = nodes.join(summed, "node", "left").select(
-            "node",
-            (
-                F.lit(base)
-                + F.lit(damping)
-                * F.coalesce(F.col("mass"), F.lit(0).cast(_DEC)).cast(
-                    "double"
+            "node", F.coalesce(F.col("mass"), F.lit(0).cast(_DEC)).alias("mass")
+        )
+        if has_dangling:
+            # One-row decimal aggregate of dangling rank, broadcast to
+            # every node as a uniform share — no driver collect.
+            dmass = (
+                ranks.join(dangling, "node", "left_semi")
+                .agg(
+                    F.coalesce(
+                        F.sum(F.col("rank").cast(_DEC)), F.lit(0).cast(_DEC)
+                    ).alias("dmass")
                 )
-            ).alias("rank"),
+            )
+            new_ranks = new_ranks.crossJoin(F.broadcast(dmass)).select(
+                "node",
+                (F.col("mass") + (F.col("dmass") / F.lit(n_nodes)).cast(_DEC)).alias(
+                    "mass"
+                ),
+            )
+        new_ranks = new_ranks.select(
+            "node",
+            (F.lit(base) + F.lit(damping) * F.col("mass").cast("double")).alias(
+                "rank"
+            ),
         )
         # Iterative lineage MUST be truncated, not just cached: with
         # persist() alone the logical plan (and per-round analysis
@@ -89,4 +120,5 @@ def pagerank(
         ranks = new_ranks.localCheckpoint(eager=True)
     links.unpersist()
     nodes.unpersist()
+    dangling.unpersist()
     return ranks

@@ -110,7 +110,20 @@ def salted_join(
     right trade when dim ≪ fact (if dim fits in memory, broadcast and
     skip salting entirely — this is for the mid-size dim that can't
     broadcast but joins a skewed fact).
+
+    ``how`` is restricted to inner/left/left_semi/left_anti: the
+    exploded dim side would emit each UNMATCHED dim row n_salt times
+    under right/full outer joins, breaking the output-equivalence
+    guarantee above.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports only {sorted(allowed)} (got {how!r}): "
+            "the n_salt-exploded dim side duplicates unmatched dim rows "
+            "under right/full outer joins"
+        )
     salted_fact = fact.withColumn(
         "__salt", F.pmod(F.xxhash64(fact_unique_col), F.lit(n_salt))
     )

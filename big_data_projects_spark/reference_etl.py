@@ -103,6 +103,23 @@ def process_songs(songs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return songs_info, artists
 
 
+def storage_info(df: DataFrame) -> dict:
+    """C2: storage-level introspection (transform-data.py:247-248).
+
+    The reference's only 'performance verification' is printing
+    ``df.storageLevel.useMemory`` for its two cache()d inputs after an
+    action materialized them. Same surface here: cache() defaults to
+    MEMORY_AND_DISK(_DESER), so a memory-resident relation reports
+    useMemory=True once materialized."""
+    lvl = df.storageLevel
+    return {
+        "useMemory": lvl.useMemory,
+        "useDisk": lvl.useDisk,
+        "deserialized": lvl.deserialized,
+        "replication": lvl.replication,
+    }
+
+
 def process_logs(logs: DataFrame) -> DataFrame:
     """Filter to listen events + convert timestamps
     (transform-data.py:112-132): page='NextSong', ms-epoch-string ts →

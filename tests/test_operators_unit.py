@@ -327,6 +327,36 @@ def test_connected_components_empty_edges(spark):
     assert connected_components(empty).count() == 0
 
 
+def test_connected_components_unconverged_raises(spark):
+    """A chain whose diameter exceeds max_iter must raise, not return a
+    wrong-but-plausible split clustering."""
+    import pytest as _pytest
+
+    from big_data_projects_spark.operators.components import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1)
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    """The exploded dim side would emit unmatched dim rows n_salt times
+    under right/full outer joins — those modes must be rejected."""
+    import pytest as _pytest
+
+    from big_data_projects_spark.operators.relational import salted_join
+
+    fact = spark.createDataFrame([(1, 1)], "id long, k long")
+    dim = spark.createDataFrame([(1, "a")], "k2 long, tag string")
+    for how in ("full", "full_outer", "right", "right_outer"):
+        with _pytest.raises(ValueError, match="salted_join supports only"):
+            salted_join(fact, dim, "k", "k2", fact_unique_col="id", how=how)
+
+
 def test_salted_join_empty_and_null_keys(spark):
     """Empty dim → empty inner join; null fact keys never match (same
     as the unsalted join's null semantics)."""
@@ -634,6 +664,23 @@ def test_pagerank_directed_dangling_source(spark):
         for r in pagerank(edges, directed=True, iterations=20).collect()
     }
     assert ranks[1] < ranks[2] < ranks[3]
+
+
+def test_pagerank_directed_pure_sink(spark):
+    """Directed chain 1→2→3 with NO self-loop: node 3 is a pure sink.
+    It must still appear in the output (node set = src ∪ dst), its
+    dangling mass must be redistributed (ranks sum to 1, not decay),
+    and it must outrank its upstream nodes."""
+    from big_data_projects_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    ranks = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, directed=True, iterations=20).collect()
+    }
+    assert set(ranks) == {1, 2, 3}
+    assert ranks[1] < ranks[2] < ranks[3]
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
 
 
 def test_observe_metrics_single_pass(spark):

@@ -149,3 +149,31 @@ def test_cached_listens_resident_in_memory(spark, etl):
     assert any(info.memSize() > 0 for info in cached), (
         "cached relation not memory-resident"
     )
+
+
+def test_storage_level_introspection_api(spark):
+    """C2 via the public df.storageLevel surface (the exact check a
+    reference user ports): uncached → useMemory False; after cache()
+    + action → useMemory True (MEMORY_AND_DISK default), and False
+    again after unpersist()."""
+    import json as _json
+
+    from big_data_projects_spark.reference_etl import (
+        LOGS_SCHEMA,
+        process_logs,
+        storage_info,
+    )
+
+    logs = spark.read.schema(LOGS_SCHEMA).json(
+        spark.sparkContext.parallelize([_json.dumps(r) for r in LOGS])
+    )
+    listens = process_logs(logs)
+    assert storage_info(listens)["useMemory"] is False
+
+    listens = listens.cache()
+    listens.count()  # materialize the cache
+    info = storage_info(listens)
+    assert info["useMemory"] is True
+    assert info["useDisk"] is True  # cache() default MEMORY_AND_DISK
+    listens.unpersist(blocking=True)
+    assert storage_info(listens)["useMemory"] is False
