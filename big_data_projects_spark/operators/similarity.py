@@ -18,8 +18,9 @@
                  signature width scales with corpus size so buckets
                  stay bounded (recall pinned by unit test).
 - kmeans_assign: distributed Lloyd k-means with deterministic
-                 farthest-first seeding — builds the IVF partitioning
-                 when no natural block key exists.
+                 k-means‖-style oversampled seeding (O(1) scans, not
+                 O(k)) — builds the IVF partitioning when no natural
+                 block key exists.
 
 No Python in the similarity hot loop: folds are Catalyst higher-order
 functions. A Pandas-UDF matmul variant is deliberately *not* the
@@ -267,12 +268,18 @@ def kmeans_assign(
     coarse quantizer for an IVF index (ivf_topk partitions by an
     existing label; this builds the partitioning when none exists).
 
-    - init: deterministic farthest-first traversal (the k-center
-      2-approximation): first seed = smallest xxhash64(id), each next
-      seed = the point farthest from its nearest chosen seed. One scan
-      per seed; immune to the duplicate-seed collapse that random
-      sampling hits on clustered data. No rand() anywhere — retried
-      stages reproduce identical seeds.
+    - init: deterministic k-means‖-style oversampled seeding (Bahmani
+      et al., VLDB 2012) — a FIXED number of scans regardless of k:
+      first seed = smallest xxhash64(id); then ``seed_rounds`` rounds
+      each hash-bucket the corpus into ~4k buckets and take the point
+      farthest from the current seed set per bucket (one scan per
+      round, ≤4k candidates each, spread by the hash blocking); then
+      one scan weights every candidate by the number of points nearest
+      to it; finally a driver-side weighted greedy k-center pass over
+      the ≤(8k+1)-row candidate table picks the k seeds. No rand()
+      anywhere (hash buckets + deterministic argmax with id tiebreak) —
+      retried stages reproduce identical seeds, and the seed phase is
+      O(1) full-corpus scans where farthest-first traversal was O(k).
     - assign: cross join against the k-row broadcast centroid table,
       per-row argmin of squared L2 distance (JVM fold, no UDF).
     - update: per-(cluster, position) decimal means via posexplode →
@@ -298,29 +305,90 @@ def kmeans_assign(
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__v"),
     ).persist()
 
-    # Farthest-first seeding: one argmax scan per seed.
-    first = (
+    spark = vecs.sparkSession
+    n_buckets = 4 * k
+    seed_rounds = 2
+
+    # Seed 0: smallest hash — one scan.
+    cands = (
         vecs.withColumn("__h", F.xxhash64("__id"))
         .orderBy("__h", "__id")
         .limit(1)
-        .select(F.lit(1).alias("cluster"), F.col("__v").alias("__c"))
+        .select("__id", "__v")
+        .collect()
     )
-    seeds = first.collect()
-    for i in range(2, k + 1):
-        seed_df = vecs.sparkSession.createDataFrame(
-            seeds, schema="cluster int, __c array<double>"
-        )
-        farthest = (
-            vecs.crossJoin(F.broadcast(seed_df))
+    # Oversampling rounds: per hash-bucket farthest point from the
+    # current candidate set — one scan per round, candidates stay
+    # driver-small (≤ n_buckets per round) by construction.
+    for rnd in range(1, seed_rounds + 1):
+        cand_df = spark.createDataFrame(cands, schema="__id long, __v array<double>")
+        dmin = (
+            vecs.crossJoin(F.broadcast(cand_df.select(F.col("__v").alias("__c"))))
             .groupBy("__id", "__v")
             .agg(F.min(_sq_dist(F.col("__v"), F.col("__c"))).alias("__dmin"))
-            .orderBy(F.col("__dmin").desc(), "__id")
-            .limit(1)
-            .select(F.lit(i).alias("cluster"), F.col("__v").alias("__c"))
+            .filter(F.col("__dmin") > 0)
+            .withColumn(
+                "__bkt", F.pmod(F.xxhash64(F.col("__id"), F.lit(rnd)), F.lit(n_buckets))
+            )
         )
-        seeds.extend(farthest.collect())
-    centroids = vecs.sparkSession.createDataFrame(
-        seeds, schema="cluster int, __c array<double>"
+        wb = Window.partitionBy("__bkt").orderBy(F.col("__dmin").desc(), "__id")
+        picked = (
+            dmin.withColumn("__rk", F.row_number().over(wb))
+            .filter(F.col("__rk") == 1)
+            .select("__id", "__v")
+            .collect()
+        )
+        seen = {r["__id"] for r in cands}
+        cands.extend(r for r in picked if r["__id"] not in seen)
+    # Weight candidates by attraction (points nearest to each) — one
+    # scan — then reduce to k seeds with a driver-side weighted greedy
+    # k-center pass over the tiny candidate table.
+    cand_df = spark.createDataFrame(cands, schema="__id long, __v array<double>")
+    wa = Window.partitionBy("__pid").orderBy(F.col("__d"), F.col("__cid"))
+    weights = {
+        r["__cid"]: r["w"]
+        for r in (
+            vecs.select(F.col("__id").alias("__pid"), "__v")
+            .crossJoin(
+                F.broadcast(
+                    cand_df.select(
+                        F.col("__id").alias("__cid"), F.col("__v").alias("__c")
+                    )
+                )
+            )
+            .select(
+                "__pid", "__cid", _sq_dist(F.col("__v"), F.col("__c")).alias("__d")
+            )
+            .withColumn("__rk", F.row_number().over(wa))
+            .filter(F.col("__rk") == 1)
+            .groupBy("__cid")
+            .agg(F.count(F.lit(1)).alias("w"))
+            .collect()
+        )
+    }
+
+    def _sq(a: list, b: list) -> float:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    chosen = [cands[0]]
+    chosen_ids = {cands[0]["__id"]}
+    while len(chosen) < k:
+        best = None
+        for r in cands:
+            if r["__id"] in chosen_ids:
+                continue
+            d = min(_sq(r["__v"], c["__v"]) for c in chosen)
+            score = weights.get(r["__id"], 0) * d
+            key = (score, d, -r["__id"])
+            if d > 0 and (best is None or key > best[0]):
+                best = (key, r)
+        if best is None:  # fewer distinct points than k
+            break
+        chosen.append(best[1])
+        chosen_ids.add(best[1]["__id"])
+    centroids = spark.createDataFrame(
+        [(i + 1, r["__v"]) for i, r in enumerate(chosen)],
+        schema="cluster int, __c array<double>",
     )
     for _ in range(n_iter):
         scored = (
