@@ -456,6 +456,89 @@ def q_tfidf_top_terms(spark, sf_dir):
 
 
 @register(
+    "q_bm25",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+           WHERE term IN ('join', 'shuffle', 'vector') GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    per_term AS (
+        SELECT t.doc_id,
+               CAST(round(
+                   ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * t.tf * (1.2 + 1)
+                   / (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / avgdl)),
+                   8) AS DECIMAL(38, 10)) AS s
+        FROM tf t
+        JOIN dfreq USING (term)
+        JOIN dl d USING (doc_id)
+        CROSS JOIN stats
+    )
+    SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS bm25
+    FROM per_term GROUP BY doc_id
+    """,
+)
+def q_bm25(spark, sf_dir):
+    """BM25 relevance scoring (k1=1.2, b=0.75) for a fixed query-term
+    set over the whole corpus — the lexical-retrieval half of a
+    training-data / RAG pipeline. Corpus stats (N, avgdl) and document
+    frequencies come from 1-row / tiny broadcast joins, never a driver
+    collect; term frequencies and doc lengths are exact integer counts,
+    so the only float inputs are avgdl (identical correctly-rounded
+    double in both engines) and ln() (washed by round-to-8 BEFORE the
+    decimal-sum, whose accumulation is order-independent). At 100 TB:
+    one explode + two groupBys shuffled on term/doc_id — no all-pairs
+    anything, broadcast joins for the scalar/dim sides."""
+    terms = ("join", "shuffle", "vector")
+    k1, b = 1.2, 0.75
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * F.col("tf")
+                * (k1 + 1)
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                ),
+                8,
+            )
+            .cast("decimal(38,10)")
+            .alias("s"),
+        )
+    )
+    return per_term.groupBy("doc_id").agg(
+        F.sum("s").cast("double").alias("bm25")
+    )
+
+
+@register(
     "q_embed_outliers",
     oracle="""
     WITH pos AS (
@@ -892,6 +975,53 @@ def q_pagerank_sim_graph(spark, sf_dir):
     return pagerank(edges, "doc_a", "doc_b").select(
         F.col("node").alias("doc_id"), "rank"
     )
+
+
+@register(
+    "q_triangle_count",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT
+        (SELECT COUNT(DISTINCT p) FROM (
+            SELECT p1 AS p FROM pairs UNION SELECT p2 FROM pairs)) AS n_nodes,
+        (SELECT COUNT(*) FROM pairs) AS n_edges,
+        (SELECT COUNT(*)
+         FROM pairs e1
+         JOIN pairs e2 ON e2.p1 = e1.p2
+         WHERE EXISTS (SELECT 1 FROM pairs e3
+                       WHERE e3.p1 = e1.p1 AND e3.p2 = e2.p2)) AS n_triangles
+    """,
+)
+def q_triangle_count(spark, sf_dir):
+    """Triangle count on the parts-co-ordered graph (edge = two parts
+    appearing in the same order — the market-basket co-occurrence
+    graph). Edge construction is a self-join bounded by per-order
+    fan-out (≤7 lineitems/order in TPC-H shape, so ≤21 pairs/order —
+    linear in lineitem); triangles are the standard wedge-close
+    two-equi-join enumeration, each triangle {a<b<c} counted once.
+    Exact-count oracle: same enumeration as correlated EXISTS in
+    DuckDB."""
+    from big_data_projects_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        li.alias("x")
+        .join(
+            li.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("p1"), F.col("y.l_partkey").alias("p2")
+        )
+        .distinct()
+    )
+    return triangle_count(pairs, "p1", "p2")
 
 
 @register(

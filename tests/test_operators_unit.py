@@ -666,6 +666,26 @@ def test_pagerank_directed_dangling_source(spark):
     assert ranks[1] < ranks[2] < ranks[3]
 
 
+def test_triangle_count_known_graphs(spark):
+    """K4 has 4 triangles; a 4-cycle has none; edge direction,
+    duplicates, and self-loops must not change the count."""
+    from big_data_projects_spark.operators.graph import triangle_count
+
+    k4 = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (2, 1), (3, 3)],  # reversed dup + self-loop: no effect
+        ["src", "dst"],
+    )
+    row = triangle_count(k4).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (4, 6, 4)
+
+    square = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], ["src", "dst"]
+    )
+    row = triangle_count(square).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (4, 4, 0)
+
+
 def test_pagerank_directed_pure_sink(spark):
     """Directed chain 1→2→3 with NO self-loop: node 3 is a pure sink.
     It must still appear in the output (node set = src ∪ dst), its
