@@ -113,3 +113,91 @@ def fingerprint32(col: Column | str) -> Column:
     """First 32 bits of the md5 as a bigint — compact dedup key."""
     c = F.col(col) if isinstance(col, str) else col
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+# GPT-2-style pre-tokenizer over lowercased text: contraction suffixes,
+# space-prefixed letter runs, space-prefixed digit runs, space-prefixed
+# punctuation runs, residual whitespace. Restricted to constructs with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB): no
+# backreferences, no lookaround, ASCII \s.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+|\s+"
+
+# Polynomial rolling-hash parameters (Rabin–Karp): BASE·acc + h(tok)
+# mod MOD. MOD < 2^31 and h(tok) < 2^28 keep every intermediate under
+# 2^39 — exact int64 arithmetic on both engines, no overflow under
+# ANSI mode.
+ROLL_BASE = 131
+ROLL_MOD = (1 << 31) - 1
+
+
+def _tok_hash28(c: Column) -> Column:
+    """28-bit md5-derived token hash — `CAST('0x'||substr(md5(t),1,7)
+    AS BIGINT)` in the DuckDB twin."""
+    return F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast("long")
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Number of BPE-style pre-tokens (bigint)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(BPE_PATTERN), F.lit(0))).cast(
+        "long"
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every k-token gram with a
+    polynomial rolling hash, then keep the minimum hash of each window
+    of w consecutive gram hashes; the distinct selected minima are the
+    document's fingerprints. Guarantees every shared substring of
+    length ≥ k+w−1 tokens contributes a shared fingerprint, with
+    density ~2/(w+1) — the standard sublinear fingerprinting scheme
+    for plagiarism / near-dup detection.
+
+    The gram hash is the Rabin–Karp polynomial fold (BASE=131,
+    MOD=2^31−1) over 28-bit md5 token hashes — written as a per-gram
+    fold (identical value to the O(1) rolling update; SQL has no
+    carried state between rows, and k is a small constant). Engine-
+    portable: the DuckDB twin reproduces it with list_reduce.
+
+    Execution shape: one explode (grams) + one windowed min partitioned
+    by doc + one distinct — all shuffle keys are doc ids. Docs with
+    fewer than k+w−1 tokens emit no fingerprints (no full window).
+    Returns distinct (id, fp) rows.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("__toks")).filter(
+        F.size("__toks") >= k
+    )
+    slots = ", ".join(f"__toks[i + {j}]" for j in range(k))
+    # Per-position gram hash: fold the k token hashes at offset i.
+    gram = F.expr(
+        f"transform(sequence(0, size(__toks) - {k}), i -> "
+        f"aggregate(array({slots}), cast(0 as bigint), "
+        f"(acc, t) -> (acc * {ROLL_BASE} + "
+        f"cast(conv(substring(md5(t), 1, 7), 16, 10) as bigint)) % {ROLL_MOD}))"
+    )
+    grams = base.select(
+        F.col(id_col), F.posexplode(gram).alias("pos", "h")
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    n_grams = Window.partitionBy(id_col)
+    return (
+        grams.withColumn("__wmin", F.min("h").over(win))
+        .withColumn("__n", F.count(F.lit(1)).over(n_grams))
+        .filter(F.col("pos") <= F.col("__n") - w)  # full windows only
+        .select(F.col(id_col), F.col("__wmin").alias("fp"))
+        .distinct()
+    )

@@ -103,6 +103,70 @@ def q_text_quality(spark, sf_dir):
 
 
 @register(
+    "q_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+             AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text),
+               '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+|\s+'))
+             AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_bpe_token_count(spark, sf_dir):
+    """Token counting, both ways a data pipeline needs it: whitespace
+    tokens and a GPT-2-style BPE pre-tokenizer regex (contraction
+    suffixes / letter runs / digit runs / punctuation runs) — the
+    cheap proxy for 'how many model tokens is this document' used in
+    token-budget accounting. Pattern restricted to Java-regex ∩ RE2
+    constructs so both engines tokenize identically."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(T.tokens("text")).cast("long").alias("n_ws_tokens"),
+        T.bpe_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "q_winnow_fingerprint",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, i AS pos,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(toks[i:i+4],
+                           t -> CAST(('0x' || substr(md5(t), 1, 7)) AS BIGINT))),
+                   (acc, x) -> (acc * 131 + x) % 2147483647) AS h
+        FROM t, UNNEST(generate_series(1, len(toks) - 4)) AS u(i)
+        WHERE len(toks) >= 5
+    ),
+    wmin AS (
+        SELECT doc_id, pos,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n
+        FROM g
+    )
+    SELECT DISTINCT doc_id, fp FROM wmin WHERE pos <= n - 3
+    """,
+)
+def q_winnow_fingerprint(spark, sf_dir):
+    """Winnowing fingerprints (MOSS): rolling-hash k-gram hashes →
+    per-window minima → distinct selected fingerprints per document.
+    See operators/text.py:winnowing_fingerprints for the guarantee and
+    the 100 TB shape (explode + doc-partitioned window, no self-join)."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.winnowing_fingerprints(docs, "doc_id", "text", k=5, w=4)
+
+
+@register(
     "q_doc_fingerprint",
     oracle="""
     SELECT doc_id, md5(text) AS fp,

@@ -666,6 +666,30 @@ def test_pagerank_directed_dangling_source(spark):
     assert ranks[1] < ranks[2] < ranks[3]
 
 
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing's defining property: two documents sharing a run of
+    >= k+w-1 tokens share at least one fingerprint; disjoint-vocabulary
+    documents share none."""
+    from big_data_projects_spark.operators.text import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 >= 5+4-1
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words {shared} closing remarks here"),
+            (2, f"totally different opening {shared} and another ending"),
+            (3, "unrelated vocabulary entirely disjoint from the others ok"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(docs, k=5, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc.get(3, set()))
+    assert not (by_doc[2] & by_doc.get(3, set()))
+
+
 def test_triangle_count_known_graphs(spark):
     """K4 has 4 triangles; a 4-cycle has none; edge direction,
     duplicates, and self-loops must not change the count."""
