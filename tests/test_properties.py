@@ -94,6 +94,92 @@ def test_dsum_invariant_under_repartitioning(spark, values, nparts):
     assert a == b
 
 
+edges_strategy = st.lists(
+    st.tuples(st.integers(1, 8), st.integers(1, 8)),
+    min_size=1,
+    max_size=16,
+)
+
+
+@given(edges=edges_strategy)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_triangle_count_matches_bruteforce(spark, edges):
+    """Triangle count equals the brute-force enumeration over all node
+    triples for arbitrary small graphs (dups, self-loops, both edge
+    directions included by the generator)."""
+    import itertools
+
+    from big_data_projects_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    row = triangle_count(df).collect()[0]
+    eset = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = sorted({n for e in eset for n in e})
+    expected = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset
+    )
+    assert row["n_triangles"] == expected
+    assert row["n_edges"] == len(eset)
+    assert row["n_nodes"] == len(nodes)
+
+
+@given(edges=edges_strategy)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_connected_components_matches_union_find(spark, edges):
+    """Component labels equal a driver-side union-find's min-node
+    labels for arbitrary small graphs."""
+    from big_data_projects_spark.operators.components import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["comp"] for r in connected_components(df).collect()
+    }
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        comp_min.setdefault(find(n), n)
+        comp_min[find(n)] = min(comp_min[find(n)], n)
+    expected = {n: comp_min[find(n)] for n in parent}
+    assert got == expected
+
+
+@given(edges=edges_strategy)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pagerank_directed_mass_conserved(spark, edges):
+    """Directed PageRank with dangling-mass correction: ranks cover
+    src ∪ dst and sum to 1 for arbitrary graphs (sinks included)."""
+    from big_data_projects_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    ranks = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, directed=True, iterations=5).collect()
+    }
+    expected_nodes = {n for e in edges for n in e}
+    assert set(ranks) == expected_nodes
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert all(v > 0 for v in ranks.values())
+
+
 @given(
     st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=60),
     st.integers(min_value=8, max_value=64),

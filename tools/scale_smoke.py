@@ -41,6 +41,10 @@ closed. q_embed_lsh_neardup emits ~68x the pairs at x10 (low-dim
 synthetic embeddings put incidental cross-replica cosine near the 0.3
 threshold) yet still runs sub-proportional — candidate generation is
 not the bottleneck.
+
+At M=30 (150k docs / 60k vectors): wall ratios 4.1 / 3.8 / 2.1 / 6.4
+for 30x data (q_embed_lsh_neardup emitting 413x the pairs for the
+threshold-artifact reason above) — still far under proportional.
 """
 
 from __future__ import annotations
