@@ -167,6 +167,74 @@ def q_winnow_fingerprint(spark, sf_dir):
 
 
 @register(
+    "q_unigram_ppl",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    ),
+    cf AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n, (SELECT COUNT(*) FROM cf) AS v FROM toks),
+    nll AS (
+        SELECT t.doc_id,
+               CAST(round(-ln((c + 1.0) / (n + v)), 12) AS DECIMAL(38, 14))
+                 AS x
+        FROM toks t JOIN cf USING (term) CROSS JOIN tot
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_toks, CAST(SUM(x) AS DOUBLE) AS s
+        FROM nll GROUP BY 1
+    )
+    SELECT doc_id, n_toks, round(exp(s / n_toks), 8) AS ppl
+    FROM agg
+    """,
+)
+def q_unigram_ppl(spark, sf_dir):
+    """Unigram-LM perplexity per document (CCNet-style quality signal):
+    add-1-smoothed corpus unigram probabilities, per-doc mean negative
+    log-likelihood, ppl = exp(mean). Low ppl ≈ stereotypical text, high
+    ppl ≈ noise — the standard cheap LM filter before expensive model
+    scoring. Counts are exact ints; each token's −ln p is rounded to 12
+    then decimal-summed (order-independent), and the final exp() is
+    rounded to 8 so last-ulp libm differences can't leak into the hash.
+    At 100 TB: explode + two keyed groupBys + one term-keyed equi-join
+    (AQE broadcasts the term table when it fits); no driver collect."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    cf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = (
+        toks.agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(cf.agg(F.count(F.lit(1)).alias("v"))))
+    )
+    nll = (
+        toks.join(cf, "term")
+        .join(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log((F.col("c") + F.lit(1.0)) / (F.col("n") + F.col("v"))),
+                12,
+            )
+            .cast("decimal(38,14)")
+            .alias("x"),
+        )
+    )
+    return (
+        nll.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("x").cast("double").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            F.round(F.exp(F.col("s") / F.col("n_toks")), 8).alias("ppl"),
+        )
+    )
+
+
+@register(
     "q_doc_fingerprint",
     oracle="""
     SELECT doc_id, md5(text) AS fp,
