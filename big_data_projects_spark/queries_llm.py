@@ -167,6 +167,75 @@ def q_winnow_fingerprint(spark, sf_dir):
 
 
 @register(
+    "q_embed_decontaminate",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    ev AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+    tr AS (SELECT * FROM e WHERE vec_id % 10 != 0),
+    p AS (
+        SELECT ev.vec_id,
+               list_dot_product(ev.v, tr.v)
+                 / (sqrt(list_dot_product(ev.v, ev.v))
+                    * sqrt(list_dot_product(tr.v, tr.v))) AS sim
+        FROM ev JOIN tr USING (label)
+    ),
+    agg AS (
+        SELECT vec_id,
+               COUNT(CASE WHEN sim >= 0.3 THEN 1 END) AS n_near,
+               round(MAX(sim), 10) AS max_sim
+        FROM p GROUP BY vec_id
+    )
+    SELECT ev.vec_id,
+           COALESCE(agg.n_near, 0) AS n_near,
+           COALESCE(agg.max_sim, -1.0) AS max_sim,
+           COALESCE(agg.n_near, 0) > 0 AS is_contaminated
+    FROM ev LEFT JOIN agg USING (vec_id)
+    """,
+)
+def q_embed_decontaminate(spark, sf_dir):
+    """Embedding-space train↔eval decontamination: for every held-out
+    eval vector (vec_id % 10 = 0), how many training vectors sit above
+    a cosine threshold — the semantic-overlap complement to
+    q_contamination's exact shingle check. Comparison is BLOCKED on the
+    label column (the IVF-partition pattern): a keyed equi-join on
+    label, never an all-pairs product, so the shape survives a corpus
+    where both sides are huge (the label blocking is exactly what
+    kmeans_assign builds when no natural key exists). Cosine is the
+    sequential JVM fold, bit-identical to DuckDB list_dot_product;
+    max_sim rounds to 10 and nulls coalesce to -1 so the hash is
+    engine-exact."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    ev = emb.filter(F.col("vec_id") % 10 == 0)
+    tr = emb.filter(F.col("vec_id") % 10 != 0).select(
+        "label", F.col("v").alias("vt")
+    )
+    sims = ev.join(tr, "label").select(
+        "vec_id", S.cosine_sim(F.col("v"), F.col("vt")).alias("sim")
+    )
+    agg = sims.groupBy("vec_id").agg(
+        F.count(F.when(F.col("sim") >= 0.3, 1)).alias("n_near"),
+        F.round(F.max("sim"), 10).alias("max_sim"),
+    )
+    return (
+        ev.select("vec_id")
+        .join(agg, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_near", F.lit(0)).alias("n_near"),
+            F.coalesce("max_sim", F.lit(-1.0)).alias("max_sim"),
+            (F.coalesce("n_near", F.lit(0)) > 0).alias("is_contaminated"),
+        )
+    )
+
+
+@register(
     "q_unigram_ppl",
     oracle=r"""
     WITH toks AS (
