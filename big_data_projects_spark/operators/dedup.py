@@ -148,7 +148,10 @@ def ngram_jaccard_pairs(
             .filter(F.col("__df") > max_shingle_df)
             .select("shingle")
         )
-        sh = sh.join(hot, "shingle", "left_anti")
+        # Persist the CAPPED relation: it feeds three consumers (sizes,
+        # both self-join sides) — without this the hot-df aggregation
+        # and anti-join would re-run per consumer.
+        sh = sh.join(hot, "shingle", "left_anti").persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
