@@ -372,23 +372,29 @@ def simhash_near_pairs(
         )
     seg_bits = bits // segments
     mask = (1 << seg_bits) - 1
-    segs = sh.select(
-        id_col,
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("seg"),
-                        F.shiftright(F.col("simhash"), i * seg_bits)
-                        .bitwiseAND(mask)
-                        .alias("key"),
-                    )
-                    for i in range(segments)
-                ]
-            )
-        ).alias("sk"),
-    ).select(id_col, "simhash", "sk.seg", "sk.key")
+    segs = (
+        sh.select(
+            id_col,
+            "simhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("seg"),
+                            F.shiftright(F.col("simhash"), i * seg_bits)
+                            .bitwiseAND(mask)
+                            .alias("key"),
+                        )
+                        for i in range(segments)
+                    ]
+                )
+            ).alias("sk"),
+        )
+        .select(id_col, "simhash", "sk.seg", "sk.key")
+        # Both self-join sides consume this; without persist the whole
+        # upstream simhash aggregation runs twice.
+        .persist()
+    )
     a = segs.select(
         F.col(id_col).alias("doc_a"), F.col("simhash").alias("h_a"), "seg", "key"
     )

@@ -231,7 +231,10 @@ def lsh_neardup_pairs(
         ).alias(f"b{band}")
         for band in range(n_bands)
     ]
-    sig = emb.select(F.col(id_col), F.col(vec_col), *bands)
+    # Every band contributes two join-side consumers of sig; without
+    # persist the hyperplane sign projections (bits_per_band × n_bands
+    # dot products per row) recompute once per consumer.
+    sig = emb.select(F.col(id_col), F.col(vec_col), *bands).persist()
     cands = None
     for band in range(n_bands):
         a = sig.select(
