@@ -28,7 +28,37 @@ REGISTRY: dict[str, Query] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
-        REGISTRY[name] = Query(fn, oracle)
-        return fn
+        def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Operators persist multi-consumer intermediates (shingles,
+            # signatures, segment explosions) that the lazily-returned
+            # result still references, so they cannot unpersist before
+            # the caller materializes. A long-lived session running
+            # many queries back-to-back (the driver's CORRECTNESS
+            # sweep, the pytest oracle harness) would accumulate those
+            # caches until the driver heap fills — drop everything
+            # cached by PRIOR queries before building this one.
+            # persist() is advisory, so this can never change results;
+            # by the time the next builder runs, the previous query's
+            # output has been materialized by the caller.
+            spark.catalog.clearCache()
+            # Broadcast blocks from prior queries' joins are reclaimed
+            # only by ContextCleaner AFTER a JVM GC, and a back-to-back
+            # sweep never triggers one until allocation fails (the
+            # periodic-GC safety net defaults to 30 min — longer than
+            # the whole sweep). On a default-1g-heap session ~90
+            # queries of broadcast residue OOM'd the driver; an
+            # explicit collect per build keeps residency flat and costs
+            # ~10 ms with a small live set.
+            import gc
+
+            gc.collect()  # release py4j proxies so the JVM refs die
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass  # non-py4j backends (Connect): rely on the cleaner
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = Query(build, oracle)
+        return fn  # composed queries call the raw builder, un-wrapped
 
     return deco

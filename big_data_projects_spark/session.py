@@ -25,6 +25,12 @@ _REQUIRED_RUNTIME_CONF = {
     # Spark's 200 default over-parallelizes local/test scale; streaming
     # aggregations don't get AQE coalescing, so pin explicitly.
     "spark.sql.shuffle.partitions": "32",
+    # Plan-string generation is UNBOUNDED by default; the composed
+    # pipeline queries (minhash bands × components iterations) produce
+    # plan descriptions whose single contiguous char[] allocation OOM'd
+    # a default-1g-heap driver session mid-sweep. 1M chars is plenty
+    # for debugging and bounds the allocation to ~2 MB.
+    "spark.sql.maxPlanStringLength": "1048576",
 }
 
 

@@ -198,3 +198,36 @@ def test_aqe_coalesces_small_shuffle_partitions(spark):
 def test_shuffle_hash_hint_controls_join_strategy(spark):
     plan = plan_of(spark, "q_shuffle_hash_hint")
     assert "ShuffledHashJoin" in plan, "hint ignored"
+
+
+def test_bm25_broadcasts_stats_never_collects(spark):
+    """BM25's corpus scalars (N, avgdl) and the per-term df table join
+    in as broadcasts; the doc-length join stays a keyed join; nothing
+    falls back to a cartesian product."""
+    plan = plan_of(spark, "q_bm25")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_winnowing_window_partitions_by_doc(spark):
+    """The winnowing min-window must partition by doc id — a global
+    window would single-partition every gram at 100 TB."""
+    plan = plan_of(spark, "q_winnow_fingerprint")
+    assert "Exchange SinglePartition" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_triangle_count_joins_are_keyed(spark):
+    """Wedge-close enumeration must run as keyed equi-joins (shuffle or
+    broadcast), never a cartesian product; the scalar assembly joins are
+    1-row broadcasts."""
+    plan = plan_of(spark, "q_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan  # the close-check is a semi join
+
+
+def test_decontaminate_blocked_join_no_product(spark):
+    plan = plan_of(spark, "q_embed_decontaminate")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
