@@ -21,6 +21,11 @@ from pyspark.sql import DataFrame, SparkSession
 class Query:
     spark: Callable[[SparkSession, str], DataFrame]
     oracle: str | None = None  # None → driver records a rows-only check
+    # The un-wrapped builder (no pre-build cache/GC hygiene): for
+    # callers that do their own session hygiene OUTSIDE a timed section
+    # (bench.py) so the wrapper's clearCache+gc never lands in a
+    # measured interval.
+    raw: Callable[[SparkSession, str], DataFrame] | None = None
 
 
 REGISTRY: dict[str, Query] = {}
@@ -58,7 +63,7 @@ def register(name: str, oracle: str | None = None):
                 pass  # non-py4j backends (Connect): rely on the cleaner
             return fn(spark, sf_dir)
 
-        REGISTRY[name] = Query(build, oracle)
+        REGISTRY[name] = Query(build, oracle, raw=fn)
         return fn  # composed queries call the raw builder, un-wrapped
 
     return deco
