@@ -403,3 +403,49 @@ def q_shuffle_hash_hint(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_SYNTH_ROWS = 20000
+
+from big_data_projects_spark.sources import synthetic as _synth  # noqa: E402
+
+
+@register(
+    "q_custom_source",
+    oracle=f"""
+    WITH synth AS ({_synth.oracle_sql(_SYNTH_ROWS)})
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(amount AS DECIMAL(38,6))) AS DOUBLE) AS total_amount,
+           MIN(ts_micros) AS first_ts,
+           MAX(ts_micros) AS last_ts
+    FROM synth GROUP BY event_type
+    """,
+)
+def q_custom_source(spark, sf_dir):
+    """Custom connector end-to-end (Spark 4 Python DataSource API):
+    read the deterministic synthetic event stream through the
+    registered ``bdp_synth`` source — Spark schedules its partitions()
+    like any other scan — then aggregate per event type. The oracle
+    REGENERATES the identical relation in SQL (every field of row i
+    derives from md5(str(i))), so the driver's value-hash verifies the
+    connector's output itself, not just a row count. ``sf_dir`` is
+    unused: the source is its own data."""
+    ensure_runtime_conf(spark)
+    _synth.register(spark)
+    df = (
+        spark.read.format("bdp_synth")
+        .option("n_rows", _SYNTH_ROWS)
+        .option("n_partitions", 8)
+        .load()
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum(F.col("amount").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("total_amount"),
+        F.min("ts_micros").alias("first_ts"),
+        F.max("ts_micros").alias("last_ts"),
+    )

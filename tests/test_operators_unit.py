@@ -666,6 +666,37 @@ def test_pagerank_directed_dangling_source(spark):
     assert ranks[1] < ranks[2] < ranks[3]
 
 
+def test_custom_source_partitions_cover_range_exactly(spark):
+    """The Python DataSource must emit each row id exactly once across
+    partitions, including when n_rows doesn't divide by n_partitions,
+    and honor tiny/degenerate splits."""
+    from big_data_projects_spark.sources import synthetic
+
+    synthetic.register(spark)
+    for n_rows, n_parts in ((17, 4), (5, 8), (1, 3)):
+        df = (
+            spark.read.format("bdp_synth")
+            .option("n_rows", n_rows)
+            .option("n_partitions", n_parts)
+            .load()
+        )
+        ids = sorted(r["event_id"] for r in df.select("event_id").collect())
+        assert ids == list(range(n_rows)), (n_rows, n_parts, ids)
+    # Field derivation matches the documented pure function.
+    row = (
+        spark.read.format("bdp_synth")
+        .option("n_rows", 3)
+        .load()
+        .filter("event_id = 2")
+        .collect()[0]
+    )
+    import hashlib
+
+    h = hashlib.md5(b"2").hexdigest()
+    assert row["user_id"] == int(h[:7], 16) % 1000
+    assert row["amount"] == (int(h[7:13], 16) % 100_000) / 100.0
+
+
 def test_winnowing_shared_substring_guarantee(spark):
     """Winnowing's defining property: two documents sharing a run of
     >= k+w-1 tokens share at least one fingerprint; disjoint-vocabulary
