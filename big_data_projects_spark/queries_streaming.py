@@ -189,3 +189,46 @@ def q_stream_foreach_sink(spark, sf_dir):
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), dsum("value", "total_value")
     )
+
+
+from big_data_projects_spark.sources import synthetic as _synth  # noqa: E402
+
+
+@register(
+    "q_stream_custom_source",
+    oracle=f"""
+    WITH synth AS ({_synth.oracle_sql(20000)})
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(amount AS DECIMAL(38,6))) AS DOUBLE) AS total_amount
+    FROM synth GROUP BY event_type
+    """,
+)
+def q_stream_custom_source(spark, sf_dir):
+    """Streaming face of the custom Python DataSource: readStream over
+    bdp_synth (SimpleDataSourceStreamReader — offsets are row indices,
+    micro-batches of 2k rows, exactly-once restartable because each
+    batch is a pure function of its offset pair), aggregated per event
+    type in complete mode and driven to completion. The oracle
+    regenerates the full relation in SQL and applies the same
+    aggregate, so the driver hash-verifies the custom STREAMING
+    connector end-to-end. ``sf_dir`` unused — the source is its own
+    data."""
+    from big_data_projects_spark.sources import synthetic
+    from big_data_projects_spark.streaming.core import run_to_completion
+
+    ensure_runtime_conf(spark)
+    synthetic.register(spark)
+    stream = (
+        spark.readStream.format("bdp_synth")
+        .option("n_rows", 20000)
+        .option("batch_rows", 2000)
+        .load()
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("amount").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("total_amount"),
+    )
+    return run_to_completion(agg, "complete")

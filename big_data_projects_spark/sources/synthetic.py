@@ -28,7 +28,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 EVENT_TYPES = ("click", "view", "purchase", "refund")
 
@@ -73,8 +78,35 @@ class SyntheticEventsReader(DataSourceReader):
             yield synth_row(i)
 
 
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch face of the same relation: offsets are plain row
+    indices, each batch emits up to ``batch_rows`` rows, and the stream
+    goes quiet once ``n_rows`` have been served — a bounded backfill,
+    the same contract the parquet-backed streaming queries use. Offsets
+    are exactly-once restartable: batch [start, end) is a pure function
+    of the offset pair, so checkpoint replay regenerates identical
+    rows."""
+
+    def __init__(self, options: dict):
+        self.n_rows = int(options.get("n_rows", 10_000))
+        self.batch_rows = int(options.get("batch_rows", 2_000))
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def read(self, start: dict):
+        lo = int(start["row"])
+        hi = min(lo + self.batch_rows, self.n_rows)
+        return iter([synth_row(i) for i in range(lo, hi)]), {"row": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([synth_row(i) for i in range(int(start["row"]), int(end["row"]))])
+
+
 class SyntheticEventsDataSource(DataSource):
-    """``spark.read.format("bdp_synth").option("n_rows", N).load()``"""
+    """``spark.read.format("bdp_synth").option("n_rows", N).load()``
+    (batch) or ``spark.readStream.format("bdp_synth")...`` (micro-batch
+    stream over the same deterministic relation)."""
 
     @classmethod
     def name(cls) -> str:
@@ -85,6 +117,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticEventsReader:
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SyntheticEventsStreamReader:
+        return SyntheticEventsStreamReader(self.options)
 
 
 def register(spark) -> None:
