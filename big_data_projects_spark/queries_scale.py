@@ -449,3 +449,44 @@ def q_custom_source(spark, sf_dir):
         F.min("ts_micros").alias("first_ts"),
         F.max("ts_micros").alias("last_ts"),
     )
+
+
+@register(
+    "q_custom_sink",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_custom_sink(spark, sf_dir):
+    """Custom sink end-to-end (Spark 4 Python DataSource writer API):
+    aggregate orders, write through the bdp_jsonl two-phase-commit
+    sink (per-task temp files published only by the driver-side
+    commit), then re-read the published files with an explicit schema
+    and return them. The oracle is the plain aggregate, so the
+    round-trip through the custom writer must be value-exact (JSON
+    shortest-repr doubles round-trip losslessly)."""
+    import tempfile
+
+    from big_data_projects_spark.sources import jsonl_sink
+
+    ensure_runtime_conf(spark)
+    jsonl_sink.register(spark)
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="bdp_custom_sink_")
+    agg.write.format("bdp_jsonl").option("path", out).mode("append").save()
+    return spark.read.schema(
+        "o_orderpriority string, n_orders bigint, total_price double"
+    ).json(out)

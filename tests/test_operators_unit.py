@@ -697,6 +697,35 @@ def test_custom_source_partitions_cover_range_exactly(spark):
     assert row["amount"] == (int(h[7:13], 16) % 100_000) / 100.0
 
 
+def test_custom_sink_two_phase_commit(tmp_path):
+    """Writer protocol invariants, tested at the class level: temp
+    files are invisible to a schema'd read, commit publishes them
+    atomically, abort removes them without touching published parts."""
+    from pyspark.sql.types import Row, StructType, StructField, LongType
+
+    from big_data_projects_spark.sources.jsonl_sink import JsonlDirWriter
+
+    schema = StructType([StructField("x", LongType())])
+    out = str(tmp_path / "sink")
+    w = JsonlDirWriter({"path": out}, schema, overwrite=False)
+
+    m1 = w.write(iter([Row(x=1), Row(x=2)]))
+    m2 = w.write(iter([Row(x=3)]))
+    import os
+
+    assert all(f.startswith(".tmp-") for f in os.listdir(out))
+    w.commit([m1, m2])
+    published = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+    assert len(published) == 2 and not any(
+        f.startswith(".tmp-") for f in os.listdir(out)
+    )
+
+    m3 = w.write(iter([Row(x=9)]))
+    w.abort([m3])
+    assert sorted(f for f in os.listdir(out) if f.startswith("part-")) == published
+    assert not any(f.startswith(".tmp-") for f in os.listdir(out))
+
+
 def test_winnowing_shared_substring_guarantee(spark):
     """Winnowing's defining property: two documents sharing a run of
     >= k+w-1 tokens share at least one fingerprint; disjoint-vocabulary
