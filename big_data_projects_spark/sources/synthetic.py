@@ -73,9 +73,28 @@ class SyntheticEventsReader(DataSourceReader):
             for lo in range(0, self.n_rows, step)
         ]
 
-    def read(self, partition: _RangePartition) -> Iterator[tuple]:
-        for i in range(partition.start, partition.end):
-            yield synth_row(i)
+    def read(self, partition: _RangePartition) -> Iterator:
+        # Arrow-batched transfer: yielding pyarrow.RecordBatch moves
+        # the partition in one vectorized exchange instead of
+        # row-at-a-time pickling — the same rule as UDFs (Arrow batch
+        # granularity or don't cross the Python boundary). Generation
+        # itself is identical to synth_row.
+        import pyarrow as pa
+
+        rows = [synth_row(i) for i in range(partition.start, partition.end)]
+        if not rows:
+            return
+        cols = list(zip(*rows))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(cols[0], type=pa.int64()),
+                pa.array(cols[1], type=pa.int64()),
+                pa.array(cols[2], type=pa.string()),
+                pa.array(cols[3], type=pa.int64()),
+                pa.array(cols[4], type=pa.float64()),
+            ],
+            names=["event_id", "user_id", "event_type", "ts_micros", "amount"],
+        )
 
 
 class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
