@@ -383,3 +383,48 @@ def q_domain_mix(spark, sf_dir):
             "mix_weight"
         ),
     )
+
+
+@register(
+    "q_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               round(
+                   ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                            AS BIGINT) + 1.0) / 4503599627370496.0)
+                   / n_chars,
+                   12) AS lnkey
+        FROM documents
+        WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, lnkey
+    FROM (SELECT doc_id, n_chars, lnkey,
+                 row_number() OVER (ORDER BY lnkey DESC, doc_id) AS rk
+          FROM keyed)
+    WHERE rk <= 100
+    """,
+)
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): each doc draws a uniform u from a hash
+    of its id, gets key = ln(u)/w for weight w (here n_chars — in a
+    real pipeline, a quality score), and the global top-k keys are the
+    sample — inclusion probability proportional to weight, no
+    sequential reservoir state, so it parallelizes as a pure top-k
+    (TakeOrderedAndProject, never a global sort). Determinism: u is an
+    md5-derived 52-bit uniform (portable), ln washed by round-to-12
+    BEFORE ranking with doc_id tie-break."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("long")
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 52))
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.round(F.log(u) / F.col("n_chars"), 12).alias("lnkey"),
+    )
+    return keyed.orderBy(F.col("lnkey").desc(), "doc_id").limit(100)

@@ -17,6 +17,12 @@ each expressed as a checkable query.
                       input format, transform-data.py:64-81,186-226) —
                       explicit StructType, no inference pass, full
                       round-trip fidelity for the aggregated output.
+- q_custom_source   : custom connector (Spark 4 Python DataSource API,
+                      sources/synthetic.py) — oracle regenerates the
+                      connector's deterministic output in SQL.
+- q_custom_sink     : custom two-phase-commit sink (Python DataSource
+                      writer API, sources/jsonl_sink.py) — write,
+                      publish, re-read, value-exact round trip.
 """
 
 from __future__ import annotations
