@@ -428,3 +428,90 @@ def q_weighted_sample(spark, sf_dir):
         F.round(F.log(u) / F.col("n_chars"), 12).alias("lnkey"),
     )
     return keyed.orderBy(F.col("lnkey").desc(), "doc_id").limit(100)
+
+
+@register(
+    "q_quality_percentile",
+    oracle=r"""
+    WITH f AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+                 AS n_tokens,
+               CAST(len(regexp_extract_all(lower(text), '[.,;:!?]')) AS BIGINT)
+                 AS n_punct,
+               CAST(len(regexp_extract_all(lower(text),
+                   '\b(the|a|is|and|of|to|in|that|it|for)\b')) AS BIGINT)
+                 AS n_stopwords
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               least(1.0, n_tokens / 50.0)
+                 * (1.0 - n_punct / n_tokens)
+                 * (0.5 + 0.5 * (n_stopwords / n_tokens)) AS quality_score
+        FROM f
+    )
+    SELECT doc_id,
+           round(quality_score, 10) AS quality_score,
+           round(percent_rank() OVER (ORDER BY round(quality_score, 10), doc_id),
+                 10) AS pct,
+           CAST(least(9, floor(
+               percent_rank() OVER (ORDER BY round(quality_score, 10), doc_id)
+               * 10)) AS INT) AS decile
+    FROM scored
+    """,
+)
+def q_quality_percentile(spark, sf_dir):
+    """Percentile normalization of quality scores — the calibration
+    step before mixing corpora whose raw score scales differ: each
+    doc's percent_rank in the corpus plus its decile bucket (the
+    mixture knob: e.g. drop decile 0, upsample 8-9). Ranking uses the
+    ROUNDED score with doc_id tie-break so cross-engine float ulps
+    can't reorder, and percent_rank itself is rounded before compare.
+
+    Scale shape — NO global-window sort: global rank is computed with
+    the same sharded distributed prefix-sum as q_sequence_packing.
+    repartitionByRange totally orders shards by (score, doc_id); ranks
+    are local windows WITHIN each shard; the only single-partition
+    window runs over the 32-row shard-totals relation to produce each
+    shard's rank offset. Result is shard-boundary-independent, so the
+    (sampled but seed-deterministic) range boundaries cannot affect
+    values."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = T.quality_features(docs).select(
+        "doc_id", F.round("quality_score", 10).alias("quality_score")
+    )
+    n_shards = 32
+    sharded = scored.repartitionByRange(
+        n_shards, "quality_score", "doc_id"
+    ).withColumn("__shard", F.spark_partition_id())
+    w_local = Window.partitionBy("__shard").orderBy("quality_score", "doc_id")
+    local = sharded.withColumn("__lrk", F.row_number().over(w_local))
+    totals = local.groupBy("__shard").agg(F.max("__lrk").alias("__cnt"))
+    w_off = Window.orderBy("__shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__shard",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(
+            Window.orderBy("__shard").rangeBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__n"),
+    )
+    ranked = local.join(F.broadcast(offsets), "__shard").select(
+        "doc_id",
+        "quality_score",
+        ((F.col("__lrk") + F.col("__off") - 1) / (F.col("__n") - 1)).alias(
+            "__pct"
+        ),
+    )
+    return ranked.select(
+        "doc_id",
+        "quality_score",
+        F.round("__pct", 10).alias("pct"),
+        F.least(F.lit(9), F.floor(F.col("__pct") * 10)).cast("int").alias("decile"),
+    )

@@ -44,6 +44,10 @@ SINGLE_PARTITION_OK = {
     # per-shard totals (|docs|/PACK_SHARD rows, already aggregated) —
     # the data-scale cumsum is partitioned by shard.
     "q_sequence_packing",
+    # same sharded-prefix-sum shape: the only single-partition window
+    # is over the 32-row shard-totals relation; per-doc ranks are
+    # shard-partitioned windows.
+    "q_quality_percentile",
 }
 
 # Sanctioned Python stages (Arrow-batched by design).
