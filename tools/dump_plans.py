@@ -68,6 +68,26 @@ SHOWCASE = [
         "salt) fans a hot key over N_SALT reducers; the final merge "
         "on the bare key touches only per-salt partial rows.",
     ),
+    (
+        "q_quality_percentile",
+        "Global percent_rank WITHOUT a global-window sort: "
+        "repartitionByRange totally orders 32 shards, per-doc ranks "
+        "are shard-partitioned windows, and the only single-partition "
+        "window runs over the 32-row shard-totals relation whose "
+        "offsets broadcast back.",
+    ),
+    (
+        "q_bm25",
+        "Corpus-stat relevance scoring: the 1-row N/avgdl scalar and "
+        "the tiny per-term df table broadcast; the only data-scale "
+        "shuffles are the term and doc_id keyed aggregates.",
+    ),
+    (
+        "q_triangle_count",
+        "Wedge-close triangle enumeration as keyed equi-joins (the "
+        "close check is a left-semi join) — no cartesian product at "
+        "any size; scalar assembly is 1-row broadcasts.",
+    ),
 ]
 
 
