@@ -45,6 +45,12 @@ not the bottleneck.
 At M=30 (150k docs / 60k vectors): wall ratios 4.1 / 3.8 / 2.1 / 6.4
 for 30x data (q_embed_lsh_neardup emitting 413x the pairs for the
 threshold-artifact reason above) — still far under proportional.
+
+At M=100 (500k docs / 200k vectors): wall ratios 14.0 / 11.6 / 3.2 /
+25.2 for 100x data — q_embed_lsh_neardup's 25x wall comes with 2243x
+the output pairs (2.57M; the threshold artifact compounds), so
+per-emitted-pair cost actually FELL with scale. Sub-proportional
+throughout three decades of corpus size.
 """
 
 from __future__ import annotations
