@@ -195,3 +195,46 @@ def merge_upsert(
         else:
             out_cols.append(F.col(c))
     return joined.select(*out_cols)
+
+
+def sharded_row_number(
+    df: DataFrame,
+    order: list[Column | str],
+    out_col: str = "rn",
+    n_shards: int = 32,
+) -> DataFrame:
+    """Global ``row_number() OVER (ORDER BY order)`` without a global
+    sort — the distributed prefix-sum shape shared by q_sequence_packing
+    and q_quality_percentile, factored out.
+
+    A plain global-window row_number funnels every row through ONE
+    partition: O(N) wall on a single task at 100 TB. Here
+    ``repartitionByRange`` totally orders shards on the sort key, each
+    shard ranks locally inside its own partition, and the only
+    single-partition window runs over the ``n_shards``-row shard-totals
+    relation (already aggregated — one row per shard crosses the
+    exchange) to produce per-shard global offsets, broadcast back.
+
+    ``order`` must be a TOTAL order (include a unique tiebreaker):
+    range boundaries are sampled, so equal keys split across shard
+    boundaries would otherwise rank nondeterministically.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order]
+    sharded = df.repartitionByRange(n_shards, *cols).withColumn(
+        "__shard", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__shard").orderBy(*cols)
+    local = sharded.withColumn("__lrk", F.row_number().over(w_local))
+    totals = local.groupBy("__shard").agg(F.max("__lrk").alias("__cnt"))
+    w_off = Window.orderBy("__shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__shard",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "__shard")
+        .withColumn(out_col, (F.col("__lrk") + F.col("__off")).cast("long"))
+        .drop("__shard", "__lrk", "__off")
+    )

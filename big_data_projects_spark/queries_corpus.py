@@ -515,3 +515,146 @@ def q_quality_percentile(spark, sf_dir):
         F.round("__pct", 10).alias("pct"),
         F.least(F.lit(9), F.floor(F.col("__pct") * 10)).cast("int").alias("decile"),
     )
+
+
+LINE = 8  # tokens per "line" (the synthetic corpus has no newlines;
+          # an 8-token span plays the role RefinedWeb's line does)
+
+
+@register(
+    "q_line_dedup",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    ln AS (
+        SELECT doc_id, CAST(i AS INT) AS line_id,
+               md5(array_to_string(t[(i*{LINE}+1):(i*{LINE}+{LINE})], ' ')) AS h,
+               CAST(least({LINE}, len(t) - i*{LINE}) AS INT) AS n_toks
+        FROM toks,
+             UNNEST(generate_series(0, CAST(ceil(len(t)/{LINE}.0) AS BIGINT) - 1)) AS u(i)
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, line_id) AS rn
+        FROM ln
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN rn = 1 THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def q_line_dedup(spark, sf_dir):
+    """Corpus-level line deduplication (RefinedWeb/C4-style): every
+    repeated line across the WHOLE corpus is dropped except its first
+    occurrence (min doc_id, then position) — boilerplate headers,
+    navigation text, and licence blocks vanish corpus-wide. "Line"
+    here is a fixed 8-token span (the synthetic corpus has no
+    newlines); per-doc accounting reports kept/dropped lines and the
+    surviving token budget.
+
+    Scale shape: the keep-first rank is a window PARTITIONED BY the
+    line hash — hash-distributed shuffle, high-cardinality key, no
+    global sort anywhere; the per-doc rollup is one more hash shuffle.
+    Both shuffles survive 100×: key cardinality grows with the data.
+    """
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    n_lines = F.ceil(F.size("t") / F.lit(float(LINE))).cast("int")
+    start = F.col("line_id") * LINE + 1
+    lines = (
+        docs.select("doc_id", T.tokens("text").alias("t"))
+        .select(
+            "doc_id",
+            "t",
+            F.explode(F.sequence(F.lit(0), n_lines - 1)).alias("line_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("line_id").cast("int").alias("line_id"),
+            F.md5(F.array_join(F.slice("t", start, LINE), " ")).alias("h"),
+            F.least(F.lit(LINE), F.size("t") - F.col("line_id") * LINE)
+            .cast("int")
+            .alias("n_toks"),
+        )
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "line_id")
+    ranked = lines.withColumn("rn", F.row_number().over(w))
+    kept = F.col("rn") == 1
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(~kept, 1).otherwise(0)).alias("n_dropped"),
+        F.sum(F.when(kept, F.col("n_toks")).otherwise(0)).alias("kept_tokens"),
+    )
+
+
+VOCAB_MIN_FREQ = 5
+_SPECIALS = ["[pad]", "[unk]", "[bos]", "[eos]"]
+
+
+@register(
+    "q_vocab_build",
+    oracle=rf"""
+    WITH tf AS (
+        SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (
+            SELECT UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+            FROM documents
+        )
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT CAST(row_number() OVER (ORDER BY freq DESC, token)
+                    + {len(_SPECIALS) - 1} AS INT) AS token_id,
+               token, freq
+        FROM tf WHERE freq >= {VOCAB_MIN_FREQ}
+    )
+    SELECT * FROM ranked
+    UNION ALL
+    SELECT * FROM (VALUES
+        (0, '[pad]', CAST(0 AS BIGINT)), (1, '[unk]', CAST(0 AS BIGINT)),
+        (2, '[bos]', CAST(0 AS BIGINT)), (3, '[eos]', CAST(0 AS BIGINT))
+    ) AS s(token_id, token, freq)
+    """,
+)
+def q_vocab_build(spark, sf_dir):
+    """Tokenizer-vocabulary construction: corpus term frequencies →
+    contiguous token ids, most-frequent-first (ties broken
+    lexicographically), special tokens pinned at ids 0-3 and real
+    tokens starting at 4 — the id assignment every trainer's
+    tokenizer.json needs.
+
+    Scale shape: the term-frequency aggregate is a map-side-combined
+    hash shuffle over tokens; the global rank runs through
+    operators.relational.sharded_row_number (range-sharded local
+    ranks + an offsets window over the 32-row shard totals), so a
+    100M-type web vocabulary never funnels through one partition.
+    """
+    from big_data_projects_spark.operators.relational import (
+        sharded_row_number,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(T.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= VOCAB_MIN_FREQ)
+    )
+    ranked = sharded_row_number(
+        tf, [F.desc("freq"), F.col("token")], out_col="rn"
+    ).select(
+        (F.col("rn") + len(_SPECIALS) - 1).cast("int").alias("token_id"),
+        "token",
+        "freq",
+    )
+    specials = spark.createDataFrame(
+        [(i, t, 0) for i, t in enumerate(_SPECIALS)],
+        "token_id int, token string, freq long",
+    )
+    return ranked.unionByName(specials)

@@ -48,6 +48,9 @@ SINGLE_PARTITION_OK = {
     # is over the 32-row shard-totals relation; per-doc ranks are
     # shard-partitioned windows.
     "q_quality_percentile",
+    # operators.relational.sharded_row_number — identical shape: the
+    # single-partition window consumes the n_shards-row totals relation.
+    "q_vocab_build",
 }
 
 # Sanctioned Python stages (Arrow-batched by design).
