@@ -496,3 +496,98 @@ def q_custom_sink(spark, sf_dir):
     return spark.read.schema(
         "o_orderpriority string, n_orders bigint, total_price double"
     ).json(out)
+
+
+@register(
+    "q_scan_text_lines",
+    oracle="""
+    SELECT doc_id % 10 AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+    FROM documents GROUP BY 1
+    """,
+)
+def q_scan_text_lines(spark, sf_dir):
+    """Line-oriented text source (``spark.read.text``) — the rawest
+    ingestion format a web-scale corpus arrives in (one record per
+    line, no schema). The corpus is dumped as ``doc_id\\ttext`` lines,
+    re-read as unparsed lines, and parsed with built-in split — the
+    parse stays in codegen, no Python. The aggregate proves lossless
+    round-trip against the parquet original.
+
+    Scale shape: text files split on line boundaries, so a 100 TB dump
+    parallelizes to one task per HDFS block; the parse is per-row
+    (no shuffle) and the rollup is a single map-side-combined shuffle
+    on a 10-value key. Synthetic text is \\t/\\n-free (word lists); the
+    write asserts that precondition rather than assuming it."""
+    docs = _t(spark, sf_dir, "documents")
+    out = os.path.join(tempfile.mkdtemp(prefix="bdp_text_"), "docs_txt")
+    dumped = docs.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), "text").alias(
+            "value"
+        )
+    )
+    assert (
+        docs.filter(
+            F.col("text").contains("\t") | F.col("text").contains("\n")
+        ).limit(1).count()
+        == 0
+    ), "text contains record separators; escape before dumping"
+    dumped.write.mode("overwrite").text(out)
+    back = spark.read.text(out).select(
+        F.split("value", "\t", 2)[0].cast("long").alias("doc_id"),
+        F.split("value", "\t", 2)[1].alias("text"),
+    )
+    return back.groupBy((F.col("doc_id") % 10).alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+    )
+
+
+_BINFILE_DOCS = 64  # files in the binary-scan fixture (doc_id < 64)
+
+
+@register(
+    "q_scan_binaryfile",
+    oracle=f"""
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, md5(text) AS content_md5
+    FROM documents WHERE doc_id < {_BINFILE_DOCS}
+    """,
+)
+def q_scan_binaryfile(spark, sf_dir):
+    """Whole-file binary source (``binaryFile`` format) — the ingestion
+    path for multimodal assets (images/audio/video arrive as files, not
+    rows; operators/multimodal.py picks up from the binary column this
+    scan produces). A 64-file fixture is materialized from the corpus
+    (driver-side: fixture setup, not the query), then scanned with
+    ``spark.read.format("binaryFile")``; doc identity is recovered from
+    the file path and the content bytes are length- and md5-verified
+    against the source-of-truth table.
+
+    Scale shape: binaryFile lists files on the driver but reads
+    contents in executors (one task per file batch; contents never
+    centralize); path/length/hash derivation is per-row with no
+    shuffle. ASCII text == its UTF-8 bytes, so DuckDB's md5(varchar)
+    matches Spark's md5(binary) over file bytes."""
+    docs = _t(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="bdp_binfile_")
+    rows = (
+        docs.filter(F.col("doc_id") < _BINFILE_DOCS)
+        .select("doc_id", "text")
+        .collect()  # fixture setup only: 64 small files, never the query path
+    )
+    for r in rows:
+        with open(os.path.join(base, f"doc_{r.doc_id:05d}.bin"), "wb") as fh:
+            fh.write(r.text.encode("utf-8"))
+    back = spark.read.format("binaryFile").load(base)
+    return back.select(
+        F.regexp_extract(
+            F.element_at(F.split("path", "/"), -1), r"doc_(\d+)\.bin", 1
+        )
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
