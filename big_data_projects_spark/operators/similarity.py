@@ -569,3 +569,56 @@ def quantized_topk_cosine(
         )
     )
     return scored.orderBy(F.col("sim_q").desc(), F.col(id_col)).limit(k)
+
+
+def hard_negatives(
+    emb: DataFrame,
+    eval_pred: Column,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every vector
+    in the (small) eval/anchor set, the top-k most-similar corpus
+    vectors carrying a DIFFERENT label — the near-misses a contrastive
+    loss learns the most from.
+
+    Scale shape: anchor sets are orders of magnitude smaller than the
+    corpus, so the anchor side broadcasts and the label-mismatch
+    pairing is a broadcast nested loop — one corpus scan, no shuffle
+    of the big side; per-row norms are computed once, not per pair.
+    The per-anchor rank is a window partitioned by anchor id (each
+    anchor ranks in its own partition, never a global sort). For
+    anchor sets too big to broadcast, route candidate generation
+    through ivf_topk/lsh_neardup_pairs first and use this only as the
+    exact verify stage.
+    """
+    ev = emb.filter(eval_pred).select(
+        F.col(id_col).alias("eval_id"),
+        F.col(label_col).alias("__el"),
+        F.col(vec_col).alias("__ev"),
+        _norm(F.col(vec_col)).alias("__en"),
+    )
+    tr = emb.filter(~eval_pred).select(
+        F.col(id_col).alias("neg_id"),
+        F.col(label_col).alias("__tl"),
+        F.col(vec_col).alias("__tv"),
+        _norm(F.col(vec_col)).alias("__tn"),
+    )
+    scored = (
+        tr.crossJoin(F.broadcast(ev))
+        .filter(F.col("__tl") != F.col("__el"))
+        .select(
+            "eval_id",
+            "neg_id",
+            (
+                _dot(F.col("__tv"), F.col("__ev"))
+                / (F.col("__tn") * F.col("__en"))
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("eval_id").orderBy(F.desc("sim"), "neg_id")
+    return scored.withColumn(
+        "rk", F.row_number().over(w).cast("long")
+    ).filter(F.col("rk") <= k)

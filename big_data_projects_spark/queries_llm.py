@@ -1478,3 +1478,41 @@ def q_repetition(spark, sf_dir):
         top_ratio.alias("top_token_ratio"),
         ((dup_ratio > 0.5) | (top_ratio > 0.2)).alias("is_repetitive"),
     )
+
+
+@register(
+    "q_hard_negatives",
+    oracle="""
+    WITH ev AS (
+        SELECT vec_id AS eval_id, label, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    tr AS (
+        SELECT vec_id AS neg_id, label, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id % 10 != 0
+    ),
+    scored AS (
+        SELECT ev.eval_id, tr.neg_id,
+               list_dot_product(tr.v, ev.v) /
+               (sqrt(list_dot_product(tr.v, tr.v)) *
+                sqrt(list_dot_product(ev.v, ev.v))) AS sim
+        FROM tr, ev WHERE tr.label != ev.label
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY eval_id ORDER BY sim DESC, neg_id) AS rk
+        FROM scored
+    )
+    SELECT eval_id, neg_id, CAST(rk AS BIGINT) AS rk, sim
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (contrastive training data): for each
+    anchor vector in the held-out tenth of the corpus, the 3 most
+    cosine-similar vectors with a DIFFERENT label. Broadcast nested
+    loop over the small anchor side, JVM-fold dot products (bit-
+    identical to DuckDB list_dot_product, so even the float sims
+    hash-match), anchor-partitioned rank window — no global sort."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.hard_negatives(emb, F.col("vec_id") % 10 == 0, k=3)
