@@ -232,3 +232,24 @@ def q_stream_custom_source(spark, sf_dir):
         .alias("total_amount"),
     )
     return run_to_completion(agg, "complete")
+
+
+@register(
+    "q_stream_anti_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_new,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events WHERE event_id % 3 != 0 GROUP BY 1
+    """,
+)
+def q_stream_anti_dedup(spark, sf_dir):
+    """Stream⋈static LEFT ANTI dedup: records whose id is already in
+    the historical ingestion ledger are dropped inside each micro-batch
+    before aggregation — the incremental-corpus shape where replayed
+    feeds must not double-count. Oracle is the batch twin."""
+    from big_data_projects_spark.streaming.joins import (
+        stream_static_anti_dedup,
+    )
+
+    ensure_runtime_conf(spark)
+    return stream_static_anti_dedup(spark, sf_dir)

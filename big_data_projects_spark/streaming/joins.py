@@ -95,3 +95,33 @@ def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis("purchase_ts").alias("purchase_ms"),
     )
     return run_to_completion(joined, "append")
+
+
+def stream_static_anti_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: the stream left-anti joins a static
+    ledger of already-ingested record ids, so only never-seen records
+    reach the aggregate — the shape a continuously-fed training corpus
+    uses to keep replayed/overlapping feeds from double-counting.
+
+    The ledger side is static (no streaming state); the anti join runs
+    per micro-batch and the planner picks broadcast vs shuffled-hash
+    from the ledger's size. At 100 TB the ledger is a bucketed/bloom-
+    filtered table — the join shape is unchanged.
+    """
+    stream = events_stream(spark, sf_dir)
+    seen = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 3 == 0)
+        .select("event_id")
+    )
+    agg = (
+        stream.join(seen, "event_id", "left_anti")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    return run_to_completion(agg, "complete")
