@@ -528,3 +528,58 @@ def q_lateral_topn(spark, sf_dir):
         ) t
         """
     )
+
+
+_UDTF_SPAN = 16
+
+
+@register(
+    "q_udtf_spans",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    )
+    SELECT doc_id, CAST(i AS INT) AS span_id,
+           array_to_string(t[(i*{_UDTF_SPAN}+1):(i*{_UDTF_SPAN}+{_UDTF_SPAN})], ' ')
+             AS span_text,
+           CAST(least({_UDTF_SPAN}, len(t) - i*{_UDTF_SPAN}) AS INT) AS n_toks
+    FROM toks,
+         UNNEST(generate_series(0, CAST(ceil(len(t)/{_UDTF_SPAN}.0) AS BIGINT) - 1))
+           AS u(i)
+    """,
+)
+def q_udtf_spans(spark, sf_dir):
+    """Python UDTF surface (SURVEY.md §2.10; Spark 4 user-defined TABLE
+    function): a ``@udtf`` class invoked via SQL ``LATERAL`` splits each
+    document into fixed 16-token spans, one output row per span — the
+    one-row-in/N-rows-out shape (tokenizers, parsers, samplers) that
+    scalar UDFs can't express. Arrow-batched execution is enabled via
+    ``spark.sql.execution.pythonUDTF.arrow.enabled``; the identical
+    relation is also expressible with built-in sequence+explode
+    (q_doc_chunking) — that stays the hot path, this pins the API.
+
+    Scale shape: per-row independent lateral expansion — embarrassingly
+    parallel, no shuffle; Python cost is bounded by Arrow batching."""
+    from pyspark.sql.functions import udtf
+
+    ensure_runtime_conf(spark)
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+
+    @udtf(returnType="span_id int, span_text string, n_toks int")
+    class SpanUDTF:
+        def eval(self, text: str):
+            toks = text.strip().lower().split()
+            for i in range(0, len(toks), _UDTF_SPAN):
+                chunk = toks[i : i + _UDTF_SPAN]
+                yield (i // _UDTF_SPAN, " ".join(chunk), len(chunk))
+
+    spark.udtf.register("bdp_spans", SpanUDTF)
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("bdp_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.span_id, s.span_text, s.n_toks
+        FROM bdp_udtf_docs d, LATERAL bdp_spans(d.text) s
+        """
+    )

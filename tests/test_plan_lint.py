@@ -55,7 +55,9 @@ SINGLE_PARTITION_OK = {
 }
 
 # Sanctioned Python stages (Arrow-batched by design).
-PYTHON_OK = {"q_multimodal_features", "q_user_gap_features"}
+# q_udtf_spans exists to pin the Spark 4 Python UDTF API surface
+# (Arrow-batched; the built-ins twin q_doc_chunking is the hot path).
+PYTHON_OK = {"q_multimodal_features", "q_user_gap_features", "q_udtf_spans"}
 
 LINTABLE = sorted(
     n for n in REGISTRY
