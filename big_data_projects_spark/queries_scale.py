@@ -591,3 +591,43 @@ def q_scan_binaryfile(spark, sf_dir):
         F.col("length").alias("n_bytes"),
         F.md5("content").alias("content_md5"),
     )
+
+
+@register(
+    "q_zorder_layout",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem
+    WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 40
+    """,
+)
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustered rewrite — what Delta OPTIMIZE ZORDER
+    BY / Iceberg sort orders do for multi-dimension scan pruning: the
+    table is rewritten sorted by the bit-interleaved (l_partkey,
+    l_suppkey) key via repartitionByRange + sortWithinPartitions, so
+    EVERY file holds a bounded range of BOTH columns and a filter on
+    either dimension skips most row groups (min/max stats). The
+    aggregate over the two-dimensional band filter proves the rewrite
+    lost nothing; tests/test_plans.py asserts the clustering actually
+    bounds both columns' per-file spread vs a single-column sort.
+
+    Scale shape: one range shuffle on the z-key (sampled boundaries,
+    balanced output files) + local sorts; the z-key itself is pure
+    shift/and/or codegen — no UDF, no extra pass."""
+    from big_data_projects_spark.operators.layout import zordered
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = os.path.join(tempfile.mkdtemp(prefix="bdp_zorder_"), "li_z")
+    zordered(li, ["l_partkey", "l_suppkey"]).write.mode(
+        "overwrite"
+    ).parquet(base)
+    back = spark.read.parquet(base).filter(
+        F.col("l_partkey").between(100, 300)
+        & F.col("l_suppkey").between(10, 40)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "sum_price")
+    )

@@ -231,3 +231,41 @@ def test_decontaminate_blocked_join_no_product(spark):
     plan = plan_of(spark, "q_embed_decontaminate")
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_zorder_bounds_both_dimensions_per_file(spark, tmp_path):
+    """The z-ordered layout must bound BOTH cluster columns' per-file
+    spread; a single-column sort bounds only its own column. Compare
+    the second column's (l_suppkey) mean per-file range under both
+    layouts — z-order should cut it by at least half."""
+    from pyspark.sql import functions as F
+
+    from big_data_projects_spark.data import load_table
+    from big_data_projects_spark.operators.layout import zordered
+
+    li = load_table(spark, SF, "lineitem").select("l_partkey", "l_suppkey")
+    z_dir, lin_dir = str(tmp_path / "z"), str(tmp_path / "lin")
+    zordered(li, ["l_partkey", "l_suppkey"]).write.parquet(z_dir)
+    (
+        li.repartitionByRange(16, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.parquet(lin_dir)
+    )
+
+    def mean_file_spread(path: str, col: str) -> float:
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg((F.max(col) - F.min(col)).alias("spread"))
+        )
+        return per_file.agg(F.avg("spread")).collect()[0][0]
+
+    # the single-column sort leaves the OTHER column's per-file range
+    # at the full table range; z-order must cut it by at least half
+    z_sk = mean_file_spread(z_dir, "l_suppkey")
+    lin_sk = mean_file_spread(lin_dir, "l_suppkey")
+    assert z_sk < 0.5 * lin_sk, (z_sk, lin_sk)
+    # and BOTH dimensions stay bounded vs the full table range
+    full_pk = 1999.0  # sf0.01 l_partkey spread (0..1999)
+    z_pk = mean_file_spread(z_dir, "l_partkey")
+    assert z_pk < 0.5 * full_pk, (z_pk, full_pk)
