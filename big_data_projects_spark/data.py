@@ -50,8 +50,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _normalize_ntz(df)
+    return _normalize_ntz(spark.read.parquet(path))
+
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Reinterpret TIMESTAMP_NTZ columns as session-tz TIMESTAMP.
+
+    Driver testdata written tz-naive (isAdjustedToUTC=false: events.ts,
+    lineitem.l_shipdate, orders.o_orderdate) reads as TIMESTAMP_NTZ when
+    the session has inferTimestampNTZ on (Spark 4 default) — including
+    under the driver's own session, whose config we don't control. All
+    engine operators and the DuckDB oracle treat these as UTC-naive wall
+    clock, so reinterpret as TIMESTAMP; under the UTC session tz
+    (session.py:22) the cast preserves the wall-clock value exactly.
+    """
+    from pyspark.sql import functions as F
+
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if not ntz:
         return df
-    return spark.read.parquet(path)
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:

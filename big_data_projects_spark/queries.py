@@ -52,12 +52,10 @@ _ALREADY_DRIVER_CHECKED = [
     "q_string_agg",
 ]
 
-# Round-2 window (entries 0-49 that round): TPC-H q2-q22, the whole dedup
-# family, similarity search, streaming, and the first text-analysis queries.
-# NOTE: no CORRECTNESS_r02.json was recorded, so these are kept SECOND in
-# line (after the never-checked round-3 window) rather than folded into the
-# checked tail — if the driver's sweep widens or round 4 rotates again they
-# get re-covered.
+# Round-2 window (the sweep at the END of round 2 checks entries 0-49 of
+# this order): TPC-H q2-q22, the whole dedup family, similarity search,
+# streaming, and the first text-analysis queries — exactly 50 entries, the
+# families VERDICT r01 item #1 demands under the driver's own signal first.
 _ROUND2_WINDOW = [
     "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6",
     "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10", "q_tpch_q11",
@@ -77,10 +75,11 @@ _ROUND2_WINDOW = [
 ]
 
 
-# Round-3 window: every query never yet inside a driver sweep window.
-# Oracle-backed entries lead (hash-match is the strong signal); the
-# rows-only multimodal stubs trail so the first 50 slots carry maximum
-# evidence.  Entries past position 50 spill to the round-4 rotation.
+# Round-3 window: the remaining never-checked queries, queued directly
+# behind the round-2 window so they land in the round-3 sweep once the
+# round-2 families are green (rotate them to the front at the start of
+# round 3).  Oracle-backed entries lead (hash-match is the strong
+# signal); the rows-only multimodal stubs trail.
 _ROUND3_WINDOW = [
     # OLAP / SQL-surface family
     "q_grouping_id", "q_bitwise_agg", "q_merge_upsert", "q_incremental_rollup",
@@ -111,10 +110,10 @@ _ROUND3_WINDOW = [
 
 def _rotate_registry() -> None:
     ordered: dict[str, Query] = {}
-    for name in _ROUND3_WINDOW:  # never driver-checked: front of the line
+    for name in _ROUND2_WINDOW:  # this round's sweep target: front of line
         if name in REGISTRY:
             ordered[name] = REGISTRY[name]
-    for name in _ROUND2_WINDOW:  # checked iff an r02 sweep actually ran
+    for name in _ROUND3_WINDOW:  # never driver-checked: next round's window
         if name in REGISTRY and name not in ordered:
             ordered[name] = REGISTRY[name]
     for name, q in REGISTRY.items():  # anything new keeps relative order

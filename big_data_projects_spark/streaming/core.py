@@ -40,6 +40,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(batch_schema).parquet(stage)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        # tz-naive parquet → TIMESTAMP_NTZ under inferTimestampNTZ;
+        # reinterpret as UTC TIMESTAMP exactly as data._normalize_ntz.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
