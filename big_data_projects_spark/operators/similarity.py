@@ -622,3 +622,49 @@ def hard_negatives(
     return scored.withColumn(
         "rk", F.row_number().over(w).cast("long")
     ).filter(F.col("rk") <= k)
+
+
+def semdedup(
+    emb: DataFrame,
+    k: int = 8,
+    threshold: float = 0.95,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with the k-means coarse
+    quantizer, then look for near-duplicates ONLY within each cluster
+    and mark every vector that is ≥ threshold cosine-similar to a
+    lower-id vector in its cluster (keep-lowest-id policy, the same
+    keep-first convention as the text dedup family).
+
+    Scale shape: the within-cluster self-join is an equi-join on the
+    cluster id, so pair work is Σ n_c² over cluster sizes instead of
+    n² — at 100 TB you grow k with the corpus (k ∝ n keeps E[n_c]
+    constant) and the per-cluster verify stays bounded; no global
+    pairwise pass ever happens. Cross-cluster near-dups are the
+    accepted recall loss of the method (the paper's trade-off).
+
+    Returns (id, cluster, is_dup) for every input vector.
+    """
+    assign = kmeans_assign(emb, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    clustered = (
+        emb.select(id_col, vec_col).join(assign, id_col).persist()
+    )  # consumed by the pair search AND the final marking join
+    pairs = blocked_neardup_pairs(
+        clustered,
+        block_col="cluster",
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    # id_a < id_b in pairs, so marking every id_b implements keep-lowest-id.
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return clustered.join(
+        dropped.withColumn("__dup", F.lit(True)), id_col, "left"
+    ).select(
+        id_col,
+        "cluster",
+        F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
+    )

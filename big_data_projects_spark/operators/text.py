@@ -201,3 +201,33 @@ def winnowing_fingerprints(
         .select(F.col(id_col), F.col("__wmin").alias("fp"))
         .distinct()
     )
+
+
+# Hashed-feature linear quality scorer ("fasttext-style" shape): token →
+# hash bucket → fixed per-bucket weight → summed score. The weights here
+# are a deterministic stand-in derived from the bucket id (a trained
+# model would broadcast a real weight table keyed by bucket — same plan
+# shape, same cost); everything below is exact int64 arithmetic, so the
+# scores hash-match any engine.
+QC_BUCKETS = 512
+_QC_MULT = 2654435761  # Knuth multiplicative-hash constant
+_QC_MOD = 1000003
+_QC_CENTER = 500001  # ≈ _QC_MOD/2: centers weights on zero
+
+
+def hashed_linear_score(col: Column | str) -> Column:
+    """Summed hashed-bag-of-words score of a text column, as int64.
+
+    Zero-shuffle: a Catalyst ``aggregate`` fold over the token array —
+    no explode, no groupBy; the score is computed inside the scan's
+    codegen stage. bucket = md5-24bit % QC_BUCKETS, weight =
+    (bucket * MULT) % MOD - CENTER, score = Σ weight over tokens.
+    """
+
+    def tok_weight(t: Column) -> Column:
+        bucket = F.conv(F.substring(F.md5(t), 1, 6), 16, 10).cast("long") % QC_BUCKETS
+        return (bucket * F.lit(_QC_MULT)) % F.lit(_QC_MOD) - F.lit(_QC_CENTER)
+
+    return F.aggregate(
+        tokens(col), F.lit(0).cast("long"), lambda acc, t: acc + tok_weight(t)
+    )

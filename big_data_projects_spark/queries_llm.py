@@ -1516,3 +1516,49 @@ def q_hard_negatives(spark, sf_dir):
     hash-match), anchor-partitioned rank window — no global sort."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.hard_negatives(emb, F.col("vec_id") % 10 == 0, k=3)
+
+
+@register("q_semdedup")  # kmeans blocking is iterative → rows-only
+def q_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup (Abbas et al. 2023): k-means cluster the
+    embedding corpus, mark within-cluster cosine-≥τ near-duplicates of a
+    lower-id vector (keep-lowest-id). Pair work is within-cluster only
+    (equi-join on cluster id) — grow k with the corpus and the verify
+    stage stays bounded; no global pairwise pass. τ is corpus-calibrated
+    (0.3 on this synthetic corpus, where label-mates cluster near
+    cosine ~0.35; real text embeddings use ~0.95). Output: per-cluster
+    vector/duplicate accounting (k rows, deterministic)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    marked = S.semdedup(emb, k=8, threshold=0.3, n_iter=2)
+    return marked.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dups"),
+    )
+
+
+@register(
+    "q_quality_classifier",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform({_TOKS},
+                   t -> (CAST(('0x' || substr(md5(t), 1, 6)) AS BIGINT) % 512)
+                        * 2654435761 % 1000003 - 500001)) AS BIGINT) AS score
+        FROM documents
+    )
+    SELECT doc_id, score, score > 0 AS keep FROM s
+    """,
+)
+def q_quality_classifier(spark, sf_dir):
+    """Model-based quality filtering, fasttext-shaped: hashed
+    bag-of-words features (md5-24bit % 512 buckets) with a fixed
+    per-bucket weight, summed per document, thresholded into a keep
+    flag. The score is a zero-shuffle Catalyst aggregate fold inside
+    the scan stage (operators/text.py:hashed_linear_score); a trained
+    model swaps in a broadcast weight table with the identical plan.
+    All-int64 arithmetic — scores hash-match the oracle exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    score = T.hashed_linear_score(F.col("text")).alias("score")
+    return docs.select("doc_id", score).select(
+        "doc_id", "score", (F.col("score") > 0).alias("keep")
+    )

@@ -631,3 +631,51 @@ def q_zorder_layout(spark, sf_dir):
     return back.agg(
         F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "sum_price")
     )
+
+
+@register(
+    "q_bloom_filter_join",
+    oracle="""
+    SELECT strftime(o.o_orderdate, '%Y-%m') AS order_month,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+)
+def q_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filtered fact⋈dim join: Spark injects a bloom filter
+    built from the selective orders side into the lineitem scan
+    (BloomFilterMightContain over xxhash64(l_orderkey), asserted by
+    tests/test_plans.py), so fact rows that cannot join are dropped
+    BEFORE the shuffle. At 100 TB this is the difference between
+    shuffling the whole fact table and shuffling only the ~20% that
+    matches a selective dim predicate — the row-level complement of
+    partition-level dynamic pruning. Local-scale thresholds are
+    overridden here; ensure_runtime_conf pins the defaults back for
+    every other builder, so the override cannot leak.
+    """
+    ensure_runtime_conf(spark)
+    # Local parquet is far below the 10G application-side / broadcast
+    # thresholds; lower both so the plan exercises the same injection a
+    # 100 TB fact scan would get by default.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice", "revenue"),
+        )
+    )

@@ -31,6 +31,12 @@ _REQUIRED_RUNTIME_CONF = {
     # a default-1g-heap driver session mid-sweep. 1M chars is plenty
     # for debugging and bounds the allocation to ~2 MB.
     "spark.sql.maxPlanStringLength": "1048576",
+    # q_bloom_filter_join overrides these two to force the runtime
+    # bloom filter to inject at test scale; pinning the defaults here
+    # means every OTHER builder restores them, so the override never
+    # leaks into a later query in the same long-lived session.
+    "spark.sql.autoBroadcastJoinThreshold": "10485760",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10GB",
 }
 
 

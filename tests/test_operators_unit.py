@@ -851,3 +851,35 @@ def test_int8_quantization_bounds(spark):
         assert all(-127 <= v <= 127 for v in r["q_vec"])
         for orig, q in zip(r["embedding"], r["q_vec"]):
             assert abs(orig - q * r["q_scale"]) <= r["q_scale"] / 2 + 1e-12
+
+
+def test_semdedup_marks_within_cluster_duplicates(spark):
+    from big_data_projects_spark.operators.similarity import semdedup
+
+    # Two tight groups far apart + one exact duplicate pair per group.
+    rows = []
+    for gid, base in ((0, [10.0, 0.0, 0.0]), (1, [0.0, 10.0, 0.0])):
+        for i in range(4):
+            v = [x + 0.01 * i for x in base]
+            rows.append((gid * 10 + i, v))
+        rows.append((gid * 10 + 4, list(base)))  # exact dup of id gid*10+0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup(emb, k=2, threshold=0.9999, n_iter=2).collect()
+    dup_ids = sorted(r.vec_id for r in out if r.is_dup)
+    kept = sorted(r.vec_id for r in out if not r.is_dup)
+    assert 4 in dup_ids and 14 in dup_ids  # exact dups of lower ids
+    assert 0 in kept and 10 in kept  # keep-lowest-id survivors
+    assert len(out) == 10  # every vector accounted for
+
+
+def test_quality_classifier_score_is_token_additive(spark):
+    from big_data_projects_spark.operators.text import hashed_linear_score
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("alpha beta",), ("alpha",), ("beta",)], "text string"
+    )
+    s = {r.text: r.s for r in df.select(
+        "text", hashed_linear_score(F.col("text")).alias("s")).collect()}
+    assert s["alpha beta"] == s["alpha"] + s["beta"]

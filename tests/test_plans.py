@@ -269,3 +269,17 @@ def test_zorder_bounds_both_dimensions_per_file(spark, tmp_path):
     full_pk = 1999.0  # sf0.01 l_partkey spread (0..1999)
     z_pk = mean_file_spread(z_dir, "l_partkey")
     assert z_pk < 0.5 * full_pk, (z_pk, full_pk)
+
+
+def test_bloom_filter_join_injects_runtime_filter(spark):
+    # Row-level runtime filtering: the bloom filter built from the
+    # selective orders side must reach the lineitem side BEFORE the
+    # join, and the thresholds the builder overrides must be pinned
+    # back by the next builder's ensure_runtime_conf (no leak).
+    df = REGISTRY["q_bloom_filter_join"].spark(spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" in plan, "runtime bloom filter not injected"
+    assert "bloom_filter_agg" in plan
+    # Another builder runs → defaults restored.
+    REGISTRY["q_tpch_q6"].spark(spark, SF)
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "10485760"
