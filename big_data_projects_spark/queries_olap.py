@@ -1256,3 +1256,114 @@ def q_null_ordering(spark, sf_dir):
         .orderBy(F.col("gapped").asc_nulls_first(), F.col("event_id").asc())
         .limit(50)
     )
+
+
+@register(
+    "q_interval_overlap",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ),
+    iv AS (
+        SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+               MIN(ts) AS s_start, MAX(ts) AS s_end
+        FROM sess GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(ts) AS t0, MAX(ts) AS t1 FROM events),
+    win AS (
+        SELECT CAST(epoch(w_start) / 14400 AS BIGINT) AS window_id,
+               w_start, w_start + INTERVAL '6 hours' AS w_end
+        FROM (SELECT unnest(generate_series(
+                  time_bucket(INTERVAL '4 hours', t0), t1,
+                  INTERVAL '4 hours')) AS w_start
+              FROM bounds)
+    )
+    SELECT iv.user_id, iv.session_id, w.window_id
+    FROM iv JOIN win w ON iv.s_start <= w.w_end AND w.w_start <= iv.s_end
+    """,
+)
+def q_interval_overlap(spark, sf_dir):
+    """Interval overlap join: per-user session intervals (gap-based
+    sessionize → min/max ts) against 6-hour maintenance windows that
+    slide every 4 hours — which sessions were live in which windows.
+    The overlap predicate is non-equi, so the operator bucket-blocks
+    both sides (operators/intervals.py): explode to 4h blocks,
+    equi-join on block id, verify overlap within the block, and emit
+    each pair exactly once via the first-shared-block rule — never a
+    nested-loop or cartesian plan, and no dedup shuffle."""
+    from big_data_projects_spark.operators.intervals import interval_overlap_join
+    from big_data_projects_spark.operators.sessionize import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_seconds=1800, tiebreak_col="event_id")
+    iv = s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"), F.max("ts").alias("t1")
+    )
+    # 4h-aligned sliding spine: 6h windows every 4h; id = epoch div 4h.
+    win = bounds.select(
+        F.explode(
+            F.sequence(
+                F.to_timestamp(
+                    F.from_unixtime(
+                        F.floor(F.unix_timestamp("t0") / 14400) * 14400
+                    )
+                ),
+                "t1",
+                F.expr("INTERVAL 4 HOURS"),
+            )
+        ).alias("w_start")
+    ).select(
+        F.floor(F.unix_timestamp("w_start") / 14400).cast("long").alias("window_id"),
+        "w_start",
+        (F.col("w_start") + F.expr("INTERVAL 6 HOURS")).alias("w_end"),
+    )
+    joined = interval_overlap_join(
+        iv, win, "s_start", "s_end", "w_start", "w_end", block_seconds=14400
+    )
+    return joined.select("user_id", "session_id", "window_id")
+
+
+@register(
+    "q_sample_per_group",
+    oracle="""
+    WITH r AS (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
+    )
+    SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 50
+    """,
+)
+def q_sample_per_group(spark, sf_dir):
+    """Exact-k deterministic sample per stratum: md5-keyed pseudo-random
+    order, rank window partitioned by the stratum, keep the first 50 —
+    the fixed-budget companion to q_stratified_sample's rate-based
+    sampling (training mixes often need exactly k docs per source).
+    Deterministic under retries (hash order, never rand()); the rank
+    window partitions by source, so no global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "source", "doc_id", F.row_number().over(w).cast("long").alias("rk")
+        )
+        .filter(F.col("rk") <= 50)
+    )

@@ -883,3 +883,31 @@ def test_quality_classifier_score_is_token_additive(spark):
     s = {r.text: r.s for r in df.select(
         "text", hashed_linear_score(F.col("text")).alias("s")).collect()}
     assert s["alpha beta"] == s["alpha"] + s["beta"]
+
+
+def test_interval_overlap_emits_each_pair_exactly_once(spark):
+    from big_data_projects_spark.operators.intervals import interval_overlap_join
+
+    # Left interval spans many blocks; right intervals overlap it in
+    # several shared blocks — the first-shared-block rule must emit the
+    # pair once, and non-overlapping pairs never.
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-01-03 00:00:00")],
+        "lid long, s string, e string",
+    ).selectExpr("lid", "cast(s as timestamp) as s", "cast(e as timestamp) as e")
+    right = spark.createDataFrame(
+        [
+            (10, "2024-01-01 12:00:00", "2024-01-02 12:00:00"),  # inside
+            (11, "2023-12-31 00:00:00", "2024-01-01 00:00:00"),  # touches start
+            (12, "2024-01-03 00:00:00", "2024-01-04 00:00:00"),  # touches end
+            (13, "2024-01-05 00:00:00", "2024-01-06 00:00:00"),  # disjoint
+        ],
+        "rid long, rs string, re string",
+    ).selectExpr(
+        "rid", "cast(rs as timestamp) as rs", "cast(re as timestamp) as re"
+    )
+    out = interval_overlap_join(
+        left, right, "s", "e", "rs", "re", block_seconds=3600
+    ).select("lid", "rid").collect()
+    got = sorted((r.lid, r.rid) for r in out)
+    assert got == [(1, 10), (1, 11), (1, 12)]  # each exactly once

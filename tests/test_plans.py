@@ -283,3 +283,12 @@ def test_bloom_filter_join_injects_runtime_filter(spark):
     # Another builder runs → defaults restored.
     REGISTRY["q_tpch_q6"].spark(spark, SF)
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "10485760"
+
+
+def test_interval_overlap_is_equi_join_not_nested_loop(spark):
+    # The overlap predicate is non-equi; bucket blocking must turn it
+    # into a hash/merge equi-join on the block id — never a nested
+    # loop or cartesian plan that can't scale past one small side.
+    plan = plan_of(spark, "q_interval_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
