@@ -88,6 +88,21 @@ SHOWCASE = [
         "close check is a left-semi join) — no cartesian product at "
         "any size; scalar assembly is 1-row broadcasts.",
     ),
+    (
+        "q_bloom_filter_join",
+        "Runtime bloom-filter row pruning: bloom_filter_agg builds from "
+        "the selective orders side, might_contain guards the lineitem "
+        "side BEFORE its shuffle — at 100 TB only the ~20% of fact rows "
+        "that can match a selective dim predicate get shuffled.",
+    ),
+    (
+        "q_interval_overlap",
+        "Non-equi interval overlap planned as an EQUI-join: both interval "
+        "sets explode to fixed-width time blocks, the join keys on the "
+        "block id, the overlap predicate is a residual filter, and a "
+        "first-shared-block rule emits each pair exactly once — no "
+        "BroadcastNestedLoopJoin, no dedup shuffle.",
+    ),
 ]
 
 
