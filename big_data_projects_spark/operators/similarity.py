@@ -668,3 +668,44 @@ def semdedup(
         "cluster",
         F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
     )
+
+
+def random_project(
+    emb: DataFrame,
+    dim: int,
+    out_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: out_dim Gaussian dot
+    products per vector (the same deterministic plane generator as the
+    LSH family, so retried tasks reproduce identical output). Pure
+    JVM folds against literal plane arrays — no shuffle at all: the
+    projection happens inside the scan's codegen stage. The standard
+    pre-step that makes downstream pairwise work (clustering, ANN
+    verify) ~dim/out_dim cheaper while approximately preserving
+    distances (ε ≈ sqrt(ln n / out_dim))."""
+    planes = projection_planes(dim, out_dim)
+    return emb.select(
+        F.col(id_col),
+        *[
+            _dot(F.col(vec_col), F.array(*[F.lit(w) for w in p])).alias(f"p{i}")
+            for i, p in enumerate(planes)
+        ],
+    )
+
+
+def projection_planes(dim: int, out_dim: int) -> list[list[float]]:
+    """The projection matrix, quantized to float32 granularity.
+
+    float32-granular weights make every product in the dot fold exact
+    (24-bit × 24-bit mantissas fit a double), so an engine that fuses
+    multiply-add (FMA) computes bit-identical sums to one that rounds
+    each product — the property the oracle hash-match relies on.
+    full-precision weights broke it in the last ulp."""
+    import struct
+
+    def f32(x: float) -> float:
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    return [[f32(w) for w in p] for p in _hyperplanes(dim, out_dim)]

@@ -658,3 +658,47 @@ def q_vocab_build(spark, sf_dir):
         "token_id int, token string, freq long",
     )
     return ranked.unionByName(specials)
+
+
+@register(
+    "q_zscore_per_group",
+    oracle="""
+    WITH g AS (
+        SELECT source,
+               COUNT(*) AS n,
+               CAST(SUM(n_chars) AS DOUBLE) AS s1,
+               CAST(SUM(n_chars * n_chars) AS DOUBLE) AS s2
+        FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source,
+           (d.n_chars - g.s1 / g.n)
+               / sqrt((g.s2 - g.s1 * g.s1 / g.n) / (g.n - 1)) AS z
+    FROM documents d JOIN g USING (source)
+    """,
+)
+def q_zscore_per_group(spark, sf_dir):
+    """Per-stratum z-score normalization of a document feature — the
+    group-wise standardization step before mixing quality signals
+    across sources. One aggregate pass builds exact int64 power sums
+    per group (n, Σx, Σx²), then a broadcast join standardizes every
+    row; the float math is the identical IEEE expression tree on both
+    engines, so even the z doubles hash-match. Never a global window:
+    the stats relation is group-cardinality-sized and broadcasts."""
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("double").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("double").alias("s2"),
+    )
+    n = F.col("n")
+    mean = F.col("s1") / n
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1)
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .join(F.broadcast(g), "source")
+        .select(
+            "doc_id",
+            "source",
+            ((F.col("n_chars") - mean) / F.sqrt(var)).alias("z"),
+        )
+    )

@@ -1562,3 +1562,31 @@ def q_quality_classifier(spark, sf_dir):
     return docs.select("doc_id", score).select(
         "doc_id", "score", (F.col("score") > 0).alias("keep")
     )
+
+
+def _rp_oracle() -> str:
+    # The SAME deterministic plane matrix as the Spark side. Weights are
+    # embedded as STRING literals cast to DOUBLE[]: a numeric list
+    # literal would be unified to a common DECIMAL type first and lose
+    # the last ulp, while VARCHAR→DOUBLE is a correctly-rounded strtod.
+    # With f32-granular weights every product is exact, and both engines
+    # sum the dot sequentially — so the doubles hash-match.
+    planes = S.projection_planes(64, 8)
+    cols = ",\n           ".join(
+        "list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join("'" + repr(w) + "'" for w in p)
+        + "]::DOUBLE[]) AS p" + str(i)
+        for i, p in enumerate(planes)
+    )
+    return f"SELECT vec_id,\n           {cols}\n    FROM embeddings"
+
+
+@register("q_random_projection", oracle=_rp_oracle())
+def q_random_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss dimensionality reduction 64→8: per-vector
+    Gaussian dot products as shuffle-free JVM folds inside the scan
+    stage (operators/similarity.py:random_project). Even the projected
+    doubles hash-match the oracle — both engines accumulate the dot
+    sequentially over identical literal planes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.random_project(emb, dim=64, out_dim=8)
