@@ -176,6 +176,12 @@ def q_bucketed_join(spark, sf_dir):
         "l_orderkey", "l_extendedprice"
     )
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    # At test scale the dim side fits the broadcast threshold and AQE
+    # would hide the co-located-join shape this query exists to show
+    # (at 100 TB neither side broadcasts); pin the shuffle-join path.
+    # Set AFTER the _t() loads (each re-pins the defaults) — the next
+    # builder's ensure_runtime_conf restores it.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     for df, name, key in (
         (li, "bdp_li_bucketed", "l_orderkey"),
         (orders, "bdp_orders_bucketed", "o_orderkey"),
