@@ -30,10 +30,10 @@ except ImportError:
     pass
 
 # The driver's per-round CORRECTNESS sweep checks the first 50 registry
-# entries in registration order (r01 covered exactly entries 0-49).  Rotate
-# the window each round so every family lands under the driver's own signal:
-# queries already green in a prior round go last; the highest-value still
-# unchecked families go first.
+# entries in registration order (r01 covered exactly entries 0-49, r02 the
+# rotated window below).  Rotate the window each round so every family lands
+# under the driver's own signal: queries already green in a prior round go
+# last; the highest-value still unchecked families go first.
 _ALREADY_DRIVER_CHECKED = [
     # CORRECTNESS_r01.json — all green (47 hash-match + 3 declared rows-only).
     "q_scan_project_rename", "q_filter_eq", "q_filter_neq", "q_fillna",
@@ -50,13 +50,7 @@ _ALREADY_DRIVER_CHECKED = [
     "q_window_firstlast", "q_gapfill_hourly", "q_pandas_udaf_trimmed",
     "q_union_by_name", "q_nullsafe_join", "q_scd2_intervals", "q_histogram",
     "q_string_agg",
-]
-
-# Round-2 window (the sweep at the END of round 2 checks entries 0-49 of
-# this order): TPC-H q2-q22, the whole dedup family, similarity search,
-# streaming, and the first text-analysis queries — exactly 50 entries, the
-# families VERDICT r01 item #1 demands under the driver's own signal first.
-_ROUND2_WINDOW = [
+    # CORRECTNESS_r02.json — all green (41 hash-match + 9 declared rows-only).
     "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6",
     "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10", "q_tpch_q11",
     "q_tpch_q12", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q16",
@@ -74,26 +68,26 @@ _ROUND2_WINDOW = [
     "q_token_stats", "q_lang_id", "q_text_quality", "q_doc_fingerprint",
 ]
 
-
-# Round-3 window: the remaining never-checked queries, queued directly
-# behind the round-2 window so they land in the round-3 sweep once the
-# round-2 families are green (rotate them to the front at the start of
-# round 3).  Oracle-backed entries lead (hash-match is the strong
-# signal); the rows-only multimodal stubs trail.
+# Round-3 window — exactly 50 entries, all oracle-backed (hash-match is the
+# strong signal), never driver-checked before this round (VERDICT r02 item
+# #1).  Leads with the 15 queries registered after the round-2 rotation was
+# frozen, then the streaming straggler, the physical-strategy family, the
+# text/corpus family, and the strongest of the remaining OLAP entries.
 _ROUND3_WINDOW = [
-    # OLAP / SQL-surface family
-    "q_grouping_id", "q_bitwise_agg", "q_merge_upsert", "q_incremental_rollup",
-    "q_order_limit", "q_window_ignore_nulls", "q_snapshot_diff",
-    "q_user_gap_features", "q_funnel", "q_retention_cohorts",
-    "q_running_count_distinct", "q_null_ordering", "q_json_extract",
-    "q_explode_terms", "q_grouping_sets", "q_date_arith", "q_string_funcs",
-    "q_range_join", "q_ntile_cume", "q_array_ops", "q_max_by", "q_map_ops",
-    "q_try_arith", "q_variant_json", "q_unpivot", "q_lateral_topn",
-    "q_stats_moments", "q_mode_per_group",
+    # post-rotation round-2 additions (oracle-backed; q_semdedup is
+    # rows-only and waits for round 4)
+    "q_bloom_filter_join", "q_interval_overlap", "q_vocab_build",
+    "q_line_dedup", "q_random_projection", "q_zscore_per_group",
+    "q_quality_classifier", "q_hard_negatives", "q_sample_per_group",
+    "q_udtf_spans", "q_scan_text_lines", "q_scan_binaryfile",
+    "q_zorder_layout", "q_stream_anti_dedup",
+    # streaming straggler (VERDICT item #7): restart semantics under the
+    # driver's own signal
+    "q_stream_custom_source",
     # scale / physical-strategy family
     "q_salted_join", "q_bucketed_join", "q_salted_agg", "q_shuffle_hash_hint",
     "q_compaction", "q_scan_json_schema", "q_scan_json_corrupt",
-    "q_custom_source", "q_custom_sink", "q_stream_custom_source",
+    "q_custom_source", "q_custom_sink",
     # text / corpus / LLM-pipeline family
     "q_bpe_token_count", "q_winnow_fingerprint", "q_embed_decontaminate",
     "q_unigram_ppl", "q_tfidf_top_terms", "q_bm25", "q_pipeline_corpus_clean",
@@ -102,24 +96,41 @@ _ROUND3_WINDOW = [
     "q_contamination", "q_pii_redact", "q_stratified_sample",
     "q_sequence_packing", "q_domain_mix", "q_weighted_sample",
     "q_quality_percentile", "q_entropy",
-    # rows-only multimodal stubs last (weakest driver signal)
-    "q_multimodal_bytes", "q_multimodal_features", "q_multimodal_resize",
+    # multimodal front door (oracle-backed, md5-verified ingestion)
+    "q_multimodal_bytes",
+    # highest-value OLAP entries that fit in the 50
+    "q_merge_upsert", "q_funnel", "q_retention_cohorts",
+]
+
+# Round-4 queue: the ≤29 overflow — the remaining OLAP-expression family
+# (oracle-backed, lower risk: single-table expression surfaces) and the
+# rows-only stubs (weakest driver signal, declared).
+_ROUND4_QUEUE = [
+    "q_grouping_id", "q_bitwise_agg", "q_incremental_rollup",
+    "q_order_limit", "q_window_ignore_nulls", "q_snapshot_diff",
+    "q_user_gap_features", "q_running_count_distinct", "q_null_ordering",
+    "q_json_extract", "q_explode_terms", "q_grouping_sets", "q_date_arith",
+    "q_string_funcs", "q_range_join", "q_ntile_cume", "q_array_ops",
+    "q_max_by", "q_map_ops", "q_try_arith", "q_variant_json", "q_unpivot",
+    "q_lateral_topn", "q_stats_moments", "q_mode_per_group",
+    # rows-only stubs last
+    "q_semdedup", "q_multimodal_features", "q_multimodal_resize",
     "q_multimodal_frames",
 ]
 
 
 def _rotate_registry() -> None:
     ordered: dict[str, Query] = {}
-    for name in _ROUND2_WINDOW:  # this round's sweep target: front of line
+    for name in _ROUND3_WINDOW:  # this round's sweep target: front of line
         if name in REGISTRY:
             ordered[name] = REGISTRY[name]
-    for name in _ROUND3_WINDOW:  # never driver-checked: next round's window
+    for name in _ROUND4_QUEUE:  # never driver-checked: next round's window
         if name in REGISTRY and name not in ordered:
             ordered[name] = REGISTRY[name]
     for name, q in REGISTRY.items():  # anything new keeps relative order
         if name not in ordered and name not in _ALREADY_DRIVER_CHECKED:
             ordered[name] = q
-    for name in _ALREADY_DRIVER_CHECKED:  # r01 green rows go last
+    for name in _ALREADY_DRIVER_CHECKED:  # r01/r02 green rows go last
         if name in REGISTRY:
             ordered[name] = REGISTRY[name]
     REGISTRY.clear()
