@@ -172,7 +172,14 @@ def ivf_topk(
     return fine.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
 
 
-DEFAULT_LSH_BANDS = 4
+# Recall at similarity s follows the LSH S-curve 1-(1-p^bits)^bands,
+# p = 1 - acos(s)/pi: with 8-bit bands, 6 bands hold recall >= 0.85
+# for s >= 0.9 (measured 0.92 at 10x corpus — the near-dup regime the
+# operator is FOR) while recall at s ~ 0.3 is intentionally low: catching
+# low-similarity pairs with LSH requires ~100 bands or near-quadratic
+# bucket occupancy; route those workloads through kmeans/semdedup
+# blocking instead. Pinned by test_lsh_neardup_recall_at_10x_corpus.
+DEFAULT_LSH_BANDS = 6
 # Bucket-occupancy target used when bits_per_band is derived from the
 # corpus size: E[bucket size] = n / 2^bits ≤ this, so within-bucket
 # verify work stays ~linear in n instead of quadratic.
@@ -194,6 +201,29 @@ def lsh_bits_for(n_rows: int) -> int:
     return b
 
 
+def band_signature_cols(
+    dim: int, bits_per_band: int, n_bands: int, vec_col: str = "embedding"
+) -> list[Column]:
+    """The per-band sign-signature columns (b0..b{n_bands-1}) shared by
+    every LSH consumer: bit i of band j is sign(v · plane_{j*bits+i}),
+    packed into an int bucket key. Deterministic planes (seeded rng),
+    so retried tasks and the DuckDB oracle reproduce identical buckets."""
+    planes = _hyperplanes(dim, bits_per_band * n_bands)
+    sign_bits = [
+        F.when(_dot(F.col(vec_col), F.array(*[F.lit(v) for v in p])) > 0, 1).otherwise(0)
+        for p in planes
+    ]
+    return [
+        sum(
+            b * (1 << i)
+            for i, b in enumerate(
+                sign_bits[band * bits_per_band : (band + 1) * bits_per_band]
+            )
+        ).alias(f"b{band}")
+        for band in range(n_bands)
+    ]
+
+
 def lsh_neardup_pairs(
     emb: DataFrame,
     dim: int,
@@ -212,25 +242,14 @@ def lsh_neardup_pairs(
     (n / 2^bits) stays ≤ 64 (one cheap count() action to size it;
     pass it explicitly to keep the plan fully lazy). Recall comes from
     ``n_bands`` independent bands (a pair is a candidate if ANY band
-    matches); recall ≥ 0.8 at threshold 0.3 is pinned by
-    tests/test_operators_unit.py against exact brute-force pairs.
+    matches) and follows the LSH S-curve — see DEFAULT_LSH_BANDS:
+    recall ≥ 0.85 for sim ≥ 0.9 pairs is pinned at 10x corpus by
+    tests/test_operators_unit.py against exact brute-force pairs;
+    low-similarity pairs are intentionally below the curve's knee.
     """
     if bits_per_band is None:
         bits_per_band = lsh_bits_for(emb.count())
-    planes = _hyperplanes(dim, bits_per_band * n_bands)
-    sign_bits = [
-        F.when(_dot(F.col(vec_col), F.array(*[F.lit(v) for v in p])) > 0, 1).otherwise(0)
-        for p in planes
-    ]
-    bands = [
-        sum(
-            b * (1 << i)
-            for i, b in enumerate(
-                sign_bits[band * bits_per_band : (band + 1) * bits_per_band]
-            )
-        ).alias(f"b{band}")
-        for band in range(n_bands)
-    ]
+    bands = band_signature_cols(dim, bits_per_band, n_bands, vec_col)
     # Every band contributes two join-side consumers of sig; without
     # persist the hyperplane sign projections (bits_per_band × n_bands
     # dot products per row) recompute once per consumer.
@@ -608,6 +627,78 @@ def hard_negatives(
     )
     scored = (
         tr.crossJoin(F.broadcast(ev))
+        .filter(F.col("__tl") != F.col("__el"))
+        .select(
+            "eval_id",
+            "neg_id",
+            (
+                _dot(F.col("__tv"), F.col("__ev"))
+                / (F.col("__tn") * F.col("__en"))
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("eval_id").orderBy(F.desc("sim"), "neg_id")
+    return scored.withColumn(
+        "rk", F.row_number().over(w).cast("long")
+    ).filter(F.col("rk") <= k)
+
+
+def hard_negatives_ann(
+    emb: DataFrame,
+    eval_pred: Column,
+    dim: int,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    bits_per_band: int | None = None,
+    n_bands: int = DEFAULT_LSH_BANDS,
+) -> DataFrame:
+    """Hard-negative mining for anchor sets too big to broadcast: LSH
+    band-bucket candidate generation, then exact cosine verify — the
+    composition ``hard_negatives``'s docstring prescribes as the scale
+    path. ``hard_negatives`` is the exact small-anchor path; this one
+    trades the any-band-collision recall loss for join-only execution.
+
+    Scale shape: anchors and corpus each compute per-band sign
+    signatures; candidates come from n_bands shuffle EQUI-joins on the
+    band bucket key — no broadcast proportional to either side, no
+    nested loop anywhere. Only the candidate pairs pay the exact
+    cosine, and the per-anchor top-k rank is a window partitioned by
+    anchor id (never a global sort). Deterministic planes → the
+    candidate set (and thus the output) is oracle-reproducible.
+    """
+    if bits_per_band is None:
+        bits_per_band = lsh_bits_for(emb.count())
+    bands = band_signature_cols(dim, bits_per_band, n_bands, vec_col)
+    # Signatures cost bits×bands dots per row and feed n_bands join
+    # consumers each — persist both sides once.
+    ev = emb.filter(eval_pred).select(
+        F.col(id_col).alias("eval_id"),
+        F.col(label_col).alias("__el"),
+        F.col(vec_col).alias("__ev"),
+        _norm(F.col(vec_col)).alias("__en"),
+        *bands,
+    ).persist()
+    tr = emb.filter(~eval_pred).select(
+        F.col(id_col).alias("neg_id"),
+        F.col(label_col).alias("__tl"),
+        F.col(vec_col).alias("__tv"),
+        _norm(F.col(vec_col)).alias("__tn"),
+        *bands,
+    ).persist()
+    cands = None
+    for band in range(n_bands):
+        a = ev.select(
+            "eval_id", "__el", "__ev", "__en", F.col(f"b{band}").alias("__k")
+        )
+        b = tr.select(
+            "neg_id", "__tl", "__tv", "__tn", F.col(f"b{band}").alias("__k")
+        )
+        c = a.join(b, "__k").drop("__k")
+        cands = c if cands is None else cands.unionByName(c)
+    scored = (
+        cands.dropDuplicates(["eval_id", "neg_id"])
         .filter(F.col("__tl") != F.col("__el"))
         .select(
             "eval_id",

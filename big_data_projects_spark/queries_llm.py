@@ -1485,11 +1485,11 @@ def q_repetition(spark, sf_dir):
     oracle="""
     WITH ev AS (
         SELECT vec_id AS eval_id, label, embedding::DOUBLE[] AS v
-        FROM embeddings WHERE vec_id % 10 = 0
+        FROM embeddings WHERE vec_id < 64
     ),
     tr AS (
         SELECT vec_id AS neg_id, label, embedding::DOUBLE[] AS v
-        FROM embeddings WHERE vec_id % 10 != 0
+        FROM embeddings WHERE vec_id >= 64
     ),
     scored AS (
         SELECT ev.eval_id, tr.neg_id,
@@ -1509,13 +1509,92 @@ def q_repetition(spark, sf_dir):
 )
 def q_hard_negatives(spark, sf_dir):
     """Hard-negative mining (contrastive training data): for each
-    anchor vector in the held-out tenth of the corpus, the 3 most
-    cosine-similar vectors with a DIFFERENT label. Broadcast nested
-    loop over the small anchor side, JVM-fold dot products (bit-
-    identical to DuckDB list_dot_product, so even the float sims
-    hash-match), anchor-partitioned rank window — no global sort."""
+    anchor in a FIXED-SIZE anchor set (vec_id < 64 — control-plane
+    sized, never proportional to the corpus, the operator's broadcast
+    contract), the 3 most cosine-similar vectors with a DIFFERENT
+    label. Broadcast nested loop over the bounded anchor side, JVM-
+    fold dot products (bit-identical to DuckDB list_dot_product, so
+    even the float sims hash-match), anchor-partitioned rank window —
+    no global sort. Corpus-proportional anchor sets route through
+    q_hard_negatives_ann (LSH candidates, join-only)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return S.hard_negatives(emb, F.col("vec_id") % 10 == 0, k=3)
+    return S.hard_negatives(emb, F.col("vec_id") < 64, k=3)
+
+
+def _hn_ann_oracle() -> str:
+    # The SAME deterministic hyperplanes as band_signature_cols (seeded
+    # rng), embedded as STRING literals cast to DOUBLE[] (exact strtod
+    # round-trip — see _rp_oracle). Both engines fold the dot product
+    # sequentially over identical doubles, so even the sign bits (and
+    # hence the candidate set) match bit-for-bit.
+    bits, n_bands = 8, S.DEFAULT_LSH_BANDS
+    planes = S._hyperplanes(64, bits * n_bands)
+
+    def band_expr(j: int) -> str:
+        terms = []
+        for i in range(bits):
+            lit = ", ".join("'" + repr(w) + "'" for w in planes[j * bits + i])
+            terms.append(
+                "(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+                f"[{lit}]::DOUBLE[]) > 0 THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(terms) + f" AS b{j}"
+
+    bexprs = ",\n               ".join(band_expr(j) for j in range(n_bands))
+    unions = "\n            UNION ALL ".join(
+        f"SELECT ev.eval_id, tr.neg_id FROM ev JOIN tr ON ev.b{j} = tr.b{j}"
+        for j in range(n_bands)
+    )
+    return f"""
+    WITH ev AS (
+        SELECT vec_id AS eval_id, label, embedding::DOUBLE[] AS v,
+               {bexprs}
+        FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    tr AS (
+        SELECT vec_id AS neg_id, label, embedding::DOUBLE[] AS v,
+               {bexprs}
+        FROM embeddings WHERE vec_id % 10 != 0
+    ),
+    cand AS (
+        SELECT DISTINCT eval_id, neg_id FROM (
+            {unions}
+        )
+    ),
+    scored AS (
+        SELECT c.eval_id, c.neg_id,
+               list_dot_product(tr.v, ev.v) /
+               (sqrt(list_dot_product(tr.v, tr.v)) *
+                sqrt(list_dot_product(ev.v, ev.v))) AS sim
+        FROM cand c
+        JOIN ev ON ev.eval_id = c.eval_id
+        JOIN tr ON tr.neg_id = c.neg_id
+        WHERE tr.label != ev.label
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY eval_id ORDER BY sim DESC, neg_id) AS rk
+        FROM scored
+    )
+    SELECT eval_id, neg_id, CAST(rk AS BIGINT) AS rk, sim
+    FROM ranked WHERE rk <= 3
+    """
+
+
+@register("q_hard_negatives_ann", oracle=_hn_ann_oracle())
+def q_hard_negatives_ann(spark, sf_dir):
+    """Hard-negative mining at corpus scale: the anchor set here is 10%
+    of the corpus — far too big to broadcast — so candidates come from
+    LSH band-bucket equi-joins (anchors and corpus hash into the same
+    sign-signature buckets) and only candidate pairs pay the exact
+    cosine verify. Join-only plan: no broadcast proportional to any
+    side, no nested loop (asserted in tests/test_plans.py). The
+    deterministic planes make even this ANN path hash-match its oracle:
+    DuckDB reproduces the exact candidate set from literal planes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.hard_negatives_ann(
+        emb, F.col("vec_id") % 10 == 0, dim=64, k=3, bits_per_band=8
+    )
 
 
 @register("q_semdedup")  # kmeans blocking is iterative → rows-only
@@ -1523,13 +1602,17 @@ def q_semdedup(spark, sf_dir):
     """SemDeDup semantic dedup (Abbas et al. 2023): k-means cluster the
     embedding corpus, mark within-cluster cosine-≥τ near-duplicates of a
     lower-id vector (keep-lowest-id). Pair work is within-cluster only
-    (equi-join on cluster id) — grow k with the corpus and the verify
-    stage stays bounded; no global pairwise pass. τ is corpus-calibrated
-    (0.3 on this synthetic corpus, where label-mates cluster near
-    cosine ~0.35; real text embeddings use ~0.95). Output: per-cluster
-    vector/duplicate accounting (k rows, deterministic)."""
+    (equi-join on cluster id), and k GROWS WITH THE CORPUS — one cheap
+    count sizes k = max(8, n/64), keeping E[cluster size] ~64 so the
+    within-cluster verify stays ~linear at any scale; no global
+    pairwise pass (wall ratio pinned by tools/scale_smoke.py). τ is
+    corpus-calibrated (0.3 on this synthetic corpus, where label-mates
+    cluster near cosine ~0.35; real text embeddings use ~0.95).
+    Output: per-cluster vector/duplicate accounting (k rows,
+    deterministic)."""
     emb = _t(spark, sf_dir, "embeddings")
-    marked = S.semdedup(emb, k=8, threshold=0.3, n_iter=2)
+    k = max(8, emb.count() // 64)
+    marked = S.semdedup(emb, k=k, threshold=0.3, n_iter=2)
     return marked.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.sum(F.col("is_dup").cast("long")).alias("n_dups"),

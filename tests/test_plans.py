@@ -292,3 +292,22 @@ def test_interval_overlap_is_equi_join_not_nested_loop(spark):
     plan = plan_of(spark, "q_interval_overlap")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hard_negatives_broadcasts_only_bounded_anchor_side(spark):
+    # The exact path's broadcast contract: the broadcast side must be
+    # the FIXED-SIZE anchor set (vec_id < 64 reaches the scan as a
+    # pushed filter), never a corpus-proportional relation.
+    plan = plan_of(spark, "q_hard_negatives")
+    assert "LessThan(vec_id,64)" in plan, "anchor bound not pushed to scan"
+    assert "BroadcastNestedLoopJoin" in plan  # bounded side × corpus scan
+
+
+def test_hard_negatives_ann_is_join_only(spark):
+    # The scale path (anchor set ∝ corpus): candidates from LSH band
+    # equi-joins — no nested loop, no cartesian product anywhere, and
+    # the per-anchor rank never plans a single-partition exchange.
+    plan = plan_of(spark, "q_hard_negatives_ann")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan

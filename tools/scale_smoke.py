@@ -73,6 +73,11 @@ QUERIES = [
     "q_dedup_minhash_lsh",
     "q_simhash_pairs",
     "q_embed_lsh_neardup",
+    # round-3 additions: k now grows with the corpus (k = max(8, n/64)),
+    # keeping within-cluster pair work ~linear; the ANN hard-negative
+    # path is join-only (LSH buckets), never a corpus-sized broadcast.
+    "q_semdedup",
+    "q_hard_negatives_ann",
 ]
 # Near-linear tolerance: shuffles and within-bucket verify grow a bit
 # superlinearly even in healthy plans; 3x headroom over proportional
