@@ -55,6 +55,13 @@ HEADLINE = [
     "q_sequence_packing",
     "q_contamination",
     "q_stream_hourly_counts",
+    # round-3 additions (VERDICT r02 item #8): the heaviest post-rotation
+    # operators, under the same cold-cache 2x alarm as the rest.
+    "q_bloom_filter_join",
+    "q_interval_overlap",
+    "q_line_dedup",
+    "q_vocab_build",
+    "q_hard_negatives",
 ]
 
 
@@ -62,7 +69,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 4)
 
-    from big_data_projects_spark.session import get_spark
+    from big_data_projects_spark.session import ensure_runtime_conf, get_spark
     from big_data_projects_spark.queries import REGISTRY
 
     spark = get_spark(app_name="bdp-bench", cpus=cpus, shuffle_partitions=cpus)
@@ -88,7 +95,13 @@ def main() -> None:
         builder = q.raw or q.spark
         t0 = time.perf_counter()
         builder(spark, sf_dir).count()
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        # Conf hygiene: a builder that overrides session confs for its
+        # own plan (q_bloom_filter_join, q_bucketed_join) relies on the
+        # NEXT builder's ensure_runtime_conf; restoring here bounds the
+        # leak even for the last query of the run.
+        ensure_runtime_conf(spark)
+        return dt
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

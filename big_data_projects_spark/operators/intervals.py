@@ -43,7 +43,14 @@ def interval_overlap_join(
     Columns from both inputs are preserved; callers select/alias before
     the join if names collide. Emits each overlapping pair exactly once
     (first-shared-block rule — no distinct pass).
+
+    Rows with malformed intervals (end < start, or a null endpoint)
+    match nothing: they are filtered before the explode. Without the
+    guard a descending F.sequence would silently hash the row into
+    WRONG blocks rather than failing.
     """
+    left = left.filter(F.col(l_start) <= F.col(l_end))
+    right = right.filter(F.col(r_start) <= F.col(r_end))
     lb = left.withColumn(
         "__blk",
         F.explode(

@@ -1262,7 +1262,7 @@ def q_null_ordering(spark, sf_dir):
     "q_interval_overlap",
     oracle="""
     WITH flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
                     THEN 1 ELSE 0 END AS new_s
@@ -1270,8 +1270,10 @@ def q_null_ordering(spark, sf_dir):
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
+        -- event_id tiebreak keeps sid deterministic (and aligned with
+        -- the Spark sessionize side) under duplicate (user_id, ts).
         SELECT user_id, ts,
-               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS sid
         FROM flagged
     ),

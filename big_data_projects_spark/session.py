@@ -31,11 +31,15 @@ _REQUIRED_RUNTIME_CONF = {
     # a default-1g-heap driver session mid-sweep. 1M chars is plenty
     # for debugging and bounds the allocation to ~2 MB.
     "spark.sql.maxPlanStringLength": "1048576",
-    # q_bloom_filter_join overrides these two to force the runtime
-    # bloom filter to inject at test scale; pinning the defaults here
-    # means every OTHER builder restores them, so the override never
-    # leaks into a later query in the same long-lived session.
+    # q_bloom_filter_join / q_bucketed_join override these to force the
+    # runtime bloom filter / shuffle join to engage at test scale;
+    # pinning the defaults here means every OTHER builder restores
+    # them, so an override leaks no further than the next build in the
+    # same session (harnesses that care about the very last query call
+    # ensure_runtime_conf once more after materializing it — bench.py
+    # does).  All three values are the Spark 4 defaults.
     "spark.sql.autoBroadcastJoinThreshold": "10485760",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10GB",
 }
 
