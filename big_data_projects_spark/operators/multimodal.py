@@ -3,9 +3,13 @@
 Design: image/audio/video payloads ride as a BinaryType column next to
 a StructType metadata column (kind, n_bytes, digest). All Spark-side
 plumbing — schema, partitioning, Arrow batch shape through mapInPandas
-— is real and tested; the actual media *decode* is stubbed because the
-container has no image/audio libraries (clearly marked below). At
-deployment, `_decode_payload` is the only function to replace.
+— is real and tested. Decode coverage: PPM (P6) images and RIFF/WAVE
+PCM audio are decoded FOR REAL by the pure-Python parsers below
+(header parse, raster/sample extraction, per-channel features,
+nearest-neighbor resize); compressed formats (JPEG/PNG/MP3/MP4-class)
+raise NotImplementedError because codec libraries are not in this
+container — at deployment `_decode_payload`/`_modality_features` are
+the swap points for PIL/ffmpeg.
 
 Feature extraction runs as an Arrow-batched mapInPandas (one Python
 round trip per batch, never per row), yielding fixed-width
@@ -14,6 +18,7 @@ array<double> features suitable for the similarity operators.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -46,17 +51,102 @@ def with_binary_payload(
     )
 
 
-def _decode_payload(payload: bytes, kind: str) -> bytes:
-    """STUB: media decode. Real deployments plug in PIL/ffmpeg/etc.
-
-    Raises for true media kinds; passes text/bytes through so the
-    surrounding Arrow plumbing is exercised end-to-end.
+def decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-Python P6 PPM (binary portable pixmap) parser: header
+    tokens (magic, width, height, maxval) with whitespace + '#'
+    comment handling, then the interleaved RGB raster (1 byte/sample
+    for maxval < 256, else 2). Returns (width, height, maxval, raster).
     """
-    if kind in ("image", "audio", "video"):
-        raise NotImplementedError(
-            f"decode for kind={kind!r} requires media libraries not in this "
-            "container; deterministic byte-level features are produced instead"
-        )
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte separates maxval and raster
+    w, h, maxval = tokens
+    n = w * h * 3 * (1 if maxval < 256 else 2)
+    raster = payload[pos : pos + n]
+    if len(raster) < n:
+        raise ValueError("truncated PPM raster")
+    return w, h, maxval, raster
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """Minimal RIFF/WAVE PCM parser: walks the chunk list for fmt +
+    data, decodes 8-bit (unsigned, recentred) or 16-bit LE samples.
+    Returns (n_channels, sample_rate, bits_per_sample, samples).
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not RIFF/WAVE")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_ch, rate = struct.unpack("<HHI", fmt[:8])
+    bits = struct.unpack("<H", fmt[14:16])[0]
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError("only uncompressed PCM 8/16-bit supported")
+    if bits == 16:
+        n = len(data) // 2
+        samples = list(struct.unpack(f"<{n}h", data[: 2 * n]))
+    else:
+        samples = [b - 128 for b in data]
+    return n_ch, rate, bits, samples
+
+
+def resize_ppm(payload: bytes, tw: int, th: int) -> bytes:
+    """Nearest-neighbor resample of an 8-bit P6 image to tw x th —
+    a REAL pixel-level resize, emitting a valid P6 payload."""
+    w, h, maxval, raster = decode_ppm(payload)
+    if maxval >= 256:
+        raise NotImplementedError("16-bit-per-sample PPM resize")
+    out = bytearray()
+    for ty in range(th):
+        sy = ty * h // th
+        for tx in range(tw):
+            sx = tx * w // tw
+            i = (sy * w + sx) * 3
+            out += raster[i : i + 3]
+    return b"P6\n%d %d\n%d\n" % (tw, th, maxval) + bytes(out)
+
+
+def _decode_payload(payload: bytes, kind: str) -> bytes:
+    """Decode a payload to its raw content bytes: PPM images → RGB
+    raster, WAVE audio → PCM data samples, text → the bytes as-is.
+
+    STUB only for compressed formats (JPEG/PNG/MP3/MP4-class): those
+    require codec libraries not in this container and raise — callers
+    fall back to byte-level passthrough with a 'stubbed' status. At
+    deployment this is the swap point for PIL/ffmpeg.
+    """
+    if kind == "image":
+        if payload.startswith(b"P6"):
+            return decode_ppm(payload)[3]
+        raise NotImplementedError("image decode beyond P6 PPM needs codec libs")
+    if kind == "audio":
+        if payload[:4] == b"RIFF":
+            _, _, bits, samples = decode_wav(payload)
+            return struct.pack(f"<{len(samples)}h", *samples)
+        raise NotImplementedError("audio decode beyond RIFF/WAVE needs codec libs")
+    if kind == "video":
+        raise NotImplementedError("video decode needs codec libs (ffmpeg-class)")
     return payload
 
 
@@ -79,6 +169,59 @@ def _byte_features(payload: bytes) -> list[float]:
     ]
 
 
+def _ppm_features(payload: bytes) -> list[float]:
+    """Real image features from a decoded 8-bit P6: dimensions,
+    per-channel means, global min/max, pixel count."""
+    w, h, maxval, raster = decode_ppm(payload)
+    if maxval >= 256:
+        raise NotImplementedError("16-bit-per-sample PPM features")
+    n = w * h
+    return [
+        float(w),
+        float(h),
+        sum(raster[0::3]) / n,
+        sum(raster[1::3]) / n,
+        sum(raster[2::3]) / n,
+        float(min(raster)),
+        float(max(raster)),
+        float(n),
+    ]
+
+
+def _wav_features(payload: bytes) -> list[float]:
+    """Real audio features from decoded PCM: sample count, rate, mean/
+    min/max amplitude, channel count, bit depth, frame count."""
+    n_ch, rate, bits, samples = decode_wav(payload)
+    n = len(samples)
+    return [
+        float(n),
+        float(rate),
+        (sum(samples) / n) if n else 0.0,
+        float(min(samples)) if n else 0.0,
+        float(max(samples)) if n else 0.0,
+        float(n_ch),
+        float(bits),
+        float(n // n_ch),
+    ]
+
+
+def _modality_features(payload: bytes, kind: str) -> tuple[str, list[float]]:
+    """(decode_status, features): real decoders where the format
+    allows, NotImplementedError for codec-class formats (caller falls
+    back to byte features with status 'stubbed')."""
+    if kind == "image":
+        if payload.startswith(b"P6"):
+            return "decoded", _ppm_features(payload)
+        raise NotImplementedError("image features beyond P6 PPM")
+    if kind == "audio":
+        if payload[:4] == b"RIFF":
+            return "decoded", _wav_features(payload)
+        raise NotImplementedError("audio features beyond RIFF/WAVE")
+    if kind == "video":
+        raise NotImplementedError("video features need codec libs")
+    return "decoded", _byte_features(payload)
+
+
 def extract_features(binary_df: DataFrame) -> DataFrame:
     """mapInPandas featurizer over (doc_id, payload, meta) batches."""
 
@@ -89,12 +232,11 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
             for payload, kind in zip(pdf["payload"], kinds):
                 raw = bytes(payload)
                 try:
-                    decoded = _decode_payload(raw, kind)
-                    status.append("decoded")
+                    st, fv = _modality_features(raw, kind)
                 except NotImplementedError:
-                    decoded = raw
-                    status.append("stubbed")
-                feats.append(_byte_features(decoded))
+                    st, fv = "stubbed", _byte_features(raw)
+                status.append(st)
+                feats.append(fv)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -117,11 +259,12 @@ RESIZED_SCHEMA = (
 def resize_payload(binary_df: DataFrame, width: int, height: int) -> DataFrame:
     """mapInPandas resize: 1 row in → 1 row out, payload transformed.
 
-    STUB at the pixel level (no image libs in this container): media
-    kinds raise inside `_decode_payload` and pass through unchanged with
-    resize_status='stubbed'; text/bytes payloads are 'resized' by
-    deterministic truncation/padding to width·height bytes so the
-    batch shape, schema, and payload round-trip are exercised for real.
+    P6 PPM images get a REAL nearest-neighbor pixel resample (a valid
+    P6 of the target size comes out). Codec-class formats (JPEG/MP4)
+    pass through with resize_status='stubbed' — no codec libs in this
+    container. Text/bytes payloads are 'resized' by deterministic
+    truncation/padding to width·height bytes so the batch shape,
+    schema, and payload round-trip are exercised for real.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -132,8 +275,11 @@ def resize_payload(binary_df: DataFrame, width: int, height: int) -> DataFrame:
             for payload, kind in zip(pdf["payload"], kinds):
                 raw = bytes(payload)
                 try:
-                    decoded = _decode_payload(raw, kind)
-                    resized = (decoded + b"\x00" * target)[:target]
+                    if kind == "image" and raw.startswith(b"P6"):
+                        resized = resize_ppm(raw, width, height)
+                    else:
+                        decoded = _decode_payload(raw, kind)
+                        resized = (decoded + b"\x00" * target)[:target]
                     status.append("resized")
                 except NotImplementedError:
                     resized = raw

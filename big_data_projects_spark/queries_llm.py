@@ -513,6 +513,82 @@ def q_multimodal_bytes(spark, sf_dir):
     )
 
 
+def _mm_decode_oracle() -> str:
+    def b(j: int) -> str:  # j-th byte (0-based) of md5(text)
+        return f"CAST(('0x' || substr(md5(text), {2 * j + 1}, 2)) AS BIGINT)"
+
+    mean_r = "(" + " + ".join(b(j) for j in (0, 3, 6, 9)) + ") / 4.0"
+    mean_g = "(" + " + ".join(b(j) for j in (1, 4, 7, 10)) + ") / 4.0"
+    mean_b = "(" + " + ".join(b(j) for j in (2, 5, 8, 11)) + ") / 4.0"
+    px_min = "LEAST(" + ", ".join(b(j) for j in range(12)) + ")"
+    px_max = "GREATEST(" + ", ".join(b(j) for j in range(12)) + ")"
+    samples = []
+    for i in range(8):
+        u = f"({b(2 * i)} + 256 * {b(2 * i + 1)})"
+        samples.append(f"(CASE WHEN {u} >= 32768 THEN {u} - 65536 ELSE {u} END)")
+    s_mean = "(" + " + ".join(samples) + ") / 8.0"
+    s_min = "LEAST(" + ", ".join(samples) + ")"
+    s_max = "GREATEST(" + ", ".join(samples) + ")"
+    return f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+           'decoded' AS decode_status,
+           CASE WHEN doc_id % 2 = 0 THEN 2.0 ELSE 8.0 END AS f1,
+           CASE WHEN doc_id % 2 = 0 THEN 2.0 ELSE 8000.0 END AS f2,
+           CASE WHEN doc_id % 2 = 0 THEN {mean_r} ELSE {s_mean} END AS f3,
+           CASE WHEN doc_id % 2 = 0 THEN {mean_g}
+                ELSE CAST({s_min} AS DOUBLE) END AS f4,
+           CASE WHEN doc_id % 2 = 0 THEN {mean_b}
+                ELSE CAST({s_max} AS DOUBLE) END AS f5,
+           CASE WHEN doc_id % 2 = 0 THEN CAST({px_min} AS DOUBLE)
+                ELSE 1.0 END AS f6,
+           CASE WHEN doc_id % 2 = 0 THEN CAST({px_max} AS DOUBLE)
+                ELSE 16.0 END AS f7,
+           CASE WHEN doc_id % 2 = 0 THEN 4.0 ELSE 8.0 END AS f8
+    FROM documents
+    """
+
+
+@register("q_multimodal_decode", oracle=_mm_decode_oracle())
+def q_multimodal_decode(spark, sf_dir):
+    """REAL media decode through the Arrow featurizer: even doc_ids
+    carry a 2x2 P6 PPM image, odd doc_ids a 16-bit mono RIFF/WAVE clip
+    — both synthesized deterministically from md5(text) bytes — and the
+    pure-Python parsers in operators/multimodal.py (header parse,
+    raster/PCM extraction) produce per-modality features that DuckDB
+    reproduces arithmetically from the same md5 bytes. This is the
+    proof the decode path is real, not plumbing: a parser bug anywhere
+    (header tokenizer, chunk walk, int16 LE decode) breaks the hash
+    match. Codec formats (JPEG/MP4) remain honestly stubbed."""
+    import struct as _struct
+
+    docs = _t(spark, sf_dir, "documents")
+    md5b = F.unhex(F.md5("text"))
+    ppm = F.concat(F.lit(b"P6\n2 2\n255\n"), F.substring(md5b, 1, 12))
+    wav_header = (
+        b"RIFF" + _struct.pack("<I", 52) + b"WAVE"
+        + b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + _struct.pack("<I", 16)
+    )
+    wav = F.concat(F.lit(wav_header), F.substring(md5b, 1, 16))
+    even = F.col("doc_id") % 2 == 0
+    payload = F.when(even, ppm).otherwise(wav)
+    wrapped = docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.when(even, "image").otherwise("audio").alias("kind"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.md5(payload).alias("digest"),
+        ).alias("meta"),
+    )
+    feats = M.extract_features(wrapped)
+    return feats.select(
+        "doc_id", "kind", "decode_status",
+        *[F.element_at("features", i + 1).alias(f"f{i + 1}") for i in range(8)],
+    )
+
+
 @register("q_multimodal_features")  # pandas-UDF plumbing → rows-only
 def q_multimodal_features(spark, sf_dir):
     """Arrow-batched mapInPandas featurizer over binary payloads

@@ -969,3 +969,77 @@ def test_lsh_neardup_recall_at_10x_corpus(spark):
     assert recall >= 0.85, (
         f"near-dup recall {recall:.3f} on {len(near_dups)} sim>=0.9 pairs"
     )
+
+
+def test_ppm_decode_and_features_exact():
+    """Pure-Python P6 parser: comment-bearing header, exact per-channel
+    means on a handcrafted 2x3 image."""
+    from big_data_projects_spark.operators.multimodal import (
+        _ppm_features,
+        decode_ppm,
+        resize_ppm,
+    )
+
+    raster = bytes(
+        [
+            10, 20, 30,   40, 50, 60,
+            70, 80, 90,   100, 110, 120,
+            130, 140, 150, 160, 170, 180,
+        ]
+    )
+    ppm = b"P6\n# a comment\n2 3\n255\n" + raster
+    w, h, maxval, got = decode_ppm(ppm)
+    assert (w, h, maxval) == (2, 3, 255)
+    assert got == raster
+    f = _ppm_features(ppm)
+    assert f[:2] == [2.0, 3.0]
+    assert f[2] == (10 + 40 + 70 + 100 + 130 + 160) / 6  # mean R
+    assert f[3] == (20 + 50 + 80 + 110 + 140 + 170) / 6  # mean G
+    assert f[4] == (30 + 60 + 90 + 120 + 150 + 180) / 6  # mean B
+    assert f[5:] == [10.0, 180.0, 6.0]
+    # nearest-neighbor downsample to 1x1 picks the top-left source pixel
+    out = resize_ppm(ppm, 1, 1)
+    assert out == b"P6\n1 1\n255\n" + bytes([10, 20, 30])
+    # malformed input fails loudly, never silently
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P6\n4 4\n255\n\x00\x01")  # truncated raster
+
+
+def test_wav_decode_and_features_exact():
+    """RIFF/WAVE PCM parser: chunk walk, 16-bit LE decode (negative
+    samples), and 8-bit recentring on handcrafted clips."""
+    import struct
+
+    from big_data_projects_spark.operators.multimodal import (
+        _wav_features,
+        decode_wav,
+    )
+
+    samples = [0, 1000, -1000, 32767, -32768, 7]
+    data = struct.pack("<6h", *samples)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 176400, 4, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    n_ch, rate, bits, got = decode_wav(wav)
+    assert (n_ch, rate, bits) == (2, 44100, 16)
+    assert got == samples
+    f = _wav_features(wav)
+    assert f == [6.0, 44100.0, sum(samples) / 6, -32768.0, 32767.0, 2.0, 16.0, 3.0]
+    # 8-bit clips recentre around 128
+    data8 = bytes([128, 255, 0, 129])
+    wav8 = (
+        b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data" + struct.pack("<I", 4) + data8
+    )
+    assert decode_wav(wav8)[3] == [0, 127, -128, 1]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00AIFF")
