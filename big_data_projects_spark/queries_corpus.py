@@ -702,3 +702,174 @@ def q_zscore_per_group(spark, sf_dir):
             ((F.col("n_chars") - mean) / F.sqrt(var)).alias("z"),
         )
     )
+
+
+GOPHER_STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "on", "that", "it"]
+_STOP_SQL = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+
+
+@register(
+    "q_gopher_rules",
+    oracle=rf"""
+    WITH s AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_words,
+               list_sum(list_transform(t, w -> len(w)))
+                   / CAST(len(t) AS DOUBLE) AS mean_word_len,
+               CAST(len(list_intersect(list_distinct(t), [{_STOP_SQL}]))
+                    AS BIGINT) AS n_stopwords
+        FROM s
+    )
+    SELECT doc_id, n_words, mean_word_len, n_stopwords,
+           n_words BETWEEN 25 AND 500 AND mean_word_len BETWEEN 3 AND 10
+               AND n_stopwords >= 2 AS keep
+    FROM m
+    """,
+)
+def q_gopher_rules(spark, sf_dir):
+    """Gopher-style heuristic quality rules (Rae et al. 2021,
+    arXiv:2112.11446 Table A1, bounds adapted to this corpus' short
+    synthetic docs): word-count window, mean word length window, and a
+    minimum count of distinct stopwords present — the standard cheap
+    pre-filter a trillion-token pipeline runs before any model-based
+    scoring. Per-row arithmetic over the token array, all in codegen
+    (no explode, no shuffle, no UDF) — embarrassingly parallel at any
+    scale. Exact-int sums divided once keep doubles engine-identical."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", T.tokens("text").alias("__t"))
+    n_words = F.size("__t").cast("long")
+    total_len = F.aggregate(
+        F.transform(F.col("__t"), lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mean_len = total_len / n_words
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.col("__t"), stop_arr)).cast("long")
+    keep = (
+        n_words.between(25, 500) & mean_len.between(3, 10) & (n_stop >= 2)
+    )
+    return base.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        n_stop.alias("n_stopwords"),
+        keep.alias("keep"),
+    )
+
+
+_INC_SHINGLE = (
+    "CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "q_incremental_dedup",
+    oracle=rf"""
+    WITH newb AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+    ),
+    old AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 4 != 0
+    ),
+    exact AS (
+        SELECT DISTINCT n.doc_id
+        FROM newb n JOIN (SELECT DISTINCT md5(text) AS h FROM old) o
+          ON md5(n.text) = o.h
+    ),
+    shn_all AS (
+        SELECT DISTINCT doc_id, {_INC_SHINGLE} AS shingle
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM newb),
+             UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        WHERE len(t) >= 3
+    ),
+    sho_all AS (
+        SELECT DISTINCT doc_id, {_INC_SHINGLE} AS shingle
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM old),
+             UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        WHERE len(t) >= 3
+    ),
+    hot AS (
+        SELECT shingle FROM sho_all GROUP BY shingle HAVING COUNT(*) > 1000
+    ),
+    near AS (
+        SELECT DISTINCT a.doc_id
+        FROM (SELECT * FROM shn_all WHERE shingle NOT IN (SELECT shingle FROM hot)) a
+        JOIN (SELECT * FROM sho_all WHERE shingle NOT IN (SELECT shingle FROM hot)) b
+          ON a.shingle = b.shingle
+        GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 5
+    )
+    SELECT n.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'kept' END AS status
+    FROM newb n
+    LEFT JOIN exact e ON n.doc_id = e.doc_id
+    LEFT JOIN near nr ON n.doc_id = nr.doc_id
+    """,
+)
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental-ingest dedup — the production shape for a corpus
+    that GROWS: a new batch (doc_id % 4 = 0 here) is checked against
+    the existing corpus without ever re-deduping the corpus itself.
+    Two stages, both equi-joins keyed to stay bounded at 100 TB:
+    exact (md5 content-hash join against the DISTINCT existing-hash
+    set) and near-dup (df-capped 3-gram shingles, pairwise common-
+    shingle count >= 5 against any one existing doc — the same
+    hot-shingle cap as q_ngram_jaccard keeps boilerplate from going
+    quadratic). New docs come out tagged exact_dup / near_dup / kept;
+    only the batch is scanned twice, the corpus once per stage."""
+    docs = _t(spark, sf_dir, "documents")
+    new_pred = F.col("doc_id") % 4 == 0
+    newb = docs.filter(new_pred)
+    old = docs.filter(~new_pred)
+
+    exact_ids = (
+        newb.select("doc_id", D.content_hash("text").alias("__h"))
+        .join(
+            old.select(D.content_hash("text").alias("__h")).distinct(), "__h"
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    sh_new = D.shingles(newb, "doc_id", "text")
+    sh_old = D.shingles(old, "doc_id", "text")
+    hot = (
+        sh_old.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > 1000)
+        .select("shingle")
+    )
+    sh_new_c = sh_new.join(hot, "shingle", "left_anti")
+    sh_old_c = sh_old.join(hot, "shingle", "left_anti").select(
+        F.col("doc_id").alias("__od"), "shingle"
+    )
+    near_ids = (
+        sh_new_c.join(sh_old_c, "shingle")
+        .groupBy("doc_id", "__od")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 5)
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        newb.select("doc_id")
+        .join(exact_ids.withColumn("__e", F.lit(True)), "doc_id", "left")
+        .join(near_ids.withColumn("__n", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("__e"), "exact_dup")
+            .when(F.col("__n"), "near_dup")
+            .otherwise("kept")
+            .alias("status"),
+        )
+    )

@@ -1369,3 +1369,46 @@ def q_sample_per_group(spark, sf_dir):
         )
         .filter(F.col("rk") <= 50)
     )
+
+
+@register(
+    "q_skew_stats",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_events) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_keys
+        FROM c
+    )
+    SELECT c.user_id, c.n_events,
+           c.n_events / CAST(t.total AS DOUBLE) AS share,
+           c.n_events / (t.total / CAST(t.n_keys AS DOUBLE)) AS skew_x
+    FROM c, tot t
+    ORDER BY c.n_events DESC, c.user_id
+    LIMIT 10
+    """,
+)
+def q_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnosis — the operator you run BEFORE picking a join/agg
+    strategy at 100 TB: per-key cardinality profile with each hot key's
+    share of all rows and its multiple of the mean key load (the
+    number that says 'salt this key' or 'AQE will split this'). One
+    hash aggregation; the global top-10 is orderBy+limit
+    (TakeOrderedAndProject: per-partition heaps, never a full sort);
+    the corpus totals ride in as a broadcast 1-row scalar."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    tot = c.agg(
+        F.sum("n_events").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    scored = c.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        "n_events",
+        (F.col("n_events") / F.col("total")).alias("share"),
+        (F.col("n_events") / (F.col("total") / F.col("n_keys"))).alias("skew_x"),
+    )
+    return scored.orderBy(F.desc("n_events"), "user_id").limit(10)

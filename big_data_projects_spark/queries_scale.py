@@ -685,3 +685,54 @@ def q_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice", "revenue"),
         )
     )
+
+
+@register(
+    "q_range_sharded_write",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(0 AS BIGINT) AS n_overlapping_file_pairs
+    FROM documents
+    """,
+)
+def q_range_sharded_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Totally-ordered output sharding WITHOUT a global sort: the write
+    path every exported training corpus needs (readers want doc_id-
+    contiguous shards). repartitionByRange samples split points and
+    range-shuffles (balanced shards, no single-partition bottleneck),
+    sortWithinPartitions orders locally — so the file set is globally
+    ordered: every file owns a DISJOINT doc_id range. The read-back
+    proves content preservation (row/doc counts vs the oracle) and
+    computes the actual per-file [min,max] overlap count, which must
+    come back 0 — the interval self-join runs over the n_files-row
+    stats relation (control-plane sized, a broadcast nested loop over
+    dozens of rows even at 100 TB: file COUNT, not file content)."""
+    docs = _t(spark, sf_dir, "documents")
+    base = os.path.join(tempfile.mkdtemp(prefix="bdp_range_"), "docs_sharded")
+    (
+        docs.repartitionByRange(8, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(base)
+    )
+    back = spark.read.parquet(base)
+    files = back.groupBy(F.input_file_name().alias("__f")).agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    a = files.select(
+        F.col("__f").alias("fa"), F.col("lo").alias("la"), F.col("hi").alias("ha")
+    )
+    b = files.select(
+        F.col("__f").alias("fb"), F.col("lo").alias("lb"), F.col("hi").alias("hb")
+    )
+    overlaps = (
+        a.join(b, F.col("fa") < F.col("fb"))
+        .filter((F.col("la") <= F.col("hb")) & (F.col("lb") <= F.col("ha")))
+        .agg(F.count(F.lit(1)).alias("n_overlapping_file_pairs"))
+    )
+    stats = back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return stats.crossJoin(F.broadcast(overlaps))
