@@ -873,3 +873,47 @@ def q_incremental_dedup(spark, sf_dir):
             .alias("status"),
         )
     )
+
+
+@register(
+    "q_token_histogram",
+    oracle=r"""
+    WITH n AS (
+        SELECT CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT CAST(length(bin(n_tokens)) - 1 AS INT) AS bucket,
+           CAST(2 ** (length(bin(n_tokens)) - 1) AS BIGINT) AS bucket_lo,
+           CAST(2 ** (length(bin(n_tokens))) - 1 AS BIGINT) AS bucket_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM n GROUP BY 1, 2, 3
+    """,
+)
+def q_token_histogram(spark, sf_dir):
+    """Corpus length telemetry: documents bucketed by power-of-two
+    token count (bucket k holds lengths [2^k, 2^k+1)) with doc and
+    token totals per bucket — the histogram every packing/batching
+    decision reads first. The bucket index comes from the BINARY
+    STRING length of the count (exact integer MSB position), never
+    floor(log2(x)) whose float rounding can misbucket exact powers of
+    two cross-engine. Per-row arithmetic + one tiny aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(T.tokens("text")).cast("long")
+    return (
+        docs.select(n_tok.alias("n_tokens"))
+        .select(
+            "n_tokens",
+            (F.length(F.bin("n_tokens")) - 1).cast("int").alias("bucket"),
+            # SQL shiftleft accepts a column bit count; the DSL one
+            # takes only a python int.
+            F.expr("shiftleft(1L, length(bin(n_tokens)) - 1)").alias("bucket_lo"),
+            F.expr("shiftleft(1L, length(bin(n_tokens))) - 1").alias("bucket_hi"),
+        )
+        .groupBy("bucket", "bucket_lo", "bucket_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )

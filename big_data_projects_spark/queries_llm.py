@@ -7,6 +7,7 @@ are SQL-expressible (probabilistic/LSH/float-mean ops are rows-only).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from big_data_projects_spark.data import load_table
@@ -1749,3 +1750,117 @@ def q_random_projection(spark, sf_dir):
     sequentially over identical literal planes."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.random_project(emb, dim=64, out_dim=8)
+
+
+@register(
+    "q_bpe_merge_step",
+    oracle=r"""
+    WITH uni AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        FROM documents
+    ),
+    wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM uni GROUP BY w),
+    pr AS (
+        SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, f
+        FROM wc, UNNEST(generate_series(1, len(w) - 1)) AS u(i)
+        WHERE len(w) >= 2
+    )
+    SELECT a, b, CAST(SUM(f) AS BIGINT) AS pair_count
+    FROM pr GROUP BY a, b
+    ORDER BY pair_count DESC, a, b
+    LIMIT 20
+    """,
+)
+def q_bpe_merge_step(spark, sf_dir):
+    """One BPE-trainer iteration at corpus scale (Sennrich et al.
+    2016): count adjacent symbol pairs over the vocabulary WEIGHTED by
+    word frequency and surface the top merge candidates. The classic
+    trainer loops this; the distributed-expensive part is exactly this
+    step. Shape: the corpus collapses to its word-type table first
+    (one shuffle, then pair explosion runs over TYPES x their length —
+    orders of magnitude smaller than token volume); top-20 via
+    orderBy+limit (TakeOrderedAndProject, no global sort)."""
+    docs = _t(spark, sf_dir, "documents")
+    uni = docs.select(F.explode(T.tokens("text")).alias("w"))
+    wc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    pairs = (
+        wc.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1),"
+                    " i -> struct(substr(w, i, 1) AS a,"
+                    " substr(w, i + 1, 1) AS b))"
+                )
+            ).alias("p"),
+            "f",
+        )
+        .select("p.a", "p.b", "f")
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.sum("f").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "a", "b")
+        .limit(20)
+    )
+
+
+PREFIX_K = 8
+
+
+@register(
+    "q_prefix_dedup",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id,
+               md5(array_to_string(t[1:{PREFIX_K}], ' ')) AS ph,
+               md5(array_to_string(
+                   t[(CASE WHEN len(t) >= {PREFIX_K} THEN len(t) - {PREFIX_K} + 1
+                           ELSE 1 END):len(t)], ' ')) AS sh
+        FROM toks
+    )
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY ph) AS prefix_rep,
+           MIN(doc_id) OVER (PARTITION BY sh) AS suffix_rep,
+           doc_id != MIN(doc_id) OVER (PARTITION BY ph) AS is_prefix_dup,
+           doc_id != MIN(doc_id) OVER (PARTITION BY sh) AS is_suffix_dup
+    FROM keyed
+    """,
+)
+def q_prefix_dedup(spark, sf_dir):
+    """Partial-overlap dedup: documents sharing an identical first-K or
+    last-K token span (scraped pages re-served with different tails,
+    truncated re-crawls) collapse to the lowest doc_id representative.
+    Each doc carries its prefix/suffix group's representative and dup
+    flags. Shape: md5 span keys, min-window PARTITIONED BY the hash
+    (hash-distributed, high-cardinality) — never a global window; at
+    100 TB this is two shuffles of (doc_id, 2 hashes), not of text."""
+    docs = _t(spark, sf_dir, "documents")
+    t = T.tokens("text")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(t, 1, PREFIX_K))).alias("ph"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.when(
+                    F.size(t) >= PREFIX_K, F.slice(t, -PREFIX_K, PREFIX_K)
+                ).otherwise(t),
+            )
+        ).alias("sh"),
+    )
+    wp = Window.partitionBy("ph")
+    ws = Window.partitionBy("sh")
+    p_rep = F.min("doc_id").over(wp)
+    s_rep = F.min("doc_id").over(ws)
+    return keyed.select(
+        "doc_id",
+        p_rep.alias("prefix_rep"),
+        s_rep.alias("suffix_rep"),
+        (F.col("doc_id") != p_rep).alias("is_prefix_dup"),
+        (F.col("doc_id") != s_rep).alias("is_suffix_dup"),
+    )
