@@ -389,25 +389,36 @@ def kmeans_assign(
         )
     }
 
-    def _sq(a: list, b: list) -> float:
-        return sum((x - y) * (x - y) for x, y in zip(a, b))
+    # Incremental greedy k-center over the candidate table: dmin (each
+    # candidate's distance to its nearest chosen seed) is maintained
+    # and updated against ONLY the newly chosen seed — O(m·k·dim)
+    # numpy total where the naive re-scan was O(m·k²·dim) in Python
+    # (the latter was the measured superlinear wall when k grows with
+    # the corpus).
+    import numpy as np
 
-    chosen = [cands[0]]
-    chosen_ids = {cands[0]["__id"]}
-    while len(chosen) < k:
-        best = None
-        for r in cands:
-            if r["__id"] in chosen_ids:
+    cmat = np.array([r["__v"] for r in cands], dtype=np.float64)
+    wvec = np.array(
+        [weights.get(r["__id"], 0) for r in cands], dtype=np.float64
+    )
+    cand_ids = [r["__id"] for r in cands]
+    order = [0]
+    chosen_idx = {0}
+    dmin = ((cmat - cmat[0]) ** 2).sum(axis=1)
+    while len(order) < k:
+        best_j, best_key = None, None
+        for j in range(len(cand_ids)):
+            if j in chosen_idx or dmin[j] <= 0:
                 continue
-            d = min(_sq(r["__v"], c["__v"]) for c in chosen)
-            score = weights.get(r["__id"], 0) * d
-            key = (score, d, -r["__id"])
-            if d > 0 and (best is None or key > best[0]):
-                best = (key, r)
-        if best is None:  # fewer distinct points than k
+            key = (wvec[j] * dmin[j], dmin[j], -cand_ids[j])
+            if best_key is None or key > best_key:
+                best_j, best_key = j, key
+        if best_j is None:  # fewer distinct points than k
             break
-        chosen.append(best[1])
-        chosen_ids.add(best[1]["__id"])
+        order.append(best_j)
+        chosen_idx.add(best_j)
+        dmin = np.minimum(dmin, ((cmat - cmat[best_j]) ** 2).sum(axis=1))
+    chosen = [cands[j] for j in order]
     centroids = spark.createDataFrame(
         [(i + 1, r["__v"]) for i, r in enumerate(chosen)],
         schema="cluster int, __c array<double>",
@@ -452,6 +463,104 @@ def kmeans_assign(
         .filter(F.col("__rk") == 1)
         .select(F.col("__id").alias(id_col), "cluster")
     )
+
+
+def hierarchical_kmeans_assign(
+    emb: DataFrame,
+    k: int,
+    branch: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hierarchical (multi-level) k-means blocking: ``depth =
+    ceil(log_branch(k))`` levels of branch-way Lloyd, each level
+    scoped to its parent cluster. The scale fix for k ∝ n blocking:
+    flat k-means assignment is O(n·k) work — quadratic in the corpus
+    when k grows with it (measured 75x wall at 10x corpus in
+    tools/scale_smoke.py before this) — while the hierarchy does
+    O(n·branch) per level, O(n·branch·log k) total.
+
+    Per level, everything is joins and aggregations:
+    - seeds: each parent picks ≤ branch rows by min-xxhash64 per
+      (parent, hash-bucket) via min_by — a plain groupBy, never a
+      global or single-partition window;
+    - assign: rows equi-join their parent's ≤ branch seeds (shuffle on
+      the parent key, never a corpus × k product), per-row argmin of
+      squared L2 by a window partitioned by row id;
+    - update: per-(parent, sub, position) decimal means, posexplode →
+      groupBy — the merge-exact pattern shared with kmeans_assign.
+    localCheckpoint truncates lineage per level so depth never
+    compounds the plan. Returns (id, cluster), cluster =
+    path-encoded leaf id; leaves number ≤ branch^depth (parents with
+    fewer rows than branch naturally produce fewer children).
+    """
+    import math
+
+    def _sq(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double"))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    depth = max(1, math.ceil(math.log(max(k, 2)) / math.log(branch)))
+    assign = emb.select(
+        F.col(id_col).alias("__id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__v"),
+        F.lit(0).cast("long").alias("__c"),
+    )
+    for level in range(depth):
+        # Deterministic hash seeding: bucket rows within each parent,
+        # take the min-hash row per (parent, bucket) as that bucket's
+        # seed. No farthest-point pass — at blocking quality the Lloyd
+        # refinements dominate seeding quality anyway.
+        hcol = F.xxhash64(F.col("__id"), F.lit(level))
+        bucketed = assign.select(
+            "__c",
+            F.pmod(F.xxhash64(F.col("__id"), F.lit(level + 7919)), F.lit(branch))
+            .cast("int")
+            .alias("__s"),
+            F.struct(hcol.alias("h"), F.col("__id").alias("i"),
+                     F.col("__v").alias("v")).alias("__ord"),
+        )
+        seeds = (
+            bucketed.groupBy("__c", "__s")
+            .agg(F.min("__ord").alias("__m"))
+            .select("__c", "__s", F.col("__m.v").alias("__cv"))
+        )
+        for _ in range(n_iter):
+            scored = assign.join(seeds, "__c").select(
+                "__id", "__v", "__c", "__s",
+                _sq(F.col("__v"), F.col("__cv")).alias("__d"),
+            )
+            wa = Window.partitionBy("__id").orderBy("__d", "__s")
+            newa = (
+                scored.withColumn("__rk", F.row_number().over(wa))
+                .filter(F.col("__rk") == 1)
+                .select("__id", "__v", "__c", "__s")
+            )
+            seeds = (
+                newa.select("__c", "__s", F.posexplode("__v").alias("pos", "x"))
+                .groupBy("__c", "__s", "pos")
+                .agg(
+                    (
+                        F.sum(F.col("x").cast("decimal(38,10)")).cast("double")
+                        / F.count(F.lit(1))
+                    ).alias("m")
+                )
+                .groupBy("__c", "__s")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+                .select("__c", "__s", F.expr("transform(pm, s -> s.m)").alias("__cv"))
+            )
+        assign = newa.select(
+            "__id", "__v",
+            (F.col("__c") * branch + F.col("__s")).alias("__c"),
+        ).localCheckpoint(eager=True)
+    return assign.select(F.col("__id").alias(id_col), F.col("__c").alias("cluster"))
 
 
 def batch_topk_matmul(
@@ -734,12 +843,23 @@ def semdedup(
     cluster id, so pair work is Σ n_c² over cluster sizes instead of
     n² — at 100 TB you grow k with the corpus (k ∝ n keeps E[n_c]
     constant) and the per-cluster verify stays bounded; no global
-    pairwise pass ever happens. Cross-cluster near-dups are the
-    accepted recall loss of the method (the paper's trade-off).
+    pairwise pass ever happens. Because flat k-means assignment is
+    itself O(n·k) (quadratic when k ∝ n — the measured 75x wall at
+    10x corpus in tools/scale_smoke.py), large k routes through
+    hierarchical_kmeans_assign: O(n·branch·log k) work, same blocking
+    role. Cross-cluster near-dups are the accepted recall loss of the
+    method (the paper's trade-off).
 
     Returns (id, cluster, is_dup) for every input vector.
     """
-    assign = kmeans_assign(emb, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    if k > 32:
+        assign = hierarchical_kmeans_assign(
+            emb, k=k, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        assign = kmeans_assign(
+            emb, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+        )
     clustered = (
         emb.select(id_col, vec_col).join(assign, id_col).persist()
     )  # consumed by the pair search AND the final marking join
