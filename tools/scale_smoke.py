@@ -51,6 +51,15 @@ At M=100 (500k docs / 200k vectors): wall ratios 14.0 / 11.6 / 3.2 /
 the output pairs (2.57M; the threshold artifact compounds), so
 per-emitted-pair cost actually FELL with scale. Sub-proportional
 throughout three decades of corpus size.
+
+Round-3 re-measure (2026-08-13, M=10, now 6 queries and 6 LSH bands):
+  q_ngram_jaccard 1.5  q_dedup_minhash_lsh 1.4  q_simhash_pairs 0.9
+  q_embed_lsh_neardup 2.6  q_semdedup 1.9  q_hard_negatives_ann 1.1
+q_semdedup measured 74.7x on its FIRST run here (flat k-means with
+k ∝ n is O(n·k) assignment + an O(m·k²) Python greedy seeding);
+hierarchical_kmeans_assign + the incremental numpy k-center fix
+brought it to 1.9x — the smoke caught a real quadratic before the
+driver's 100 TB contract did.
 """
 
 from __future__ import annotations
