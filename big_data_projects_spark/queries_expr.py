@@ -583,3 +583,142 @@ def q_udtf_spans(spark, sf_dir):
         FROM bdp_udtf_docs d, LATERAL bdp_spans(d.text) s
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array lambdas (filter/forall/sort/position — the array
+# functional surface; transform/aggregate folds are exercised by the
+# similarity and gopher operators)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_higher_order_funcs",
+    oracle=r"""
+    WITH s AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(t, w -> len(w) > 4)) AS BIGINT) AS n_long,
+           len(list_filter(t, w -> len(w) > 0)) = len(t) AS all_nonempty,
+           list_sort(t)[1] AS first_sorted,
+           CAST(list_max(list_transform(t, w -> len(w))) AS BIGINT)
+               AS max_word_len,
+           CAST(COALESCE(list_position(t, 'the'), 0) AS BIGINT) AS the_pos
+    FROM s
+    """,
+)
+def q_higher_order_funcs(spark, sf_dir):
+    """Higher-order array lambdas, all JVM-codegen (no UDFs): filter,
+    forall, array_sort, transform+array_max, array_position. Per-row
+    array work — zero shuffle, embarrassingly parallel; the lambda
+    surface is what lets array pipelines stay out of Python."""
+    docs = _t(spark, sf_dir, "documents")
+    from big_data_projects_spark.operators.text import tokens
+
+    base = docs.select("doc_id", tokens("text").alias("t"))
+    return base.select(
+        "doc_id",
+        F.size(F.filter("t", lambda w: F.length(w) > 4)).cast("long").alias("n_long"),
+        F.forall("t", lambda w: F.length(w) > 0).alias("all_nonempty"),
+        F.array_sort("t").getItem(0).alias("first_sorted"),
+        F.array_max(F.transform("t", F.length)).cast("long").alias("max_word_len"),
+        F.array_position("t", "the").cast("long").alias("the_pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regex family (extract_all / global replace / match) — patterns kept in
+# the Java∩RE2 common subset so both engines compile them identically
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_regex_extract_all",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\b[a-z]{5}\b')) AS BIGINT)
+               AS n_5letter,
+           md5(regexp_replace(text, '[aeiou]', '', 'g')) AS devoweled_md5,
+           regexp_matches(text, '(^| )table( |$)') AS mentions_table
+    FROM documents
+    """,
+)
+def q_regex_extract_all(spark, sf_dir):
+    """Regex expression family: extract-all match counting, global
+    character-class replacement (md5-compressed so the oracle compares
+    content not payload), and boolean pattern match. All codegen'd
+    Java regex; patterns stay in the Java∩RE2-portable subset
+    (same discipline as the BPE pre-tokenizer)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"\b[a-z]{5}\b"), F.lit(0)))
+        .cast("long")
+        .alias("n_5letter"),
+        F.md5(F.regexp_replace("text", "[aeiou]", "")).alias("devoweled_md5"),
+        F.col("text").rlike("(^| )table( |$)").alias("mentions_table"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# XML ingestion (Spark 4 built-in from_xml)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_xml_extract",
+    oracle="""
+    SELECT event_id, event_type AS t, CAST(user_id AS BIGINT) AS u
+    FROM events
+    """,
+)
+def q_xml_extract(spark, sf_dir):
+    """XML ingestion via Spark 4's built-in from_xml: an XML payload is
+    synthesized per event and parsed back through the schema'd XML
+    reader; the oracle states the expected roundtrip directly, so a
+    parser/schema regression (element order, type coercion, nesting)
+    breaks the hash match. Codegen expression — no external XML lib."""
+    ev = _t(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit("<e><t>"), F.col("event_type"),
+        F.lit("</t><u>"), F.col("user_id").cast("string"),
+        F.lit("</u></e>"),
+    )
+    parsed = F.from_xml(xml, "t STRING, u BIGINT")
+    return ev.select(
+        "event_id",
+        parsed.getField("t").alias("t"),
+        parsed.getField("u").alias("u"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# NULL / boolean aggregate semantics
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_null_semantics",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_big_disc,
+           bool_or(l_tax = 0) AS any_zero_tax,
+           bool_and(l_quantity > 0) AS all_pos_qty,
+           CAST(COUNT(*) - COUNT(NULLIF(l_discount, 0.0)) AS BIGINT)
+               AS n_zero_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_null_semantics(spark, sf_dir):
+    """Boolean/NULL aggregate semantics: count_if, bool_or/bool_and
+    (three-valued logic folded per group), and NULLIF-manufactured
+    NULLs flowing through COUNT's null-skipping — the SQL-null
+    contract an engine must get right before any of its aggregates
+    can be trusted."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_big_disc"),
+        F.bool_or(F.col("l_tax") == 0).alias("any_zero_tax"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_pos_qty"),
+        (
+            F.count(F.lit(1)) - F.count(F.nullif(F.col("l_discount"), F.lit(0.0)))
+        ).alias("n_zero_disc"),
+    )
