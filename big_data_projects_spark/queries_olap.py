@@ -1412,3 +1412,56 @@ def q_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_events") / (F.col("total") / F.col("n_keys"))).alias("skew_x"),
     )
     return scored.orderBy(F.desc("n_events"), "user_id").limit(10)
+
+
+@register(
+    "q_cogroup_stats",
+    oracle="""
+    WITH e AS (
+        SELECT user_id AS uid, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    ),
+    o AS (
+        SELECT o_custkey AS uid, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT COALESCE(e.uid, o.uid) AS uid,
+           COALESCE(e.n_events, 0) AS n_events,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           e.uid IS NOT NULL AND o.uid IS NOT NULL AS in_both
+    FROM e FULL OUTER JOIN o ON e.uid = o.uid
+    """,
+)
+def q_cogroup_stats(spark, sf_dir):
+    """Cogrouped Python stage (groupBy().cogroup().applyInPandas): the
+    two-table grouped-map API — both sides of a key arrive as aligned
+    Arrow batches in one Python function, the shape joins can't give
+    you when per-key logic needs BOTH groups at once (feature joins,
+    per-entity reconciliation). Here each key merges its event and
+    order groups into counts; the oracle restates it as a full outer
+    join of two aggregates, which is exactly what makes the Python
+    path checkable. Same scale discipline as any grouped map: a key's
+    two groups materialize in one worker, so key cardinality bounds
+    memory, never corpus size."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select(F.col("user_id").alias("uid"))
+    od = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("uid"))
+
+    def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "uid": [int(key[0])],
+                "n_events": [len(left)],
+                "n_orders": [len(right)],
+                "in_both": [len(left) > 0 and len(right) > 0],
+            }
+        )
+
+    return (
+        ev.groupBy("uid")
+        .cogroup(od.groupBy("uid"))
+        .applyInPandas(
+            merge, schema="uid long, n_events long, n_orders long, in_both boolean"
+        )
+    )

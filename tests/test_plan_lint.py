@@ -58,7 +58,12 @@ SINGLE_PARTITION_OK = {
 # Sanctioned Python stages (Arrow-batched by design).
 # q_udtf_spans exists to pin the Spark 4 Python UDTF API surface
 # (Arrow-batched; the built-ins twin q_doc_chunking is the hot path).
-PYTHON_OK = {"q_multimodal_features", "q_user_gap_features", "q_udtf_spans"}
+PYTHON_OK = {
+    "q_multimodal_features", "q_user_gap_features", "q_udtf_spans",
+    # the two-table grouped-map API (cogroup + applyInPandas) — the
+    # oracle's full-outer-join restatement keeps the Python path checked
+    "q_cogroup_stats", "q_multimodal_decode",
+}
 
 LINTABLE = sorted(
     n for n in REGISTRY
