@@ -1043,3 +1043,27 @@ def test_wav_decode_and_features_exact():
 
     with _pytest.raises(ValueError):
         decode_wav(b"RIFF\x00\x00\x00\x00AIFF")
+
+
+def test_hierarchical_kmeans_blocks_all_rows_deterministically(spark):
+    """hierarchical_kmeans_assign must assign every row to exactly one
+    leaf, produce multiple clusters of bounded size for clustered
+    data, and be deterministic across invocations (hash seeding, no
+    rand)."""
+    from big_data_projects_spark.data import load_table
+    from big_data_projects_spark.operators.similarity import (
+        hierarchical_kmeans_assign,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    a1 = hierarchical_kmeans_assign(emb, k=64).collect()
+    assert len(a1) == emb.count()  # total assignment, no drops/dupes
+    assert len({r.vec_id for r in a1}) == len(a1)
+    sizes = {}
+    for r in a1:
+        sizes[r.cluster] = sizes.get(r.cluster, 0) + 1
+    assert len(sizes) >= 64  # at least the requested blocking granularity
+    assert max(sizes.values()) <= 64  # no runaway giant cluster
+    a2 = {r.vec_id: r.cluster for r in
+          hierarchical_kmeans_assign(emb, k=64).collect()}
+    assert a2 == {r.vec_id: r.cluster for r in a1}
