@@ -917,3 +917,97 @@ def q_token_histogram(spark, sf_dir):
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+_CLS_SCORE_SQL = (
+    "list_sum(list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+    " t -> (CAST(('0x' || substr(md5(t), 1, 6)) AS BIGINT) % 512)"
+    " * 2654435761 % 1000003 - 500001))"
+)
+PPL_KEEP_BELOW = 30.0  # corpus median — splits this synthetic corpus
+
+
+@register(
+    "q_quality_ensemble",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    ),
+    cf AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n, (SELECT COUNT(*) FROM cf) AS v FROM toks),
+    nll AS (
+        SELECT t.doc_id,
+               CAST(round(-ln((c + 1.0) / (n + v)), 12) AS DECIMAL(38, 14)) AS x
+        FROM toks t JOIN cf USING (term) CROSS JOIN tot
+    ),
+    ppl AS (
+        SELECT doc_id, round(exp(CAST(SUM(x) AS DOUBLE) / COUNT(*)), 8) AS ppl
+        FROM nll GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS t,
+               {_CLS_SCORE_SQL} AS score
+        FROM documents
+    ),
+    rules AS (
+        SELECT doc_id,
+               len(t) BETWEEN 25 AND 500
+                 AND list_sum(list_transform(t, w -> len(w)))
+                     / CAST(len(t) AS DOUBLE) BETWEEN 3 AND 10
+                 AND len(list_intersect(list_distinct(t), [{_STOP_SQL}])) >= 2
+                   AS s_rules,
+               score > 0 AS s_model
+        FROM sig
+    )
+    SELECT r.doc_id, r.s_rules, r.s_model,
+           p.ppl < {PPL_KEEP_BELOW} AS s_ppl,
+           CAST(r.s_rules AS INT) + CAST(r.s_model AS INT)
+             + CAST(p.ppl < {PPL_KEEP_BELOW} AS INT) >= 2 AS keep
+    FROM rules r JOIN ppl p USING (doc_id)
+    """,
+)
+def q_quality_ensemble(spark, sf_dir):
+    """Ensemble quality gate — how production pipelines actually
+    filter: heuristic rules (Gopher), a model-shaped scorer (hashed
+    linear), and an LM signal (unigram perplexity) each vote, and a
+    doc survives on a 2-of-3 majority. Composed as ONE Catalyst plan:
+    the per-row signals fuse into the scan projection, the ppl branch
+    reuses q_unigram_ppl's raw builder (corpus stats as 1-row
+    broadcasts), and one doc_id equi-join assembles the votes. The
+    pattern scales the same way each member does — no extra passes
+    over text beyond its members'."""
+    from big_data_projects_spark.queries import REGISTRY
+
+    docs = _t(spark, sf_dir, "documents")
+    t = T.tokens("text")
+    n_words = F.size(t).cast("long")
+    total_len = F.aggregate(
+        F.transform(t, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mean_len = total_len / n_words
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    s_rules = (
+        n_words.between(25, 500)
+        & mean_len.between(3, 10)
+        & (F.size(F.array_intersect(t, stop_arr)) >= 2)
+    )
+    s_model = T.hashed_linear_score(F.col("text")) > 0
+    sig = docs.select(
+        "doc_id", s_rules.alias("s_rules"), s_model.alias("s_model")
+    )
+    ppl = REGISTRY["q_unigram_ppl"].raw(spark, sf_dir).select(
+        "doc_id", (F.col("ppl") < PPL_KEEP_BELOW).alias("s_ppl")
+    )
+    votes = (
+        F.col("s_rules").cast("int")
+        + F.col("s_model").cast("int")
+        + F.col("s_ppl").cast("int")
+    )
+    return sig.join(ppl, "doc_id").select(
+        "doc_id", "s_rules", "s_model", "s_ppl", (votes >= 2).alias("keep")
+    )

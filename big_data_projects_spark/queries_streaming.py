@@ -2,6 +2,15 @@
 SURVEY.md §2.9). The bounded events table drives a real streaming query
 to completion; results equal the batch twin, so the windowed aggregate
 is fully oracle-checked against DuckDB time_bucket.
+
+API coverage note: arbitrary stateful processing is exercised through
+applyInPandasWithState (q_stream_user_stats). Spark 4's successor API,
+transformWithStateInPandas, is deliberately absent: its driver-side
+worker requires a working google.protobuf, which this container lacks
+(verified: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE, ImportError
+'descriptor' from google.protobuf) and installs are off-limits. The
+operator surface it would cover is the same per-key stateful shape
+already verified here.
 """
 
 from __future__ import annotations
