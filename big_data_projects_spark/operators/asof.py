@@ -34,10 +34,21 @@ def asof_join(
     right_time: str,
     right_cols: list[str] | None = None,
     how: str = "inner",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """As-of join; ``how`` is 'inner' (drop unmatched left rows) or 'left'."""
+    """As-of join; ``how`` is 'inner' (drop unmatched left rows) or
+    'left'. ``direction`` is 'backward' (most recent right at-or-before
+    the left time — the default) or 'forward' (earliest right
+    at-or-after — the same window trick traversed in reverse time
+    order). ``tolerance_seconds`` bounds the match distance, pandas
+    merge_asof-style: matches farther than the tolerance are nulled
+    (and dropped under how='inner'). Both options keep the one-shuffle
+    union-of-tagged-streams plan — no extra pass."""
     if how not in ("inner", "left"):
         raise ValueError("how must be 'inner' or 'left'")
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     right_cols = right_cols or []
     payload = [c for c in right_cols if c != right_time]
 
@@ -60,9 +71,12 @@ def asof_join(
         .alias("__lrow"),
     )
 
+    # Backward walks time ascending (right rows first at equal times →
+    # at-or-before); forward walks descending (→ at-or-after).
+    t_order = F.col("__t") if direction == "backward" else F.col("__t").desc()
     w = (
         Window.partitionBy("__key")
-        .orderBy(F.col("__t"), F.col("__tag"))
+        .orderBy(t_order, F.col("__tag"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = r_tagged.unionByName(l_tagged).select(
@@ -78,6 +92,22 @@ def asof_join(
         f"asof_{right_time}",
         *[f"asof_{c}" for c in payload],
     )
+    if tolerance_seconds is not None:
+        ok = (
+            F.abs(
+                F.unix_micros(F.col(left_time))
+                - F.unix_micros(F.col(f"asof_{right_time}"))
+            )
+            <= int(tolerance_seconds * 1_000_000)
+        )
+        out = out.select(
+            *[c for c in out.columns if not c.startswith("asof_")],
+            *[
+                F.when(ok, F.col(c)).alias(c)
+                for c in out.columns
+                if c.startswith("asof_")
+            ],
+        )
     if how == "inner":
         out = out.filter(F.col(f"asof_{right_time}").isNotNull())
     return out

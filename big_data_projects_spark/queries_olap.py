@@ -1465,3 +1465,37 @@ def q_cogroup_stats(spark, sf_dir):
             merge, schema="uid long, n_events long, n_orders long, in_both boolean"
         )
     )
+
+
+@register(
+    "q_asof_forward",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           CASE WHEN o.o_orderdate <= e.ts + INTERVAL 30 DAY
+                THEN epoch_ms(o.o_orderdate) END AS next_order_ms
+    FROM events e
+    ASOF LEFT JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    """,
+)
+def q_asof_forward(spark, sf_dir):
+    """Forward as-of join with a tolerance (pandas merge_asof parity):
+    each event matched to the user's NEXT order at-or-after the event,
+    but only within 30 days — matches beyond the tolerance are nulled.
+    Same single-shuffle union-of-tagged-streams plan as the backward
+    operator, traversed in reverse time order; DuckDB's native
+    ASOF LEFT JOIN with the tolerance as a CASE is the oracle."""
+    from big_data_projects_spark.operators.asof import asof_join
+    from big_data_projects_spark.functions.timestamps import epoch_ms
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    od = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    joined = asof_join(
+        ev, od, left_on="user_id", right_on="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        how="left", direction="forward", tolerance_seconds=30 * 86400,
+    )
+    return joined.select(
+        "event_id", "user_id",
+        epoch_ms("asof_o_orderdate").alias("next_order_ms"),
+    )
