@@ -103,6 +103,30 @@ SHOWCASE = [
         "first-shared-block rule emits each pair exactly once — no "
         "BroadcastNestedLoopJoin, no dedup shuffle.",
     ),
+    (
+        "q_hard_negatives_ann",
+        "ANN hard-negative mining as a join-only plan: anchors and corpus "
+        "hash into LSH band buckets, candidates come from band equi-joins "
+        "(shuffle on the bucket key), exact cosine runs on candidates "
+        "only — no broadcast proportional to either side, no nested "
+        "loop, even though the anchor set is 10% of the corpus.",
+    ),
+    (
+        "q_incremental_dedup",
+        "Incremental-ingest dedup: the new batch probes the existing "
+        "corpus through two bounded equi-joins — a distinct'd md5 "
+        "content-hash join and a df-capped shingle pair-count join — so "
+        "a growing corpus is never re-deduped and no pair list ever "
+        "materializes beyond capped candidates.",
+    ),
+    (
+        "q_quality_ensemble",
+        "Composed quality gate in ONE plan: the Gopher rules and hashed "
+        "linear scorer fuse into the scan projection (per-row codegen), "
+        "the perplexity branch rides its corpus-stat broadcasts, and a "
+        "single doc_id equi-join assembles the 2-of-3 vote — member "
+        "signals add zero extra passes over the text.",
+    ),
 ]
 
 
