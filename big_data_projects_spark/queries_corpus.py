@@ -1011,3 +1011,108 @@ def q_quality_ensemble(spark, sf_dir):
     return sig.join(ppl, "doc_id").select(
         "doc_id", "s_rules", "s_model", "s_ppl", (votes >= 2).alias("keep")
     )
+
+
+@register(
+    "q_url_parse",
+    oracle="""
+    WITH synth AS (
+        SELECT doc_id,
+               'https://www.' || source || '.example.com/docs/'
+                 || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_replace(regexp_extract(url, '^[a-z]+://([^/]+)', 1),
+                          '^www\\.', '') AS domain,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+    FROM synth
+    """,
+)
+def q_url_parse(spark, sf_dir):
+    """URL normalization — the first transform every web-scrape
+    pipeline runs: host extraction, www-stripped registrable domain,
+    path, and a query parameter. URLs are synthesized deterministically
+    per doc (same expression both engines), then Spark's built-in
+    parse_url does the host/path/query extraction while the oracle
+    re-derives the identical pieces with portable regex — so the
+    builtin's semantics are themselves under test. Pure per-row
+    codegen, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://www."), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+    )
+    synth = docs.select("doc_id", url.alias("url"))
+    host = F.parse_url("url", F.lit("HOST"))
+    return synth.select(
+        "doc_id",
+        host.alias("host"),
+        F.regexp_replace(host, r"^www\.", "").alias("domain"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+
+
+@register(
+    "q_html_strip",
+    oracle="""
+    WITH synth AS (
+        SELECT doc_id,
+               '<html><body><h1>doc ' || CAST(doc_id AS VARCHAR)
+                 || '</h1><p>' || text || '</p><script>var x=1;</script>'
+                 || '<p>&amp;footer&lt;end&gt;</p></body></html>' AS html
+        FROM documents
+    ),
+    stripped AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT)
+                   AS n_tags,
+               regexp_replace(
+                   regexp_replace(html, '<script>.*?</script>', ' ', 'g'),
+                   '<[^>]+>', ' ', 'g') AS no_tags
+        FROM synth
+    )
+    SELECT doc_id, n_tags,
+           md5(trim(regexp_replace(
+               replace(replace(replace(no_tags, '&amp;', '&'),
+                       '&lt;', '<'), '&gt;', '>'),
+               ' +', ' ', 'g'))) AS clean_md5
+    FROM stripped
+    """,
+)
+def q_html_strip(spark, sf_dir):
+    """HTML boilerplate stripping — the web-corpus text extractor:
+    script blocks dropped whole, tags replaced by spaces, the common
+    entities decoded, whitespace collapsed. Markup is synthesized
+    deterministically around each doc (same expression both engines)
+    and the cleaned text is md5-compressed for the compare. The
+    non-greedy script pattern and global-replace flags are the classic
+    cross-engine traps, pinned here. Per-row regex in codegen —
+    embarrassingly parallel."""
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><body><h1>doc "), F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><script>var x=1;</script>"),
+        F.lit("<p>&amp;footer&lt;end&gt;</p></body></html>"),
+    )
+    synth = docs.select("doc_id", html.alias("html"))
+    no_script = F.regexp_replace("html", "<script>.*?</script>", " ")
+    no_tags = F.regexp_replace(no_script, "<[^>]+>", " ")
+    decoded = F.replace(
+        F.replace(
+            F.replace(no_tags, F.lit("&amp;"), F.lit("&")),
+            F.lit("&lt;"), F.lit("<"),
+        ),
+        F.lit("&gt;"), F.lit(">"),
+    )
+    return synth.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("html", F.lit("<[^>]+>"), F.lit(0)))
+        .cast("long")
+        .alias("n_tags"),
+        F.md5(F.trim(F.regexp_replace(decoded, " +", " "))).alias("clean_md5"),
+    )
