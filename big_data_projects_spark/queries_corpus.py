@@ -1116,3 +1116,60 @@ def q_html_strip(spark, sf_dir):
         .alias("n_tags"),
         F.md5(F.trim(F.regexp_replace(decoded, " +", " "))).alias("clean_md5"),
     )
+
+
+VOCAB_TOP = 16  # the synthetic corpus has only 31 term types
+
+
+@register(
+    "q_oov_rate",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        FROM documents
+    ),
+    cf AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+    vocab AS (
+        SELECT w FROM cf ORDER BY c DESC, w LIMIT {VOCAB_TOP}
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)
+               AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.w = v.w
+    GROUP BY t.doc_id
+    """,
+)
+def q_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary rate per document against the top-K corpus
+    vocabulary (top-16 of this 31-type synthetic corpus, so the rate
+    genuinely varies) — the number a tokenizer team reads before sizing
+    the vocab (and the per-doc quality signal that catches gibberish). The
+    vocabulary is a deterministic top-K of corpus term counts
+    (count-desc, term tiebreak) selected via orderBy+limit
+    (TakeOrderedAndProject over the TYPE table — never a global sort
+    of tokens) and joined back as a broadcast-sized membership probe;
+    the per-doc rate is exact-int division."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("w"))
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(VOCAB_TOP)
+        .select("w", F.lit(True).alias("__in_v"))
+    )
+    joined = toks.join(vocab, "w", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("__in_v").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        (
+            F.sum(F.when(F.col("__in_v").isNull(), 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("oov_rate"),
+    )
