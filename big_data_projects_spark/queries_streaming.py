@@ -264,3 +264,20 @@ def q_stream_anti_dedup(spark, sf_dir):
 
     ensure_runtime_conf(spark)
     return stream_static_anti_dedup(spark, sf_dir)
+
+
+@register(
+    "q_stream_dedup_watermarked",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_stream_dedup_watermarked(spark, sf_dir):
+    """Bounded-state streaming dedup via dropDuplicatesWithinWatermark
+    — the state-evicting production API (plain dropDuplicates keeps
+    every key forever). Horizon > data span here, so the run equals
+    global DISTINCT and stays fully oracle-checked."""
+    from big_data_projects_spark.streaming.stateful import (
+        stream_dedup_watermarked,
+    )
+
+    ensure_runtime_conf(spark)
+    return stream_dedup_watermarked(spark, sf_dir)

@@ -91,6 +91,25 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(stream.dropDuplicates(["user_id", "event_type"]), "append")
 
 
+def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup (dropDuplicatesWithinWatermark):
+    duplicates of a key are dropped while its first occurrence is
+    within the watermark horizon, after which the key's state is
+    EVICTED — the production API for infinite streams, where plain
+    dropDuplicates' state grows without bound. The 60-day horizon
+    exceeds this bounded backfill's 30-day span, so no state evicts
+    mid-run and the result provably equals global DISTINCT (the
+    oracle); on a real feed the same plan runs with a horizon sized to
+    the replay window."""
+    stream = events_stream(spark, sf_dir).select("user_id", "event_type", "ts")
+    deduped = (
+        stream.withWatermark("ts", "60 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_completion(deduped, "append")
+
+
 def session_window_stream(
     spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
 ) -> DataFrame:
