@@ -736,3 +736,80 @@ def q_range_sharded_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("n_docs"),
     )
     return stats.crossJoin(F.broadcast(overlaps))
+
+
+@register(
+    "q_scan_merge_schema",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(lang) AS BIGINT) AS n_with_lang,
+           CAST(COUNT(n_chars) AS BIGINT) AS n_with_chars
+    FROM (
+        SELECT source, lang, NULL AS n_chars FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT source, NULL, n_chars FROM documents WHERE doc_id % 2 != 0
+    ) GROUP BY source
+    """,
+)
+def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift ingestion: two parquet batches written with
+    DIFFERENT column sets (an ingest feed that gained/lost fields mid-
+    stream), read back as ONE relation via mergeSchema — missing
+    columns come back NULL per batch, exactly as the oracle's padded
+    UNION ALL states. The production contract for long-lived feeds:
+    schema evolution happens at the scan, not with a backfill rewrite.
+    Footer-merge cost is bounded by file COUNT (control-plane), not
+    data size."""
+    docs = _t(spark, sf_dir, "documents")
+    base = os.path.join(tempfile.mkdtemp(prefix="bdp_drift_"), "feed")
+    docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "source", "lang"
+    ).write.mode("overwrite").parquet(base + "/batch=old")
+    docs.filter(F.col("doc_id") % 2 != 0).select(
+        "doc_id", "source", "n_chars"
+    ).write.mode("overwrite").parquet(base + "/batch=new")
+    back = spark.read.option("mergeSchema", "true").parquet(base)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("lang").alias("n_with_lang"),
+        F.count("n_chars").alias("n_with_chars"),
+    )
+
+
+@register(
+    "q_dpp_join",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    """,
+)
+def q_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — the join-driven analogue of static
+    partition pruning and a headline 100 TB mechanism: the fact table
+    is stored hive-partitioned by event_type, the dim side carries the
+    selective filter, and Catalyst injects the dim's key set into the
+    fact SCAN as a runtime subquery so non-matching partitions are
+    never read (dynamicpruning#… in the plan, asserted by
+    tests/test_plans.py). At scale this is reading 2 of N partitions
+    instead of the whole fact table."""
+    ev = _t(spark, sf_dir, "events")
+    base = os.path.join(tempfile.mkdtemp(prefix="bdp_dpp_"), "events_part")
+    ev.select("event_id", "event_type", "value").write.mode(
+        "overwrite"
+    ).partitionBy("event_type").parquet(base)
+    fact = spark.read.parquet(base)
+    dim = spark.createDataFrame(
+        [("click", 1), ("purchase", 1)], "etype string, flag int"
+    ).filter(F.col("flag") == 1)
+    return (
+        fact.join(dim, fact.event_type == dim.etype)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", "total_value"),
+        )
+    )

@@ -311,3 +311,12 @@ def test_hard_negatives_ann_is_join_only(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_dpp_join_prunes_fact_partitions(spark):
+    # The dim filter must reach the hive-partitioned fact scan as a
+    # runtime dynamic-pruning subquery — the join-driven partition
+    # pruning a 100 TB fact table lives on.
+    plan = plan_of(spark, "q_dpp_join")
+    assert "dynamicpruning" in plan, "no dynamic partition pruning in scan"
+    assert "CartesianProduct" not in plan
