@@ -223,3 +223,26 @@ def test_sequence_packing_partitions_the_token_stream(spark, lens, budget):
         cum += n
     got = {r["doc_id"]: r["bin"] for r in placed}
     assert got == expected
+
+
+def test_new_window_operators_invariant_under_partition_count(spark):
+    """Results of the hash-partitioned window/join operators added this
+    round must not depend on the shuffle partition count (the thing
+    that differs most between local[32] and a 1000-executor cluster)."""
+    from big_data_projects_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        out = {}
+        for nparts in ("32", "7"):
+            spark.conf.set("spark.sql.shuffle.partitions", nparts)
+            for name in ("q_prefix_dedup", "q_incremental_dedup",
+                         "q_skew_stats", "q_oov_rate"):
+                rows = REGISTRY[name].raw(spark, sf).collect()
+                key = sorted(tuple(str(v) for v in r) for r in rows)
+                out.setdefault(name, []).append(key)
+        for name, (a, b) in out.items():
+            assert a == b, f"{name}: result depends on partition count"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
