@@ -125,3 +125,45 @@ def test_stateful_restart_resumes_aggregation_state(spark, tmp_path):
         for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want, f"state lost across restart: {got} != {want}"
+
+
+def test_dedup_state_survives_restart(spark, tmp_path):
+    """Dedup-state recovery: rows already admitted before the crash
+    stay deduped after the restart — replaying a key present in file A
+    inside file B must NOT re-emit it (a fresh query without the
+    recovered state store would). Uses dropDuplicatesWithinWatermark,
+    the bounded-state production dedup."""
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    # File B replays half of A's rows verbatim plus the other half.
+    replay = half_a.filter(F.col("event_id") % 4 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1).unionByName(replay)
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+
+    def drain(schema):
+        stream = spark.readStream.schema(schema).parquet(src)
+        deduped = (
+            stream.withWatermark("ts", "60 days")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("user_id", "event_type")
+        )
+        _drain(deduped, out, ck)
+
+    half_a.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    drain(schema)
+    half_b.coalesce(1).write.mode("append").parquet(src)
+    drain(schema)  # fresh query object, same checkpoint + dedup state
+
+    back = spark.read.parquet(out)
+    # Exactly the batch-DISTINCT key set, each key exactly once: no
+    # duplicates from the replay, nothing lost across the restart.
+    assert back.count() == back.distinct().count()
+    got = {(r.user_id, r.event_type) for r in back.collect()}
+    want = {
+        (r.user_id, r.event_type)
+        for r in ev.select("user_id", "event_type").distinct().collect()
+    }
+    assert got == want
