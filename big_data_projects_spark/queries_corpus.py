@@ -1173,3 +1173,124 @@ def q_oov_rate(spark, sf_dir):
             / F.count(F.lit(1)).cast("double")
         ).alias("oov_rate"),
     )
+
+
+@register(
+    "q_pipeline_web_corpus",
+    oracle=rf"""
+    WITH synth AS (
+        SELECT doc_id, source,
+               '<html><body><p>' || text || '</p><script>var x=1;</script>'
+                 || '<p>&amp;footer&lt;end&gt;</p></body></html>' AS html
+        FROM documents
+    ),
+    clean AS (
+        SELECT doc_id, source,
+               trim(regexp_replace(
+                   replace(replace(replace(
+                       regexp_replace(
+                           regexp_replace(html, '<script>.*?</script>', ' ', 'g'),
+                           '<[^>]+>', ' ', 'g'),
+                       '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                   ' +', ' ', 'g')) AS text
+        FROM synth
+    ),
+    judged AS (
+        SELECT doc_id, source, md5(text) AS fp,
+               CAST(len(regexp_split_to_array(text, ' ')) AS BIGINT) AS n_tokens,
+               len(regexp_split_to_array(text, ' ')) BETWEEN 25 AND 500
+                 AND list_sum(list_transform(regexp_split_to_array(text, ' '),
+                         w -> len(w)))
+                     / CAST(len(regexp_split_to_array(text, ' ')) AS DOUBLE)
+                     BETWEEN 3 AND 10
+                 AND len(list_intersect(
+                         list_distinct(regexp_split_to_array(text, ' ')),
+                         [{_STOP_SQL}])) >= 2 AS rule_keep
+        FROM clean
+    ),
+    deduped AS (
+        SELECT j.*,
+               CASE WHEN j.rule_keep
+                    THEN j.doc_id = MIN(CASE WHEN rule_keep THEN doc_id END)
+                             OVER (PARTITION BY fp)
+                    ELSE FALSE END AS is_kept
+        FROM judged j
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_in,
+           CAST(SUM(CASE WHEN NOT rule_keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rule_dropped,
+           CAST(SUM(CASE WHEN rule_keep AND NOT is_kept THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_dropped,
+           CAST(SUM(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN is_kept THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS kept_tokens
+    FROM deduped GROUP BY source
+    """,
+)
+def q_pipeline_web_corpus(spark, sf_dir):
+    """The web-corpus user story as ONE composed plan: raw HTML →
+    strip (script drop, tag strip, entity decode, space collapse) →
+    Gopher rule gate → corpus-level exact dedup on the CLEANED text
+    (keep-lowest-id among rule-survivors) → per-source yield
+    accounting (docs in, rule-dropped, dup-dropped, kept, surviving
+    token budget — the report a crawl-ingest run publishes). Scale
+    shape: per-row regex/codegen for clean+rules, ONE hash-partitioned
+    min-window on the content fingerprint for dedup, one final
+    aggregation; text shuffles once (fingerprint), never pairwise."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    html = F.concat(
+        F.lit("<html><body><p>"), F.col("text"),
+        F.lit("</p><script>var x=1;</script>"),
+        F.lit("<p>&amp;footer&lt;end&gt;</p></body></html>"),
+    )
+    no_script = F.regexp_replace(html, "<script>.*?</script>", " ")
+    no_tags = F.regexp_replace(no_script, "<[^>]+>", " ")
+    decoded = F.replace(
+        F.replace(
+            F.replace(no_tags, F.lit("&amp;"), F.lit("&")),
+            F.lit("&lt;"), F.lit("<"),
+        ),
+        F.lit("&gt;"), F.lit(">"),
+    )
+    clean = F.trim(F.regexp_replace(decoded, " +", " "))
+    t = F.split(clean, " ")
+    n_tokens = F.size(t).cast("long")
+    total_len = F.aggregate(
+        F.transform(t, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    rule_keep = (
+        n_tokens.between(25, 500)
+        & (total_len / n_tokens).between(3, 10)
+        & (F.size(F.array_intersect(t, stop_arr)) >= 2)
+    )
+    judged = docs.select(
+        "doc_id", "source",
+        F.md5(clean).alias("fp"),
+        n_tokens.alias("n_tokens"),
+        rule_keep.alias("rule_keep"),
+    )
+    w = Window.partitionBy("fp")
+    keep_id = F.min(F.when(F.col("rule_keep"), F.col("doc_id"))).over(w)
+    deduped = judged.withColumn(
+        "is_kept",
+        F.when(F.col("rule_keep"), F.col("doc_id") == keep_id).otherwise(
+            F.lit(False)
+        ),
+    )
+    return deduped.groupBy("source").agg(
+        F.sum(F.lit(1)).alias("n_in"),
+        F.sum(F.when(~F.col("rule_keep"), 1).otherwise(0)).alias("n_rule_dropped"),
+        F.sum(
+            F.when(F.col("rule_keep") & ~F.col("is_kept"), 1).otherwise(0)
+        ).alias("n_dup_dropped"),
+        F.sum(F.when(F.col("is_kept"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("is_kept"), F.col("n_tokens")).otherwise(0)).alias(
+            "kept_tokens"
+        ),
+    )
