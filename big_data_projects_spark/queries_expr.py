@@ -722,3 +722,49 @@ def q_null_semantics(spark, sf_dir):
             F.count(F.lit(1)) - F.count(F.nullif(F.col("l_discount"), F.lit(0.0)))
         ).alias("n_zero_disc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Map lambdas (transform_values / map_filter / map_concat / map_keys)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_map_lambdas",
+    oracle="""
+    SELECT event_id,
+           CAST(3 AS INT) AS n_keys,
+           2 * CAST(json_extract_string(props, '$.k') AS BIGINT) AS k2,
+           'k,src,type' AS keys_csv,
+           upper(event_type) AS type_upper
+    FROM events
+    """,
+)
+def q_map_lambdas(spark, sf_dir):
+    """MapType lambda surface, all codegen: a per-row map is built from
+    typed columns (create_map + JSON path), values rewritten with a
+    key-aware transform_values, a key dropped with map_filter, a
+    constant entry merged with map_concat, and the result projected
+    through map_keys/element_at. The oracle restates every output from
+    the source columns directly — so the lambda semantics themselves
+    (key-conditional rewrite, filter, merge precedence) are what is
+    being checked."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("k"), F.get_json_object("props", "$.k"),
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    doubled = F.transform_values(
+        m,
+        lambda k, v: F.when(k == "k", (v.cast("long") * 2).cast("string"))
+        .otherwise(F.upper(v)),
+    )
+    flt = F.map_filter(doubled, lambda k, v: k != "uid")
+    merged = F.map_concat(flt, F.create_map(F.lit("src"), F.lit("EVENTS")))
+    return ev.select(
+        "event_id",
+        F.size(merged).alias("n_keys"),
+        F.element_at(merged, "k").cast("long").alias("k2"),
+        F.concat_ws(",", F.array_sort(F.map_keys(merged))).alias("keys_csv"),
+        F.element_at(merged, "type").alias("type_upper"),
+    )
