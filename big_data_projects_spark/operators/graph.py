@@ -170,3 +170,41 @@ def triangle_count(
         .select("n_nodes", "n_edges", "n_triangles")
     )
     return out
+
+
+def label_propagation(
+    edges: DataFrame, n_iter: int = 2, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Synchronous label propagation (community detection), made fully
+    deterministic: every node starts as its own label and each round
+    adopts the most frequent label among its NEIGHBORS (count desc,
+    then smallest label — the tiebreak that makes sync LPA, normally
+    run with random tie choices, reproducible and oracle-checkable).
+    Fixed rounds, no convergence probe: each round is one equi-join of
+    the symmetric edge list with the label table plus one count
+    aggregate and a per-node argmax window (hash-partitioned by node)
+    — O(E) shuffle per round, unrolled identically in the SQL oracle.
+
+    Returns (node, community) for every node with at least one edge.
+    """
+    from pyspark.sql import Window
+
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    labels = sym.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(n_iter):
+        nb = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy("a", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("a").orderBy(F.desc("c"), F.col("label"))
+        labels = (
+            nb.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select(F.col("a").alias("node"), "label")
+        )
+    return labels.select("node", F.col("label").alias("community"))

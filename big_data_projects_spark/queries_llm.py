@@ -1864,3 +1864,66 @@ def q_prefix_dedup(spark, sf_dir):
         (F.col("doc_id") != p_rep).alias("is_prefix_dup"),
         (F.col("doc_id") != s_rep).alias("is_suffix_dup"),
     )
+
+
+@register(
+    "q_label_propagation",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (
+        SELECT p1 AS a, p2 AS b FROM pairs
+        UNION ALL SELECT p2, p1 FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
+    n1 AS (
+        SELECT s.a, l.label, COUNT(*) AS c
+        FROM sym s JOIN l0 l ON s.b = l.node GROUP BY 1, 2
+    ),
+    l1 AS (
+        SELECT a AS node, label FROM (
+            SELECT a, label,
+                   row_number() OVER (PARTITION BY a ORDER BY c DESC, label) AS rk
+            FROM n1) WHERE rk = 1
+    ),
+    n2 AS (
+        SELECT s.a, l.label, COUNT(*) AS c
+        FROM sym s JOIN l1 l ON s.b = l.node GROUP BY 1, 2
+    ),
+    l2 AS (
+        SELECT a AS node, label FROM (
+            SELECT a, label,
+                   row_number() OVER (PARTITION BY a ORDER BY c DESC, label) AS rk
+            FROM n2) WHERE rk = 1
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS community
+    FROM l2
+    """,
+)
+def q_label_propagation(spark, sf_dir):
+    """Community detection by synchronous label propagation over the
+    parts-co-ordered graph — made deterministic (count-desc, min-label
+    tiebreak; fixed 2 rounds) so even the per-node community labels
+    hash-match the oracle's unrolled CTE rounds. The usual LPA is
+    random-tie; determinism is what turns an unverifiable heuristic
+    into a checkable operator. O(E) shuffle per round, argmax windows
+    hash-partitioned by node."""
+    from big_data_projects_spark.operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+    )
+    return label_propagation(pairs, n_iter=2, src="p1", dst="p2").select(
+        F.col("node").cast("long").alias("node"),
+        F.col("community").cast("long").alias("community"),
+    )
