@@ -218,23 +218,45 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.1,
+    hasher: str = "xxh64",
 ) -> DataFrame:
     """Banded-LSH candidate generation + exact-Jaccard verification.
 
     Scale path: docs land in (band, bucket) groups via an equi-join key
-    (xxhash64 of each band's signature slice); only same-bucket pairs
+    (a hash of each band's signature slice); only same-bucket pairs
     are verified. At 100 TB this is the only shape that works — no
     cross join, shuffle keys are uniform hashes.
+
+    ``hasher``: "xxh64" (fastest) or "md5" — with md5 the shingle ids
+    AND the band bucket keys are both reproducible in ANSI SQL
+    (15-hex-char bigint trick), so the ENTIRE pipeline — signatures,
+    banding, candidate set, exact verify — hash-matches a DuckDB
+    oracle. Identical plan either way; md5 costs ~20-30% more hash
+    arithmetic in the scan/signature stages.
     """
     # One shingle materialization shared by signatures + exact verify —
-    # bigint (xxh64) shingle ids: nothing downstream needs the md5 form,
-    # and every join/distinct/min-agg here keys on the shingle.
-    sh_shared = shingles(df, id_col, text_col, n, hasher="xxh64").persist()
+    # bigint shingle ids either way: every join/distinct/min-agg here
+    # keys on the shingle.
+    sh_shared = shingles(df, id_col, text_col, n, hasher=hasher).persist()
     # sig is one narrow row per doc but sits under BOTH sides of the
     # band self-join and would be recomputed per branch — persist it.
     sig = minhash_signatures(
         df, id_col, text_col, n, shingle_df=sh_shared
     ).persist()
+
+    def bucket_key(b: int):
+        slice_cols = [
+            F.col("sig")[i] for i in range(b * LSH_ROWS, (b + 1) * LSH_ROWS)
+        ]
+        if hasher == "md5":
+            return (
+                F.conv(
+                    F.substring(F.md5(F.concat_ws(":", *slice_cols)), 1, 15),
+                    16, 10,
+                ).cast("long")
+            )
+        return F.xxhash64(*slice_cols)
+
     bands = sig.select(
         F.col(id_col),
         F.explode(
@@ -242,12 +264,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("sig")[i]
-                                for i in range(b * LSH_ROWS, (b + 1) * LSH_ROWS)
-                            ]
-                        ).alias("bucket"),
+                        bucket_key(b).alias("bucket"),
                     )
                     for b in range(LSH_BANDS)
                 ]

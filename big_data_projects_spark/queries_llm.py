@@ -386,15 +386,104 @@ def q_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(docs, threshold=0.1)
 
 
-@register("q_dedup_minhash_lsh")  # probabilistic candidates → rows-only
+def _minhash_lsh_oracle() -> str:
+    # The md5-portable mode makes the WHOLE pipeline SQL-reproducible:
+    # the same 15-hex-char bigint shingles, the same universal-hash
+    # permutation minima (64 MIN aggregates over exact int64
+    # arithmetic), the same md5-derived band bucket keys, the same
+    # exact-Jaccard verify. A regression anywhere — shingling, perm
+    # constants, banding, verify — breaks the hash match.
+    from big_data_projects_spark.operators.dedup import (
+        LSH_BANDS, LSH_ROWS, _MERSENNE31, _PERMS,
+    )
+
+    M = _MERSENNE31
+    mins = ",\n               ".join(
+        f"MIN((b * {a} + {bb}) % {M}) AS h{i}"
+        for i, (a, bb) in enumerate(_PERMS)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, CAST(('0x' || substr(md5("
+        + " || ':' || ".join(
+            f"CAST(h{i} AS VARCHAR)"
+            for i in range(b * LSH_ROWS, (b + 1) * LSH_ROWS)
+        )
+        + "), 1, 15)) AS BIGINT) AS bucket FROM sigs"
+        for b in range(LSH_BANDS)
+    )
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))
+                    AS BIGINT) AS shingle
+        FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
+        WHERE len(t) >= 3
+    ),
+    based AS (SELECT doc_id, shingle % {M} AS b FROM sh),
+    sigs AS (
+        SELECT doc_id,
+               {mins}
+        FROM based GROUP BY doc_id
+    ),
+    bands AS (
+        {band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                    AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh s1 ON s1.doc_id = c.doc_a
+        JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+        GROUP BY 1, 2
+    )
+    SELECT m.doc_a, m.doc_b,
+           m.n_common / (sa.n_sh + sb.n_sh - m.n_common) AS jaccard
+    FROM common m
+    JOIN sizes sa ON sa.doc_id = m.doc_a
+    JOIN sizes sb ON sb.doc_id = m.doc_b
+    WHERE m.n_common / (sa.n_sh + sb.n_sh - m.n_common) >= 0.1
+    """
+
+
+@register("q_dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash(64) + banded LSH(16×4) candidates, exact-Jaccard
-    verified — the 100 TB fuzzy-dedup path."""
+    """MinHash(64) + banded LSH(32×2) candidates, exact-Jaccard
+    verified — the 100 TB fuzzy-dedup path. Registered in the
+    md5-portable mode, which makes signatures, band buckets, the
+    candidate set, AND the verify all reproducible in SQL — so this
+    formerly rows-only probabilistic operator now hash-matches its
+    oracle end-to-end (the xxh64 mode stays available as the fastest
+    production variant; the plan is identical)."""
     docs = _t(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(docs, threshold=0.1)
+    return D.minhash_lsh_pairs(docs, threshold=0.1, hasher="md5")
 
 
-@register("q_simhash_pairs")  # hamming-ball pairing over simhash
+def _simhash_pairs_oracle() -> str:
+    # The pigeonhole blocking is COMPLETE for hamming <= 3 (4 segments,
+    # so >= 1 must match exactly), which means the Spark result equals
+    # the brute-force pair filter — statable directly in SQL at oracle
+    # scale over the shared simhash CTE.
+    sh = D.simhash_oracle_sql()
+    return f"""
+    WITH sh AS ({sh})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@register("q_simhash_pairs", oracle=_simhash_pairs_oracle())
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup candidates: docs whose 60-bit simhash differs
     by ≤ 3 bits, paired via pigeonhole blocking over 4 segments of 15
@@ -402,8 +491,9 @@ def q_simhash_pairs(spark, sf_dir):
     segment matches exactly → equi-join per segment finds every such
     pair; 32768 distinct keys per segment keeps within-bucket candidate
     counts ~2000× below the old 4-bit scheme at any corpus size), then
-    exact hamming filter. Rows-only: the candidate set is exact for the
-    ≤3 threshold, but the pairing isn't naturally SQL-shaped."""
+    exact hamming filter. The blocking is COMPLETE for the ≤3
+    threshold, so the hash-match against the oracle's brute-force pair
+    filter verifies both the simhash and the pairing end-to-end."""
     docs = _t(spark, sf_dir, "documents")
     return D.simhash_near_pairs(D.simhash(docs), max_hamming=3)
 
