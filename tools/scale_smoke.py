@@ -60,6 +60,13 @@ k ∝ n is O(n·k) assignment + an O(m·k²) Python greedy seeding);
 hierarchical_kmeans_assign + the incremental numpy k-center fix
 brought it to 1.9x — the smoke caught a real quadratic before the
 driver's 100 TB contract did.
+
+At M=30 (150k docs / 60k vectors, post-fix): wall ratios
+  q_ngram_jaccard 4.1  q_dedup_minhash_lsh 4.2  q_simhash_pairs 2.0
+  q_embed_lsh_neardup 11.8 (407x the output pairs — the recall
+  artifact documented above)  q_semdedup 2.1  q_hard_negatives_ann 2.1
+for 30x data — the hierarchical-blocking fix holds a full decade past
+the scale it was tuned at.
 """
 
 from __future__ import annotations
