@@ -569,12 +569,65 @@ def q_knn_ivf(spark, sf_dir):
     return S.ivf_topk(emb, query_id=0, k=10, n_probe=3)
 
 
-@register("q_embed_lsh_neardup")  # probabilistic buckets → rows-only
+def _embed_lsh_oracle() -> str:
+    # Same literal-hyperplane trick as _hn_ann_oracle: the seeded
+    # planes embed as exact string-cast DOUBLE[] literals, both engines
+    # fold the dots sequentially, so the sign-bit buckets — and hence
+    # the whole candidate set — reproduce bit-for-bit in SQL.
+    bits, n_bands = 8, S.DEFAULT_LSH_BANDS
+    planes = S._hyperplanes(64, bits * n_bands)
+
+    def band_expr(j: int) -> str:
+        terms = []
+        for i in range(bits):
+            lit = ", ".join("'" + repr(w) + "'" for w in planes[j * bits + i])
+            terms.append(
+                "(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+                f"[{lit}]::DOUBLE[]) > 0 THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(terms) + f" AS b{j}"
+
+    bexprs = ",\n               ".join(band_expr(j) for j in range(n_bands))
+    unions = "\n            UNION ALL ".join(
+        f"SELECT a.vec_id AS ida, b.vec_id AS idb FROM sig a "
+        f"JOIN sig b ON a.b{j} = b.b{j} AND a.vec_id < b.vec_id"
+        for j in range(n_bands)
+    )
+    return f"""
+    WITH sig AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               {bexprs}
+        FROM embeddings
+    ),
+    cand AS (
+        SELECT DISTINCT ida AS id_a, idb AS id_b FROM (
+            {unions}
+        )
+    )
+    SELECT c.id_a, c.id_b,
+           list_dot_product(a.v, b.v) /
+           (sqrt(list_dot_product(a.v, a.v)) *
+            sqrt(list_dot_product(b.v, b.v))) AS sim
+    FROM cand c
+    JOIN sig a ON a.vec_id = c.id_a
+    JOIN sig b ON b.vec_id = c.id_b
+    WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) *
+           sqrt(list_dot_product(b.v, b.v))) >= 0.3
+    """
+
+
+@register("q_embed_lsh_neardup", oracle=_embed_lsh_oracle())
 def q_embed_lsh_neardup(spark, sf_dir):
     """Random-hyperplane LSH near-dup: sign-bit signatures, banded
-    bucket equi-join candidates, exact cosine verify."""
+    bucket equi-join candidates, exact cosine verify. Formerly
+    rows-only; the deterministic seeded planes make the buckets (and
+    so the candidate set and verified sims) SQL-reproducible, so this
+    probabilistic operator now hash-matches its oracle end-to-end.
+    bits_per_band is pinned at 8 (the width lsh_bits_for derives for
+    every driver corpus ≤ 16k vectors) to keep the oracle static."""
     emb = _t(spark, sf_dir, "embeddings")
-    return S.lsh_neardup_pairs(emb, dim=64, threshold=0.3)
+    return S.lsh_neardup_pairs(emb, dim=64, threshold=0.3, bits_per_band=8)
 
 
 # ---------------------------------------------------------------------------
