@@ -140,15 +140,23 @@ def ivf_topk(
     then fine (scan only the n_probe closest partitions).
 
     Centroids are elementwise means computed distributively
-    (posexplode → groupBy(part, pos) → avg). Float means are order-
-    dependent, hence this operator is rows-only checked.
+    (posexplode → groupBy(part, pos) → decimal-accumulated mean — the
+    merge-exact pattern shared with q_embed_outliers, so the means are
+    identical under any partitioning and the WHOLE search, probe
+    selection included, hash-matches its SQL oracle).
     """
     q = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("__qv"))
 
     centroids = (
         emb.select(F.col(part_col), F.posexplode(vec_col).alias("pos", "v"))
         .groupBy(part_col, "pos")
-        .agg(F.avg("v").alias("m"))
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(38,10)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
         .groupBy(part_col)
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select(

@@ -560,11 +560,47 @@ def q_embed_neardup(spark, sf_dir):
     return S.blocked_neardup_pairs(emb, block_col="label", threshold=0.3)
 
 
-@register("q_knn_ivf")  # float centroid means → rows-only
+@register(
+    "q_knn_ivf",
+    oracle="""
+    WITH pos AS (
+        SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings,
+             UNNEST(generate_series(1, len(embedding))) AS u(i)
+    ),
+    cent AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS c
+        FROM pos GROUP BY 1, 2
+    ),
+    cvec AS (
+        SELECT label, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    probe AS (
+        SELECT label FROM cvec, q
+        ORDER BY list_dot_product(centroid, qv) /
+                 (sqrt(list_dot_product(centroid, centroid)) *
+                  sqrt(list_dot_product(qv, qv))) DESC, label
+        LIMIT 3
+    )
+    SELECT e.vec_id,
+           list_dot_product(e.embedding::DOUBLE[], q.qv) /
+           (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+            sqrt(list_dot_product(q.qv, q.qv))) AS sim
+    FROM embeddings e JOIN probe p ON e.label = p.label CROSS JOIN q
+    WHERE e.vec_id != 0
+    ORDER BY sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
 def q_knn_ivf(spark, sf_dir):
     """IVF-style two-stage ANN: per-label centroids, probe top-3
     partitions, fine search only there — the partition-pruned scale
-    path for similarity search."""
+    path for similarity search. Formerly rows-only: decimal-
+    accumulated centroid means (the q_embed_outliers pattern) make the
+    coarse stage deterministic under any partitioning, so probe
+    selection, fine sims, and the top-k all hash-match the oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.ivf_topk(emb, query_id=0, k=10, n_probe=3)
 
