@@ -643,6 +643,12 @@ def quantize_int8(
     An all-zero vector would give scale 0 and a 0/0 division (NULL
     components, or DIVIDE_BY_ZERO under ANSI mode) — the scale is
     clamped to a tiny epsilon so zero vectors quantize to zero vectors.
+
+    Rounding is floor(x/s + 0.5) rather than round(): floor is exact
+    and the addition is the same IEEE op on both engines, so the
+    quantized codes are engine-identical BY CONSTRUCTION (round()'s
+    half-way tie rule differs subtly across engines) — which is what
+    lets the int8 ANN query hash-match a SQL oracle.
     """
     x = F.col(vec_col)
     scale = F.greatest(
@@ -658,7 +664,7 @@ def quantize_int8(
         F.col(vec_col),
         scale.alias("q_scale"),
         F.transform(
-            x, lambda v: F.round(v.cast("double") / scale).cast("int")
+            x, lambda v: F.floor(v.cast("double") / scale + F.lit(0.5)).cast("int")
         ).alias("q_vec"),
     )
 

@@ -1642,14 +1642,40 @@ def q_recursive_reachability(spark, sf_dir):
     )
 
 
-@register("q_knn_int8")  # quantization error is float-shaped → rows-only
+@register(
+    "q_knn_int8",
+    oracle="""
+    WITH qv AS (
+        SELECT vec_id,
+               greatest(list_max(list_transform(embedding::DOUBLE[],
+                                                x -> abs(x))) / 127.0,
+                        1e-300) AS s,
+               list_transform(embedding::DOUBLE[],
+                   x -> floor(x / greatest(list_max(list_transform(
+                            embedding::DOUBLE[], y -> abs(y))) / 127.0,
+                            1e-300) + 0.5)) AS q
+        FROM embeddings
+    ),
+    query AS (SELECT q AS qq, s AS qs FROM qv WHERE vec_id = 0)
+    SELECT a.vec_id,
+           (list_dot_product(a.q, query.qq) * a.s * query.qs) /
+           (sqrt(list_dot_product(a.q, a.q)) * a.s *
+            sqrt(list_dot_product(query.qq, query.qq)) * query.qs) AS sim_q
+    FROM qv a, query
+    WHERE a.vec_id != 0
+    ORDER BY sim_q DESC, a.vec_id
+    LIMIT 10
+    """,
+)
 def q_knn_int8(spark, sf_dir):
     """ANN over int8-quantized embeddings (scalar quantization,
     per-vector scale): 4-8× smaller vector payload with exact integer
     dot products — the memory-bound scale path for serving similarity
     over a 100 TB corpus. Recall vs the exact top-k is pinned by a
-    unit test; scores are deterministic because int dots have no
-    float summation order."""
+    unit test. Formerly rows-only: the tie-exact floor(x/s + 0.5)
+    quantizer (identical IEEE ops both engines, no round() tie-rule
+    dependence) plus integer dots that are exactly representable as
+    doubles make the whole search hash-match its SQL oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.quantized_topk_cosine(emb, query_id=0, k=10)
 
