@@ -281,3 +281,32 @@ def q_stream_dedup_watermarked(spark, sf_dir):
 
     ensure_runtime_conf(spark)
     return stream_dedup_watermarked(spark, sf_dir)
+
+
+@register(
+    "q_stream_daily_topk",
+    oracle="""
+    WITH c AS (
+        SELECT epoch_ms(time_bucket(INTERVAL '1 day', ts)) AS day_start_ms,
+               event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT day_start_ms, event_type, n, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT c.*, row_number() OVER (
+              PARTITION BY day_start_ms ORDER BY n DESC, event_type) AS rk
+          FROM c)
+    WHERE rk <= 3
+    """,
+)
+def q_stream_daily_topk(spark, sf_dir):
+    """Streaming windowed top-k: the watermarked stream maintains
+    per-(day, type) counts; the per-day rank runs over the drained
+    aggregate (rank-over-aggregate can't live inside a streaming
+    plan — this two-stage split is the production shape). Equals the
+    batch window-rank twin."""
+    from big_data_projects_spark.streaming.windowed import (
+        daily_topk_types_stream,
+    )
+
+    ensure_runtime_conf(spark)
+    return daily_topk_types_stream(spark, sf_dir, k=3)

@@ -62,3 +62,39 @@ def sliding_event_counts_stream(
     lands in exactly two windows. Same state machinery as tumbling;
     state size doubles (width/slide windows per event)."""
     return _windowed_counts(spark, sf_dir, ("1 hour", "30 minutes"), watermark)
+
+
+def daily_topk_types_stream(
+    spark: SparkSession, sf_dir: str, k: int = 3, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming windowed top-k: per event-time DAY, the k most
+    frequent event types. Rank-over-aggregate isn't expressible inside
+    a streaming plan (no windows over streaming aggregates), so this
+    is the production two-stage shape: the STREAM maintains the
+    watermarked per-(day, type) counts; the per-day rank runs on the
+    drained result — in production, in the foreachBatch sink or the
+    serving layer, over data that is already day-local and tiny."""
+    from pyspark.sql import Window
+
+    from big_data_projects_spark.streaming.core import (
+        events_stream,
+        run_to_completion,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    counts = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_millis(F.col("window.start")).alias("day_start_ms"),
+            "event_type",
+            "n",
+        )
+    )
+    drained = run_to_completion(counts, "complete")
+    w = Window.partitionBy("day_start_ms").orderBy(F.desc("n"), "event_type")
+    return (
+        drained.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
