@@ -2132,3 +2132,19 @@ def q_label_propagation(spark, sf_dir):
         F.col("node").cast("long").alias("node"),
         F.col("community").cast("long").alias("community"),
     )
+
+
+@register("q_semdedup_hier")  # hierarchical blocking, iterative → rows-only
+def q_semdedup_hier(spark, sf_dir):
+    """SemDeDup with the hierarchical blocking path FORCED (k=64 is
+    past the flat-path cutoff): depth-log_branch(k) levels of
+    branch-way Lloyd — the O(n·branch·log k) quantizer semdedup uses
+    when k grows with the corpus, registered so the driver exercises
+    the scale path directly rather than only through the smoke/tests.
+    Output: per-cluster vector/duplicate accounting."""
+    emb = _t(spark, sf_dir, "embeddings")
+    marked = S.semdedup(emb, k=64, threshold=0.3, n_iter=2)
+    return marked.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dups"),
+    )

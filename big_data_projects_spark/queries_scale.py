@@ -813,3 +813,53 @@ def q_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value", "total_value"),
         )
     )
+
+
+@register(
+    "q_scan_csv_corrupt",
+    oracle="""
+    SELECT 'good' AS status, COUNT(*) AS n FROM customer
+    UNION ALL
+    SELECT 'corrupt', 2
+    """,
+)
+def q_scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE corrupt-record handling on the CSV source — the CSV
+    parser's quarantine path is distinct from JSON's (tokenization vs
+    document parse): two malformed lines (wrong arity, unclosed quote)
+    are appended to a valid header'd CSV dump; the schema'd read routes
+    them to _corrupt_record instead of failing the scan, and the query
+    accounts good vs quarantined rows. The oracle pins the invariant:
+    every original row parses, exactly the injected lines quarantine."""
+    ensure_runtime_conf(spark)
+    customer = _t(spark, sf_dir, "customer")
+    out = os.path.join(tempfile.mkdtemp(prefix="bdp_csv_bad_"), "customer_csv")
+    customer.write.mode("overwrite").option("header", True).csv(out)
+    bad = os.path.join(out, "zz_corrupt.csv")
+    with open(bad, "w") as fh:
+        # header=True skips each FILE's first line — lead with a
+        # sacrificial header so both malformed lines (arity mismatch,
+        # unclosed quote) actually reach the parser.
+        fh.write('hdr\nonly,three,cols\n"unclosed, quote,1,2,3,4,5,6\n')
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        list(customer.schema.fields)
+        + [StructField("_corrupt_record", StringType())]
+    )
+    # Same documented pattern as the JSON twin: Spark refuses scans
+    # whose only referenced column is the corrupt-record column, so
+    # cache the parsed result first.
+    back = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+        .cache()
+    )
+    status = F.when(F.col("_corrupt_record").isNull(), "good").otherwise("corrupt")
+    return back.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
