@@ -2148,3 +2148,96 @@ def q_semdedup_hier(spark, sf_dir):
         F.count(F.lit(1)).alias("n_vectors"),
         F.sum(F.col("is_dup").cast("long")).alias("n_dups"),
     )
+
+
+@register(
+    "q_tfidf_cosine_pairs",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY 1, 2
+    ),
+    n_docs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    w AS (
+        SELECT t.doc_id, t.term,
+               t.tf * round(ln(CAST(n.n AS DOUBLE) / d.df), 12) AS wt
+        FROM tf t JOIN dfreq d USING (term) CROSS JOIN n_docs n
+        WHERE d.df <= 1000
+    ),
+    norms AS (
+        SELECT doc_id,
+               sqrt(CAST(SUM(CAST(round(wt * wt, 12) AS DECIMAL(38,14)))
+                         AS DOUBLE)) AS nrm
+        FROM w GROUP BY doc_id
+    ),
+    dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(SUM(CAST(round(a.wt * b.wt, 12) AS DECIMAL(38,14)))
+                    AS DOUBLE) AS dot
+        FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d.doc_a, d.doc_b,
+           round(d.dot / (na.nrm * nb.nrm), 8) AS sim
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.doc_a
+    JOIN norms nb ON nb.doc_id = d.doc_b
+    WHERE round(d.dot / (na.nrm * nb.nrm), 8) >= 0.9
+    """,
+)
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    """Sparse-vector document similarity — the IR-classic complement
+    of the dense-embedding family: TF-IDF weighted term vectors, pair
+    dot products via a TERM-KEYED equi-join (a pair is computed only
+    from the terms it shares — never a dense all-pairs pass), df-capped
+    so boilerplate terms can't go quadratic, cosine ≥ 0.9 emitted.
+    Determinism: idf lns round to 12 before multiplying, every product
+    rounds to 12 and decimal-sums (order-independent), the final
+    cosine rounds to 8 — so the float sims hash-match the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = tf.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf.join(dfreq, "term")
+        .filter(F.col("df") <= 1000)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term",
+            (
+                F.col("tf")
+                * F.round(F.log(F.col("n").cast("double") / F.col("df")), 12)
+            ).alias("wt"),
+        )
+        .persist()  # consumed by norms AND both sides of the pair join
+    )
+    dsum14 = lambda c: F.sum(F.round(c, 12).cast("decimal(38,14)")).cast("double")
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(dsum14(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    a = w.select(F.col("doc_id").alias("doc_a"), "term", F.col("wt").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "term", F.col("wt").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(dsum14(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    sim = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 8)
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", sim.alias("sim"))
+        .filter(sim >= 0.9)
+    )
