@@ -104,7 +104,20 @@ _ROUND3_WINDOW = [
 
 # Round-4 queue: the ≤29 overflow — the remaining OLAP-expression family
 # (oracle-backed, lower risk: single-table expression surfaces) and the
-# rows-only stubs (weakest driver signal, declared).
+# rows-only stubs (weakest driver signal, declared).  At round-4 start,
+# rotate THIS list plus the round-3 additions (registered after this
+# window froze, currently ~24 entries — q_hard_negatives_ann,
+# q_multimodal_decode, q_gopher_rules, q_incremental_dedup,
+# q_range_sharded_write, q_skew_stats, q_bpe_merge_step, q_prefix_dedup,
+# q_token_histogram, q_higher_order_funcs, q_regex_extract_all,
+# q_xml_extract, q_null_semantics, q_cogroup_stats, q_quality_ensemble,
+# q_asof_forward, q_url_parse, q_html_strip, q_oov_rate,
+# q_stream_dedup_watermarked, q_scan_merge_schema, q_dpp_join,
+# q_map_lambdas, q_pipeline_web_corpus, q_label_propagation,
+# q_stream_daily_topk, q_scan_csv_corrupt, q_semdedup_hier,
+# q_tfidf_cosine_pairs) to the front, oracle-backed first — they fit a
+# 50-entry window with the 25 queue entries only partially, so lead
+# with the queue (older debt) and the strongest new families.
 _ROUND4_QUEUE = [
     "q_grouping_id", "q_bitwise_agg", "q_incremental_rollup",
     "q_order_limit", "q_window_ignore_nulls", "q_snapshot_diff",
