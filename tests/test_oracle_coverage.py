@@ -1,0 +1,67 @@
+"""Meta-guard: every oracle-backed query in the registry must be picked up
+by at least one differential-oracle test module.
+
+ADVICE (round 2) flagged six queries that matched no module's prefix
+filter and therefore had zero oracle coverage despite the repo's
+convention.  The prefix lists have since been fixed, but nothing stopped
+the same lapse from recurring for the *next* new query — this test does.
+"""
+
+from __future__ import annotations
+
+import importlib
+
+from big_data_projects_spark.queries import REGISTRY
+
+_ORACLE_TEST_MODULES = (
+    "tests.test_oracle_core",
+    "tests.test_oracle_llm",
+    "tests.test_oracle_olap",
+    "tests.test_oracle_scale",
+    "tests.test_oracle_tpch_expr",
+)
+
+
+def _covered_names() -> set[str]:
+    covered: set[str] = set()
+    for modname in _ORACLE_TEST_MODULES:
+        mod = importlib.import_module(modname)
+        for attr in dir(mod):
+            if attr == "NAMES" or attr.endswith("_QUERIES"):
+                covered.update(getattr(mod, attr))
+    return covered
+
+
+def test_every_oracle_backed_query_has_a_test():
+    oracle_backed = {n for n, q in REGISTRY.items() if q.oracle is not None}
+    missing = sorted(oracle_backed - _covered_names())
+    assert not missing, (
+        "oracle-backed queries with no differential-oracle test "
+        f"(extend a prefix list in tests/test_oracle_*.py): {missing}"
+    )
+
+
+def test_rows_only_set_is_intentional():
+    """Rows-only (no oracle) queries are a declared, closed list: adding a
+    query without an oracle twin must be a conscious decision recorded
+    here, not an accident."""
+    rows_only = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
+    declared = sorted([
+        # nondeterministic by contract (monotonically_increasing_id)
+        "q_mono_id",
+        # approximate sketches — engine-specific estimates
+        "q_approx_agg",
+        # float reduction order differs from any SQL restatement
+        "q_pandas_udaf_trimmed", "q_knn_batch",
+        # k-means / PageRank blocking — iterative, centroid-dependent
+        "q_kmeans_clusters", "q_semdedup", "q_semdedup_hier",
+        "q_pagerank_sim_graph",
+        # binary media outputs (PPM/WAV decode itself IS oracle-checked
+        # via q_multimodal_decode; these produce opaque rasters/frames)
+        "q_multimodal_features", "q_multimodal_resize",
+        "q_multimodal_frames",
+    ])
+    assert rows_only == declared, (
+        "rows-only set drifted; either add an oracle_sql twin or update "
+        f"the declared list. now: {rows_only}"
+    )
