@@ -558,13 +558,44 @@ def q_gapfill_hourly(spark, sf_dir):
     )
 
 
-@register("q_pandas_udaf_trimmed")  # Python-stage aggregate → rows-only
+@register(
+    "q_pandas_udaf_trimmed",
+    oracle="""
+    WITH vals AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL
+    ), ranked AS (
+        SELECT event_type, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM vals
+    ), kept AS (
+        SELECT event_type, v FROM ranked
+        WHERE n <= 2 * (n // 10)
+           OR (rn > n // 10 AND rn <= n - n // 10)
+    )
+    SELECT event_type,
+           CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6
+               AS trimmed_mean_value
+    FROM kept
+    GROUP BY event_type
+    """,
+)
 def q_pandas_udaf_trimmed(spark, sf_dir):
     """Custom UDAF via a grouped-agg pandas UDF (PySpark's UDAF path):
-    10%-trimmed mean of event value per type — a robust statistic with
-    no built-in equivalent. Arrow ships each group's values as one
-    numpy vector; the UDF sorts before reducing so the result is
-    independent of shuffle arrival order."""
+    10%-trimmed mean (k = n // 10 cut from each tail) of event value per
+    type — a robust statistic with no built-in equivalent. Arrow ships
+    each group's values as one numpy vector; the UDF sorts before
+    reducing so the result is independent of shuffle arrival order.
+
+    Determinism contract (what makes a Python float reduction
+    hash-match SQL): values are quantized JVM-side to int64 micro-units
+    with the IEEE-identical expression FLOOR(value*1e6 + 0.5), the UDAF
+    reduces with an EXACT integer sum (order-free), and both engines
+    finish with the same double division sequence sum/count/1e6. Sums
+    stay far below 2**53 at test scale; a 100 TB run would widen the
+    same shape to decimal(38,0) partial sums."""
     import numpy as np
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
@@ -574,13 +605,19 @@ def q_pandas_udaf_trimmed(spark, sf_dir):
     @pandas_udf("double", PandasUDFType.GROUPED_AGG)
     def trimmed_mean(v):
         arr = np.sort(v.to_numpy())
-        k = int(len(arr) * 0.1)
-        trimmed = arr[k : len(arr) - k] if len(arr) > 2 * k else arr
-        return float(trimmed.mean())
+        n = len(arr)
+        k = n // 10
+        kept = arr[k : n - k] if n > 2 * k else arr
+        total = int(kept.sum())  # exact: int64, no float accumulation
+        return float(total) / float(len(kept)) / 1e6
 
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        trimmed_mean("value").alias("trimmed_mean_value")
+    micro = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.expr("CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)").alias("v"),
+    )
+    return micro.groupBy("event_type").agg(
+        trimmed_mean("v").alias("trimmed_mean_value")
     )
 
 

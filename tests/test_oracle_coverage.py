@@ -52,7 +52,7 @@ def test_rows_only_set_is_intentional():
         # approximate sketches — engine-specific estimates
         "q_approx_agg",
         # float reduction order differs from any SQL restatement
-        "q_pandas_udaf_trimmed", "q_knn_batch",
+        "q_knn_batch",
         # k-means / PageRank blocking — iterative, centroid-dependent
         "q_kmeans_clusters", "q_semdedup", "q_semdedup_hier",
         "q_pagerank_sim_graph",
