@@ -125,6 +125,87 @@ def pagerank(
     return ranks
 
 
+def pagerank_units(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping_num: int = 17,
+    damping_den: int = 20,
+    iterations: int = 10,
+    scale: int = 10**15,
+) -> DataFrame:
+    """Exact integer-arithmetic PageRank (undirected): (node,
+    rank_units, rank) after a fixed number of power iterations, with
+    every quantity held in int64 "units" of 1/scale.
+
+    Why integers instead of the decimal accumulation of pagerank():
+    int64 sums are order-free AND restatable bit-for-bit in any SQL
+    engine — double→decimal casts are not (Spark rounds the double's
+    shortest decimal rendering, other engines round its exact binary
+    expansion, and the 18th digit disagrees). Per iteration each node
+    sends floor(rank_units / deg) to every neighbor and the new rank is
+    base_units + floor(damping_num * mass / damping_den); total mass is
+    bounded by `scale` (1e15 << 2**63), so no overflow at any corpus
+    size, and the whole fixpoint is a pure integer function of the edge
+    set — hash-matchable by an unrolled CTE oracle. The per-round plan
+    is the same join+aggregate shape as pagerank(); lineage is
+    truncated per round with localCheckpoint for the same reason.
+
+    The floor at each hop leaks < 1 unit (1e-15) of mass per node per
+    round — irrelevant for ranking, and identical on both engines.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    e = e.distinct().persist()
+
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    links = e.join(deg, "a").select("a", "b", "deg").persist()
+    links.count()
+    nodes = e.select(F.col("a").alias("node")).distinct().persist()
+    n_nodes = nodes.count()
+    e.unpersist()
+
+    base_units = ((damping_den - damping_num) * scale) // (
+        damping_den * n_nodes
+    )
+    ranks = nodes.select(
+        "node", F.lit(scale // n_nodes).cast("long").alias("r")
+    )
+    for _ in range(iterations):
+        contribs = links.join(ranks, links["a"] == ranks["node"]).select(
+            F.col("b").alias("node"),
+            F.expr("r DIV deg").alias("contrib"),
+        )
+        summed = contribs.groupBy("node").agg(
+            F.sum("contrib").alias("mass")
+        )
+        # Symmetrized edges ⇒ in-degree ≥ 1 for every node, but keep
+        # the left join + coalesce so isolated-node inputs stay total.
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base_units)
+                    + F.expr(
+                        f"({damping_num} * coalesce(mass, 0L))"
+                        f" DIV {damping_den}"
+                    )
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    links.unpersist()
+    nodes.unpersist()
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_units"),
+        (F.col("r").cast("double") / F.lit(float(scale))).alias("rank"),
+    )
+
+
 def triangle_count(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

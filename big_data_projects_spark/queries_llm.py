@@ -1415,22 +1415,95 @@ def q_dedup_keep_best(spark, sf_dir):
     )
 
 
-@register("q_pagerank_sim_graph")  # iterative float fixpoint → rows-only
+def _pagerank_oracle(iterations: int = 10) -> str:
+    # Unrolled power iteration in exact int64 "units" of 1e-15 — the
+    # same integer recurrence pagerank_units runs (floor divisions,
+    # order-free integer sums), so the ranks hash-match bit-for-bit.
+    # The edge set is the q_ngram_jaccard pair CTE verbatim.
+    levels = []
+    for i in range(iterations):
+        levels.append(f"""r{i + 1} AS (
+        SELECT n.node,
+               CAST((SELECT (3 * 1000000000000000) // (20 * n) FROM params)
+                    + (17 * COALESCE(m.mass, 0)) // 20 AS BIGINT) AS r
+        FROM nodes n LEFT JOIN (
+            SELECT e.b AS node, CAST(SUM(r.r // d.deg) AS BIGINT) AS mass
+            FROM edges e JOIN r{i} r ON r.node = e.a
+                         JOIN deg d ON d.a = e.a
+            GROUP BY e.b) m ON m.node = n.node
+    )""")
+    unrolled = ",\n    ".join(levels)
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    sh_all AS (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))
+                    AS BIGINT) AS shingle
+        FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
+        WHERE len(t) >= 3
+    ),
+    sh AS (
+        SELECT doc_id, shingle FROM sh_all
+        WHERE shingle NOT IN (
+            SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > 1000
+        )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+    ),
+    edges AS (
+        SELECT DISTINCT a, b FROM (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL
+            SELECT doc_b AS a, doc_a AS b FROM pairs)
+    ),
+    deg AS (SELECT a, COUNT(*) AS deg FROM edges GROUP BY a),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    params AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (
+        SELECT node,
+               CAST((SELECT 1000000000000000 // n FROM params) AS BIGINT) AS r
+        FROM nodes
+    ),
+    {unrolled}
+    SELECT node AS doc_id, r AS rank_units,
+           CAST(r AS DOUBLE) / 1e15 AS rank
+    FROM r{iterations}
+    """
+
+
+@register("q_pagerank_sim_graph", oracle=_pagerank_oracle())
 def q_pagerank_sim_graph(spark, sf_dir):
     """PageRank centrality over the n-gram-Jaccard similarity graph
     (undirected, threshold 0.1): ranks every document that has at
     least one near-duplicate neighbor, a centrality-based way to pick
     cluster representatives (vs q_dedup_keep_best's quality argmax).
-    Decimal-accumulated contributions make the ranks bit-stable (see
-    operators/graph.py); 10 fixed power iterations keep the result a
-    pure function of the input."""
-    from big_data_projects_spark.operators.graph import pagerank
+
+    Runs the exact integer-units power iteration (pagerank_units,
+    operators/graph.py): int64 sums are order-free and restatable in
+    any engine, so the formerly rows-only fixpoint is now hash-matched
+    end-to-end against a 10-level unrolled CTE oracle — edge set,
+    degrees, every intermediate rank vector, and the final doubles."""
+    from big_data_projects_spark.operators.graph import pagerank_units
 
     docs = _t(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.1)
     edges = pairs.select("doc_a", "doc_b")
-    return pagerank(edges, "doc_a", "doc_b").select(
-        F.col("node").alias("doc_id"), "rank"
+    return pagerank_units(edges, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), "rank_units", "rank"
     )
 
 

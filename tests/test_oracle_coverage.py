@@ -53,9 +53,8 @@ def test_rows_only_set_is_intentional():
         "q_approx_agg",
         # float reduction order differs from any SQL restatement
         "q_knn_batch",
-        # k-means / PageRank blocking — iterative, centroid-dependent
+        # k-means blocking — iterative, centroid-dependent
         "q_kmeans_clusters", "q_semdedup", "q_semdedup_hier",
-        "q_pagerank_sim_graph",
         # binary media outputs (PPM/WAV decode itself IS oracle-checked
         # via q_multimodal_decode; these produce opaque rasters/frames)
         "q_multimodal_features", "q_multimodal_resize",
