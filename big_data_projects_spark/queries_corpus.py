@@ -1294,3 +1294,210 @@ def q_pipeline_web_corpus(spark, sf_dir):
             "kept_tokens"
         ),
     )
+
+
+@register(
+    "q_upsample_mix",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                    AS BIGINT) AS nt
+        FROM documents
+    ),
+    mass AS (
+        SELECT source, CAST(SUM(nt) AS BIGINT) AS mass
+        FROM toks GROUP BY source
+    ),
+    mx AS (SELECT MAX(mass) AS max_mass FROM mass),
+    planned AS (
+        SELECT t.doc_id, t.source, t.nt,
+               (mx.max_mass // m.mass)
+               + CASE WHEN CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)),
+                                                1, 13)) AS BIGINT) % m.mass
+                           < mx.max_mass % m.mass
+                      THEN 1 ELSE 0 END AS n_copies
+        FROM toks t JOIN mass m USING (source) CROSS JOIN mx
+    ),
+    copies AS (
+        SELECT doc_id, source, nt
+        FROM planned, UNNEST(generate_series(1, n_copies)) AS u(i)
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(SUM(nt) AS BIGINT) AS out_tokens
+    FROM copies GROUP BY source
+    """,
+)
+def q_upsample_mix(spark, sf_dir):
+    """Deterministic corpus up-sampling to an equalized domain mix:
+    every source is replicated up to the token mass of the LARGEST
+    source — the epoch-expansion step of training-mix assembly (small
+    high-quality domains repeat, the web crawl runs once).
+
+    Each doc gets floor(max_mass/mass_s) whole copies plus one extra
+    copy on a deterministic md5-keyed residual draw, so the expected
+    per-source output mass equals max_mass exactly and reruns/retries
+    produce byte-identical corpora (never rand()). The residual test is
+    pure int64 modular arithmetic (hash % mass < max_mass % mass) —
+    no float rate to disagree across engines. Replication is
+    explode(sequence(1, n)) — executor-local row expansion AFTER the
+    one small aggregate+broadcast, so the only shuffle is over the
+    per-source mass table (≤ #sources rows); at 100 TB the fan-out
+    writes stream straight to the sink."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.size(T.tokens("text")).cast("long").alias("nt")
+    )
+    mass = toks.groupBy("source").agg(F.sum("nt").alias("mass"))
+    mx = mass.agg(F.max("mass").alias("max_mass"))
+    planned = (
+        toks.join(F.broadcast(mass), "source")
+        .join(F.broadcast(mx))
+        .withColumn(
+            "n_copies",
+            F.expr("max_mass DIV mass")
+            + F.when(
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13),
+                    16, 10,
+                ).cast("long") % F.col("mass")
+                < F.col("max_mass") % F.col("mass"),
+                1,
+            ).otherwise(0),
+        )
+    )
+    copies = planned.select(
+        "doc_id", "source", "nt",
+        F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("i"),
+    )
+    return copies.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.sum("nt").alias("out_tokens"),
+    )
+
+
+BATCH_DOCS = 16  # documents per training batch
+
+
+@register(
+    "q_length_batching",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                    AS BIGINT) AS nt
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, nt,
+               CAST(length(bin(nt)) - 1 AS INT) AS bucket,
+               md5(CAST(doc_id AS VARCHAR)) AS k
+        FROM toks WHERE nt > 0
+    ),
+    ranked AS (
+        SELECT doc_id, nt, bucket,
+               ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY k, doc_id)
+                   AS rk
+        FROM keyed
+    )
+    SELECT bucket, CAST((rk - 1) // {BATCH_DOCS} AS BIGINT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(nt) AS BIGINT) AS batch_max,
+           CAST(SUM(nt) AS BIGINT) AS batch_tokens,
+           CAST(COUNT(*) * MAX(nt) - SUM(nt) AS BIGINT) AS padding_waste
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def q_length_batching(spark, sf_dir):
+    """Length-grouped batch assembly: documents are grouped into
+    power-of-two length buckets, deterministically shuffled inside each
+    bucket (md5 key), and cut into fixed-size training batches — the
+    standard trick that minimizes padding waste when batching variable-
+    length sequences (batch_max - each doc's length is dead compute).
+    padding_waste = n_docs*batch_max - batch_tokens is exact int64.
+
+    Scale shape: the rank inside each bucket does NOT use a per-bucket
+    window partition (a handful of hot buckets would each funnel
+    through one reducer at 100 TB). Instead one GLOBAL total order
+    (bucket, md5, doc_id) goes through the sharded distributed
+    prefix-sum (sharded_row_number), and each bucket's local rank is
+    recovered by subtracting the bucket's minimum global rank —
+    a #buckets-row aggregate, broadcast back."""
+    from big_data_projects_spark.operators.relational import (
+        sharded_row_number,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = (
+        docs.select(
+            "doc_id", F.size(T.tokens("text")).cast("long").alias("nt")
+        )
+        .filter(F.col("nt") > 0)
+        .select(
+            "doc_id", "nt",
+            (F.length(F.bin("nt")) - 1).cast("int").alias("bucket"),
+            F.md5(F.col("doc_id").cast("string")).alias("k"),
+        )
+    )
+    # Two consumers (per-bucket min + the join) — persist so the
+    # prefix-sum runs once; registry clearCache reclaims it afterwards.
+    ranked = sharded_row_number(keyed, ["bucket", "k", "doc_id"], "grk").persist()
+    base = ranked.groupBy(F.col("bucket").alias("b")).agg(
+        F.min("grk").alias("base_rk")
+    )
+    local = ranked.join(
+        F.broadcast(base), ranked["bucket"] == base["b"]
+    ).select(
+        "bucket", "nt",
+        ((F.col("grk") - F.col("base_rk")) / BATCH_DOCS).cast("long").alias(
+            "batch_id"
+        ),
+    )
+    return local.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("nt").alias("batch_max"),
+        F.sum("nt").alias("batch_tokens"),
+        (F.count(F.lit(1)) * F.max("nt") - F.sum("nt")).alias("padding_waste"),
+    )
+
+
+@register(
+    "q_global_shuffle",
+    oracle="""
+    SELECT CAST(ROW_NUMBER()
+                OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7'), doc_id)
+                AS BIGINT) AS position,
+           doc_id, source
+    FROM documents
+    """,
+)
+def q_global_shuffle(spark, sf_dir):
+    """Epoch-deterministic global corpus shuffle: every document gets a
+    unique position in a pseudo-random total order keyed by
+    md5(doc_id:epoch) — the shuffle a training loader needs (different
+    permutation per epoch seed, byte-identical on rerun, never rand()).
+
+    A naive ROW_NUMBER() OVER (ORDER BY hash) is a single-partition
+    exchange — the same 100 TB wall as the reference's surrogate-key
+    window (SURVEY §2.5). Positions here come from the sharded
+    distributed prefix-sum (range-shard on the hash key, rank locally,
+    offset by the #shards-row cumulative totals), so the full corpus
+    never passes through one task and the output is ALSO range-sharded
+    by position — exactly the layout a sharded data loader reads."""
+    from big_data_projects_spark.operators.relational import (
+        sharded_row_number,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", "source",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":7"))).alias(
+            "k"
+        ),
+    )
+    return sharded_row_number(keyed, ["k", "doc_id"], "position").select(
+        "position", "doc_id", "source"
+    )

@@ -53,7 +53,7 @@ SINGLE_PARTITION_OK = {
     "q_quality_percentile",
     # operators.relational.sharded_row_number — identical shape: the
     # single-partition window consumes the n_shards-row totals relation.
-    "q_vocab_build",
+    "q_vocab_build", "q_global_shuffle", "q_length_batching",
 }
 
 # Sanctioned Python stages (Arrow-batched by design).
