@@ -39,16 +39,20 @@ def asof_join(
 ) -> DataFrame:
     """As-of join; ``how`` is 'inner' (drop unmatched left rows) or
     'left'. ``direction`` is 'backward' (most recent right at-or-before
-    the left time — the default) or 'forward' (earliest right
+    the left time — the default), 'forward' (earliest right
     at-or-after — the same window trick traversed in reverse time
-    order). ``tolerance_seconds`` bounds the match distance, pandas
+    order), or 'nearest' (whichever of the two candidates is closer in
+    time; exact ties take the backward match, pandas merge_asof
+    semantics). ``tolerance_seconds`` bounds the match distance, pandas
     merge_asof-style: matches farther than the tolerance are nulled
-    (and dropped under how='inner'). Both options keep the one-shuffle
-    union-of-tagged-streams plan — no extra pass."""
+    (and dropped under how='inner'). All options keep the one-shuffle
+    union-of-tagged-streams plan — 'nearest' adds a second sort of the
+    same shuffled partitioning (exchange reused), not a second
+    shuffle."""
     if how not in ("inner", "left"):
         raise ValueError("how must be 'inner' or 'left'")
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward', or 'nearest'")
     right_cols = right_cols or []
     payload = [c for c in right_cols if c != right_time]
 
@@ -73,20 +77,50 @@ def asof_join(
 
     # Backward walks time ascending (right rows first at equal times →
     # at-or-before); forward walks descending (→ at-or-after).
-    t_order = F.col("__t") if direction == "backward" else F.col("__t").desc()
-    w = (
-        Window.partitionBy("__key")
-        .orderBy(t_order, F.col("__tag"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = r_tagged.unionByName(l_tagged).select(
-        "*",
-        F.last("__rt", ignorenulls=True).over(w).alias(f"asof_{right_time}"),
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+    def _carry(order, prefix):
+        w = (
+            Window.partitionBy("__key")
+            .orderBy(order, F.col("__tag"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return [
+            F.last("__rt", ignorenulls=True).over(w).alias(f"{prefix}{right_time}")
+        ] + [
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
             for c in payload
-        ],
-    )
+        ]
+
+    unioned = r_tagged.unionByName(l_tagged)
+    if direction != "nearest":
+        t_order = (
+            F.col("__t") if direction == "backward" else F.col("__t").desc()
+        )
+        carried = unioned.select("*", *_carry(t_order, "asof_"))
+    else:
+        # Both candidates over the SAME key-partitioned shuffle (two
+        # sorts, one exchange), then pick the closer; ties → backward.
+        carried = unioned.select(
+            "*",
+            *_carry(F.col("__t"), "__b_asof_"),
+            *_carry(F.col("__t").desc(), "__f_asof_"),
+        )
+        brt, frt = F.col(f"__b_asof_{right_time}"), F.col(f"__f_asof_{right_time}")
+        choose_b = brt.isNotNull() & (
+            frt.isNull()
+            | (
+                F.unix_micros(F.col("__t")) - F.unix_micros(brt)
+                <= F.unix_micros(frt) - F.unix_micros(F.col("__t"))
+            )
+        )
+        carried = carried.select(
+            "*",
+            *[
+                F.when(choose_b, F.col(f"__b_asof_{c}"))
+                .otherwise(F.col(f"__f_asof_{c}"))
+                .alias(f"asof_{c}")
+                for c in [right_time, *payload]
+            ],
+        )
     out = carried.filter(F.col("__tag") == 1).select(
         F.col("__lrow.*"),
         f"asof_{right_time}",

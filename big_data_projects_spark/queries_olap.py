@@ -1536,3 +1536,49 @@ def q_asof_forward(spark, sf_dir):
         "event_id", "user_id",
         epoch_ms("asof_o_orderdate").alias("next_order_ms"),
     )
+
+
+@register(
+    "q_asof_nearest",
+    oracle="""
+    WITH b AS (
+        SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS brt
+        FROM events e
+        ASOF LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    ),
+    f AS (
+        SELECT e.event_id, o.o_orderdate AS frt
+        FROM events e
+        ASOF LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    )
+    SELECT b.event_id, b.user_id,
+           epoch_ms(CASE WHEN brt IS NOT NULL
+                          AND (frt IS NULL OR (b.ts - brt) <= (frt - b.ts))
+                    THEN brt ELSE frt END) AS nearest_order_ms
+    FROM b JOIN f USING (event_id)
+    """,
+)
+def q_asof_nearest(spark, sf_dir):
+    """Nearest-direction as-of join (the last merge_asof direction):
+    each event matched to the user's CLOSEST order in either time
+    direction, exact ties resolved backward — pandas semantics. The
+    plan shuffles the union of tagged streams ONCE on the key and runs
+    both directional carry windows as two sorts of the same exchange;
+    the oracle composes DuckDB's two native ASOF joins and restates
+    the tie rule as interval comparison."""
+    from big_data_projects_spark.operators.asof import asof_join
+    from big_data_projects_spark.functions.timestamps import epoch_ms
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    od = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    joined = asof_join(
+        ev, od, left_on="user_id", right_on="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        how="left", direction="nearest",
+    )
+    return joined.select(
+        "event_id", "user_id",
+        epoch_ms("asof_o_orderdate").alias("nearest_order_ms"),
+    )
