@@ -768,3 +768,76 @@ def q_map_lambdas(spark, sf_dir):
         F.concat_ws(",", F.array_sort(F.map_keys(merged))).alias("keys_csv"),
         F.element_at(merged, "type").alias("type_upper"),
     )
+
+
+@register(
+    "q_generator_funcs",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE doc_id <= 100
+    ),
+    pos AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS word
+        FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+    ),
+    pos_sum AS (
+        SELECT 'posexplode' AS kind, CAST(pos // 25 AS BIGINT) AS k,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT word) AS DOUBLE) AS val
+        FROM pos GROUP BY 2
+    ),
+    stacked AS (
+        SELECT 'size' AS metric, CAST(p_size AS DOUBLE) AS v FROM part
+        UNION ALL SELECT 'retail', p_retailprice FROM part
+    ),
+    stack_sum AS (
+        SELECT 'stack:' || metric AS kind, CAST(0 AS BIGINT) AS k,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               round(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE), 6) AS val
+        FROM stacked GROUP BY 1
+    )
+    SELECT * FROM pos_sum UNION ALL SELECT * FROM stack_sum
+    """,
+)
+def q_generator_funcs(spark, sf_dir):
+    """Row-generator surface: posexplode (explode WITH the element
+    index — the ordinal explode UNNEST alone can't give you) over
+    document token arrays, and stack (N,k1,v1,...) — the inline
+    wide-to-long unpivot generator — over part metrics. Both are
+    Catalyst Generate nodes: executor-local row expansion inside the
+    scan stage, zero shuffle until the aggregates. The oracle restates
+    posexplode as generate_series indexing and stack as a UNION ALL of
+    constant-tagged selects; the per-position-bucket distinct-word
+    profile checks the ORDINALS, not just the elements."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower("text")), r"\s+")).alias(
+            "pos", "word"
+        ),
+    )
+    pos_sum = pos.groupBy(
+        F.expr("pos DIV 25").cast("long").alias("k")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("word").cast("double").alias("val"),
+    ).select(F.lit("posexplode").alias("kind"), "k", "n", "val")
+    part = _t(spark, sf_dir, "part")
+    stacked = part.select(
+        F.expr(
+            "stack(2, 'size', CAST(p_size AS DOUBLE), "
+            "'retail', p_retailprice) AS (metric, v)"
+        )
+    )
+    stack_sum = stacked.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("v").cast("decimal(38,6)")).cast("double"), 6
+        ).alias("val"),
+    ).select(
+        F.concat(F.lit("stack:"), F.col("metric")).alias("kind"),
+        F.lit(0).cast("long").alias("k"), "n", "val",
+    )
+    return pos_sum.unionByName(stack_sum)
