@@ -310,3 +310,46 @@ def q_stream_daily_topk(spark, sf_dir):
 
     ensure_runtime_conf(spark)
     return daily_topk_types_stream(spark, sf_dir, k=3)
+
+
+@register(
+    "q_stream_file_ingest",
+    oracle="""
+    SELECT event_type, CAST(FLOOR(value) AS BIGINT) // 100 AS value_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_file_ingest(spark, sf_dir):
+    """Rate-limited incremental file ingestion — the most common
+    production streaming shape (files landing in object storage): the
+    events table is staged as 8 parquet files, readStream consumes the
+    directory with maxFilesPerTrigger=2, and Trigger.AvailableNow
+    drains the backlog as 4 rate-limited micro-batches then stops on
+    its own (the catch-up trigger; trigger-once would ignore the rate
+    limit). Each micro-batch lands via foreachBatch append; the
+    read-back aggregate proves every staged row arrived exactly once.
+    tests/test_streaming_recovery.py pins the batch split itself."""
+    import tempfile
+
+    from big_data_projects_spark.streaming.core import (
+        run_available_now_to_parquet,
+    )
+    from big_data_projects_spark.operators.relational import dsum
+
+    ensure_runtime_conf(spark)
+    src = f"{sf_dir}/events.parquet"
+    stage = tempfile.mkdtemp(prefix="bdp_file_ingest_src_")
+    base = spark.read.parquet(src).select("event_id", "event_type", "value")
+    base.repartition(8).write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(base.schema).option(
+        "maxFilesPerTrigger", 2
+    ).parquet(stage)
+    out = tempfile.mkdtemp(prefix="bdp_file_ingest_out_") + "/ingested"
+    run_available_now_to_parquet(stream, out)
+    back = spark.read.parquet(out)
+    return back.groupBy(
+        "event_type",
+        F.expr("CAST(FLOOR(value) AS BIGINT) DIV 100").alias("value_bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))

@@ -80,3 +80,28 @@ def run_foreach_batch_to_parquet(df, out_dir: str):
         query.processAllAvailable()
     finally:
         query.stop()
+
+
+def run_available_now_to_parquet(
+    df: DataFrame, out_dir: str, ledger: list | None = None
+) -> None:
+    """Drive ``df`` with Trigger.AvailableNow — the production catch-up
+    trigger: process everything available at start as rate-limited
+    micro-batches (source options like maxFilesPerTrigger are honored,
+    unlike a one-shot trigger-once), then stop on its own. foreachBatch
+    appends each micro-batch to parquet; ``ledger`` (if given) collects
+    the batch ids so callers can assert the rate limit actually split
+    the backlog."""
+
+    def write_batch(batch_df, batch_id: int):
+        batch_df.write.mode("append").parquet(out_dir)
+        if ledger is not None:
+            ledger.append(batch_id)
+
+    query = (
+        df.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .foreachBatch(write_batch)
+        .start()
+    )
+    query.awaitTermination()

@@ -167,3 +167,29 @@ def test_dedup_state_survives_restart(spark, tmp_path):
         for r in ev.select("user_id", "event_type").distinct().collect()
     }
     assert got == want
+
+
+def test_available_now_honors_rate_limit(spark, tmp_path):
+    """Trigger.AvailableNow must drain the staged backlog in
+    rate-limited micro-batches (maxFilesPerTrigger=2 over 8 files → 4
+    batches), then stop on its own — and deliver every row exactly
+    once."""
+    from big_data_projects_spark.streaming.core import (
+        run_available_now_to_parquet,
+    )
+
+    src = load_table(spark, SF, "events").select("event_id", "value")
+    stage = str(tmp_path / "stage")
+    src.repartition(8).write.parquet(stage)
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(stage)
+    )
+    out = str(tmp_path / "out")
+    ledger: list[int] = []
+    run_available_now_to_parquet(stream, out, ledger)
+    assert len(ledger) == 4, f"expected 4 rate-limited batches, got {ledger}"
+    back = spark.read.parquet(out)
+    assert back.count() == src.count()
+    assert back.select("event_id").distinct().count() == src.count()
