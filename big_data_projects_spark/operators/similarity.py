@@ -934,3 +934,172 @@ def projection_planes(dim: int, out_dim: int) -> list[list[float]]:
         return struct.unpack("f", struct.pack("f", x))[0]
 
     return [[f32(w) for w in p] for p in _hyperplanes(dim, out_dim)]
+
+
+# Product quantization geometry: 64-dim vectors cut into PQ_M subspaces
+# of PQ_D dims, PQ_K codes per subspace — 8 one-byte-range codes per
+# vector vs 256 bytes of float32: a 32x memory compression, the third
+# point on the ANN compression curve (float32 exact → int8 4x → PQ 32x).
+PQ_M, PQ_D, PQ_K = 8, 8, 16
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_rounds: int = 2,
+    rerank_candidates: int = 50,
+) -> DataFrame:
+    """Product-quantization ANN (FAISS-IndexPQ shape): trained
+    codebooks, asymmetric-distance (ADC) candidate search, exact
+    re-rank. Returns the top-k (id, sim) for one query.
+
+    Fully deterministic and engine-portable by construction:
+
+    - Vectors are L2-normalized (PQ approximates L2; only on the unit
+      sphere does L2 ordering equal cosine ordering — raw-norm ADC
+      measured 0.1-0.2 recall@10 on the test corpus) and every
+      coordinate quantized to int64 micro-units, so all later index
+      arithmetic is EXACT integers.
+    - Codebooks start as the PQ_K lowest-md5 vectors' subvectors and
+      are refined by ``train_rounds`` integer Lloyd iterations per
+      subspace: assignment is an exact-int argmin (ties to the
+      smallest code id), the centroid update is
+      FLOOR(CAST(sum AS DOUBLE)/count) per dimension — exact because
+      sums stay far below 2**53 and a non-integer quotient of ints
+      with denominator n sits ≥ 1/n from any integer, so the double
+      division can never floor across a boundary. Empty codes keep
+      their previous centroid.
+    - ADC sums over the 8 per-subspace table entries are int64.
+    - The final stage re-ranks the ``rerank_candidates`` best ADC ids
+      with EXACT cosine over the raw vectors (the standard two-stage
+      PQ serving shape) — float, but the sequential fold matches
+      DuckDB's list_dot_product accumulation (parity established by
+      q_knn_cosine), so the whole pipeline hash-matches its oracle.
+
+    Scale contract: codebooks are control-plane-sized (PQ_M*PQ_K rows;
+    the per-round collect moves ≤ PQ_M*PQ_K*PQ_D aggregated values to
+    the driver, never corpus rows). Encode/assign is one broadcast
+    pass of the corpus per round — O(n·K·dim), no shuffle; the
+    shuffles are the per-(vec, subspace) argmin aggregate, the
+    per-(subspace, code, dim) stats aggregate, and the final
+    TakeOrderedAndProject. At serving time the 8-int code table IS the
+    index: 32x smaller scans than raw float32 vectors.
+    """
+    import math
+
+    spark = emb.sparkSession
+    ints = emb.select(
+        F.col(id_col).alias("__id"),
+        F.expr(
+            f"transform({vec_col}, "
+            "x -> CAST(FLOOR(CAST(x AS DOUBLE) / "
+            f"greatest(sqrt(aggregate({vec_col}, 0.0D, "
+            "(acc, y) -> acc + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))), "
+            "1e-300) * 1e6 + 0.5) AS BIGINT))"
+        ).alias("__v"),
+    ).persist()
+
+    # Init: subvectors of the PQ_K lowest-md5 vectors (control-plane
+    # collect — PQ_K rows).
+    seed_rows = (
+        ints.withColumn("__mk", F.md5(F.col("__id").cast("string")))
+        .orderBy("__mk", "__id")
+        .limit(PQ_K)
+        .select("__id", "__v")
+        .collect()
+    )
+    cb: dict[tuple[int, int], list[int]] = {}
+    for r in seed_rows:
+        for j in range(PQ_M):
+            cb[(j, r["__id"])] = list(r["__v"][j * PQ_D : (j + 1) * PQ_D])
+
+    def cb_df():
+        rows = [(j, code, sv) for (j, code), sv in sorted(cb.items())]
+        return spark.createDataFrame(
+            rows, "j int, code long, sv array<bigint>"
+        )
+
+    dist_expr = F.expr(
+        f"aggregate(zip_with(slice(__v, j * {PQ_D} + 1, {PQ_D}), sv, "
+        "(x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+    )
+
+    def assign_vs(cbd):
+        return (
+            ints.crossJoin(F.broadcast(cbd))
+            .select("__id", "j", "code", dist_expr.alias("dist"))
+            .groupBy("__id", "j")
+            .agg(F.min(F.struct("dist", "code")).alias("m"))
+            .select("__id", "j", F.col("m.code").alias("code"))
+        )
+
+    for _ in range(train_rounds):
+        stats = (
+            assign_vs(cb_df())
+            .join(ints, "__id")
+            .select(
+                "j", "code",
+                F.posexplode(
+                    F.expr(f"slice(__v, j * {PQ_D} + 1, {PQ_D})")
+                ).alias("d", "val"),
+            )
+            .groupBy("j", "code", "d")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        new: dict[tuple[int, int], list[int]] = {}
+        for row in stats:
+            new.setdefault((row["j"], row["code"]), [0] * PQ_D)[
+                row["d"]
+            ] = math.floor(row["s"] / row["c"])
+        for key in cb:  # empty codes keep their previous centroid
+            if key in new:
+                cb[key] = new[key]
+
+    final_cb = cb_df()
+    dists = (
+        ints.crossJoin(F.broadcast(final_cb))
+        .select("__id", "j", "code", dist_expr.alias("dist"))
+        .persist()
+    )
+    codes = (
+        dists.groupBy("__id", "j")
+        .agg(F.min(F.struct("dist", "code")).alias("m"))
+        .select("__id", "j", F.col("m.code").alias("code"))
+    )
+    qtab = dists.filter(F.col("__id") == query_id).select(
+        F.col("j").alias("qj"), F.col("code").alias("qcode"),
+        F.col("dist").alias("qdist"),
+    )
+    approx = (
+        codes.filter(F.col("__id") != query_id)
+        .join(
+            F.broadcast(qtab),
+            (F.col("j") == F.col("qj")) & (F.col("code") == F.col("qcode")),
+        )
+        .groupBy("__id")
+        .agg(F.sum("qdist").alias("adc_dist"))
+    )
+    if not rerank_candidates:
+        return (
+            approx.select(F.col("__id").alias(id_col), "adc_dist")
+            .orderBy(F.col("adc_dist"), F.col(id_col))
+            .limit(k)
+        )
+    cand = approx.orderBy("adc_dist", "__id").limit(rerank_candidates)
+    qraw = emb.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qv")
+    )
+    return (
+        emb.join(cand, emb[id_col] == cand["__id"])
+        .crossJoin(F.broadcast(qraw))
+        .select(
+            F.col(id_col),
+            cosine_sim(F.col(vec_col), F.col("__qv")).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )

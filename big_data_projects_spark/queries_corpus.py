@@ -1501,3 +1501,63 @@ def q_global_shuffle(spark, sf_dir):
     return sharded_row_number(keyed, ["k", "doc_id"], "position").select(
         "position", "doc_id", "source"
     )
+
+
+@register(
+    "q_skipgram_pairs",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, i, t[i] AS w
+        FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+    ),
+    pairs AS (
+        SELECT a.w AS center, b.w AS context
+        FROM pos a JOIN pos b
+          ON a.doc_id = b.doc_id AND abs(a.i - b.i) BETWEEN 1 AND 2
+    ),
+    counts AS (
+        SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pairs GROUP BY 1, 2
+    )
+    SELECT center, context, n
+    FROM (SELECT c.*, row_number() OVER (
+              ORDER BY n DESC, center, context) AS rk
+          FROM counts c)
+    WHERE rk <= 100
+    """,
+)
+def q_skipgram_pairs(spark, sf_dir):
+    """Skip-gram (center, context) pair extraction — the training-pair
+    generator for word2vec-style embedding models (window ±2), reduced
+    to the corpus-level pair frequency table (top-100 by count).
+
+    Scale shape: pair generation is JOIN-FREE — a nested array lambda
+    builds each token's context pairs inside the row (flatten ∘
+    transform ∘ filter, all codegen), so the corpus never self-joins on
+    position; the only shuffle is the (center, context) count and the
+    result is a TakeOrderedAndProject top-k, never a global sort. The
+    oracle states the same pairs as a positional self-join, which is
+    fine at oracle scale and exactly what the lambda avoids at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(T.tokens("text").alias("t"))
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(t, (w, i) -> "
+                "transform(filter(array(i-2, i-1, i+1, i+2), "
+                "                 j -> j >= 0 AND j < size(t)), "
+                "          j -> struct(w AS center, "
+                "                      element_at(t, j + 1) AS context))))"
+            )
+        ).alias("p")
+    ).select("p.center", "p.context")
+    counts = pairs.groupBy("center", "context").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counts.orderBy(
+        F.desc("n"), "center", "context"
+    ).limit(100)

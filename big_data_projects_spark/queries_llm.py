@@ -2314,3 +2314,107 @@ def q_tfidf_cosine_pairs(spark, sf_dir):
         .select("doc_a", "doc_b", sim.alias("sim"))
         .filter(sim >= 0.9)
     )
+
+
+def _pq_oracle(train_rounds: int = 2, rerank: int = 50, k: int = 10) -> str:
+    # Unrolled integer-Lloyd PQ: round r = exact-int argmin assignment
+    # (a{r}) + floor-div centroid update (s{r} → cb{r+1}, empty codes
+    # keep the old centroid); then ADC candidates vs the final codebook
+    # and an exact-cosine re-rank — the same pipeline pq_topk runs.
+    def dist_cte(name, cbname):
+        return f"""{name} AS (
+        SELECT iv.vec_id, {cbname}.j, {cbname}.code,
+               CAST(list_sum(list_transform(generate_series(1, 8),
+                   d -> (iv.v[{cbname}.j*8+d] - {cbname}.sv[d])
+                        * (iv.v[{cbname}.j*8+d] - {cbname}.sv[d])))
+                    AS BIGINT) AS dist
+        FROM iv CROSS JOIN {cbname}
+    )"""
+
+    def argmin_cte(name, dname):
+        return f"""{name} AS (
+        SELECT vec_id, j, code FROM (
+            SELECT d.*, row_number() OVER (
+                PARTITION BY vec_id, j ORDER BY dist, code) AS rk
+            FROM {dname} d)
+        WHERE rk = 1
+    )"""
+
+    rounds = []
+    for r in range(train_rounds):
+        rounds.append(dist_cte(f"d{r}", f"cb{r}"))
+        rounds.append(argmin_cte(f"a{r}", f"d{r}"))
+        rounds.append(f"""s{r} AS (
+        SELECT a.j, a.code, u.d,
+               CAST(FLOOR(CAST(SUM(iv.v[a.j*8+u.d]) AS DOUBLE) / COUNT(*))
+                    AS BIGINT) AS m
+        FROM a{r} a JOIN iv USING (vec_id),
+             UNNEST(generate_series(1, 8)) AS u(d)
+        GROUP BY a.j, a.code, u.d
+    )""")
+        rounds.append(f"""cb{r + 1} AS (
+        SELECT c.code, c.j, COALESCE(n.sv, c.sv) AS sv
+        FROM cb{r} c LEFT JOIN (
+            SELECT j, code, list(m ORDER BY d) AS sv
+            FROM s{r} GROUP BY j, code) n
+          ON n.j = c.j AND n.code = c.code
+    )""")
+    R = train_rounds
+    rounds.append(dist_cte("dF", f"cb{R}"))
+    rounds.append(argmin_cte("aF", "dF"))
+    unrolled = ",\n    ".join(rounds)
+    return f"""
+    WITH iv AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                   x -> CAST(FLOOR(x / greatest(sqrt(list_dot_product(
+                            embedding::DOUBLE[], embedding::DOUBLE[])),
+                            1e-300) * 1e6 + 0.5) AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT vec_id AS code, v
+        FROM iv ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    cb0 AS (
+        SELECT code, j, seeds.v[j*8+1 : j*8+8] AS sv
+        FROM seeds, UNNEST(generate_series(0, 7)) AS u(j)
+    ),
+    {unrolled},
+    cand AS (
+        SELECT c.vec_id, CAST(SUM(q.dist) AS BIGINT) AS adc_dist
+        FROM aF c JOIN (SELECT j, code, dist FROM dF WHERE vec_id = 0) q
+          ON c.j = q.j AND c.code = q.code
+        WHERE c.vec_id != 0
+        GROUP BY c.vec_id
+        ORDER BY adc_dist, c.vec_id
+        LIMIT {rerank}
+    )
+    SELECT e.vec_id,
+           list_dot_product(e.embedding::DOUBLE[], qe.qv) /
+           (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                  e.embedding::DOUBLE[])) *
+            sqrt(list_dot_product(qe.qv, qe.qv))) AS sim
+    FROM cand JOIN embeddings e USING (vec_id)
+    CROSS JOIN (SELECT embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id = 0) qe
+    ORDER BY sim DESC, e.vec_id
+    LIMIT {k}
+    """
+
+
+@register("q_knn_pq", oracle=_pq_oracle())
+def q_knn_pq(spark, sf_dir):
+    """Product-quantization ANN (FAISS-IndexPQ shape): 8 subspaces x 16
+    codes trained by 2 integer-Lloyd rounds, ADC top-50 candidates,
+    exact-cosine re-rank to top-10 for query vec 0 — the 32x
+    memory-compression point of the ANN family (exact → int8 4x → PQ
+    32x). Every index quantity is exact int64 arithmetic (normalized
+    micro-unit coordinates, int argmins with smallest-code ties,
+    floor-div centroid updates, int ADC sums), so codebook training,
+    assignment, candidate generation AND the float re-rank hash-match
+    the unrolled SQL oracle end-to-end. See operators/similarity.pq_topk
+    for the scale contract (broadcast control-plane codebooks, no
+    shuffle in encode)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.pq_topk(emb, query_id=0, k=10)
