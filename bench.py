@@ -62,6 +62,13 @@ HEADLINE = [
     "q_line_dedup",
     "q_vocab_build",
     "q_hard_negatives",
+    # late-round-3 additions: the heaviest of the new training-loader
+    # operators (PQ index build + search, prefix-sum global shuffle,
+    # join-free skip-gram expansion), same cold-cache 2x alarm. The
+    # 35-query subtotal above stays comparable to the r03 history.
+    "q_knn_pq",
+    "q_global_shuffle",
+    "q_skipgram_pairs",
 ]
 
 

@@ -127,6 +127,33 @@ SHOWCASE = [
         "single doc_id equi-join assembles the 2-of-3 vote — member "
         "signals add zero extra passes over the text.",
     ),
+    (
+        "q_knn_pq",
+        "Product-quantization serving plan: the trained codebook enters "
+        "as a BroadcastExchange of a control-plane-sized local relation "
+        "(PQ_M*PQ_K rows), the corpus encodes in one broadcast "
+        "nested-loop pass (no shuffle), ADC candidates come from a "
+        "keyed aggregate, and both candidate cut and final top-k are "
+        "TakeOrderedAndProject — never a global sort.",
+    ),
+    (
+        "q_global_shuffle",
+        "Epoch-deterministic corpus shuffle via sharded prefix-sum: "
+        "RangePartitioning on the md5 key range-shards the corpus, "
+        "per-shard ranks are shard-partitioned windows, and the ONLY "
+        "single-partition window consumes the 32-row shard-totals "
+        "relation — the full corpus never funnels through one task, "
+        "unlike a naive global row_number.",
+    ),
+    (
+        "q_skipgram_pairs",
+        "Join-free training-pair expansion: the window-2 context pairs "
+        "are built by nested array lambdas INSIDE the projection "
+        "(Generate over a per-row computed array — executor-local), so "
+        "the corpus never self-joins on position; the plan's only "
+        "exchange is the (center, context) count aggregate, and top-100 "
+        "is TakeOrderedAndProject.",
+    ),
 ]
 
 
