@@ -2418,3 +2418,147 @@ def q_knn_pq(spark, sf_dir):
     shuffle in encode)."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.pq_topk(emb, query_id=0, k=10)
+
+
+@register(
+    "q_inverted_index",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(tf) AS BIGINT) AS cf
+        FROM tf GROUP BY term HAVING COUNT(*) <= 1000
+    )
+    SELECT s.term, s.df, s.cf,
+           array_to_string(
+               (list(t.doc_id ORDER BY t.tf DESC, t.doc_id))[1:8],
+               ',') AS postings,
+           MAX(t.tf) AS top_tf
+    FROM stats s JOIN tf t USING (term)
+    GROUP BY s.term, s.df, s.cf
+    """,
+)
+def q_inverted_index(spark, sf_dir):
+    """Inverted-index construction — the IR-serving complement of the
+    TF-IDF/BM25 scorers: per term its document frequency, collection
+    frequency, and an impact-ordered posting list (top-8 doc_ids by
+    term frequency, doc_id tiebreak; serialized as a CSV string so the
+    oracle compares exactly).
+
+    Scale shape: one explode → (term, doc) count → term-keyed stats.
+    The posting-list rank is a window PARTITIONED BY TERM, which is
+    only safe because the df-cap (HAVING df <= 1000, the same constant
+    as the shingle cap) bounds every partition first — an uncapped
+    stopword posting would funnel millions of rows through one reducer.
+    Hot terms are exactly the ones IDF scoring discards anyway."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    ).filter(F.col("df") <= 1000)
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), "doc_id")
+    ranked = (
+        tf.join(stats, "term")
+        .withColumn("__rk", F.row_number().over(w))
+    )
+    return ranked.groupBy("term", "df", "cf").agg(
+        F.concat_ws(
+            ",",
+            F.expr(
+                "transform(slice(array_sort(collect_list("
+                "struct(__rk, doc_id))), 1, 8), x -> x.doc_id)"
+            ),
+        ).alias("postings"),
+        F.max("tf").alias("top_tf"),
+    )
+
+
+@register(
+    "q_containment_pairs",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    sh_all AS (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))
+                    AS BIGINT) AS shingle
+        FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
+        WHERE len(t) >= 3
+    ),
+    sh AS (
+        SELECT doc_id, shingle FROM sh_all
+        WHERE shingle NOT IN (
+            SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > 1000
+        )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           n_common / sa.n_sh AS cont_a,
+           n_common / sb.n_sh AS cont_b
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE greatest(n_common / sa.n_sh, n_common / sb.n_sh) >= 0.5
+    """,
+)
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric shingle CONTAINMENT pairs — the quote/subset-dup
+    detector Jaccard misses: a short doc fully embedded in a long one
+    has high containment |A∩B|/|A| but low Jaccard (the union is
+    dominated by the long doc). Emits both directions' containments for
+    pairs where either side ≥ 0.5. Same df-capped shingle equi-join as
+    q_ngram_jaccard (anti-join on hot shingles, never a cross join) —
+    only the final scoring differs, so the candidate plan inherits the
+    smoke-verified sub-proportional scaling."""
+    docs = _t(spark, sf_dir, "documents")
+    sh_all = D.shingles(docs, "doc_id", "text").persist()
+    hot = (
+        sh_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > 1000)
+        .select("shingle")
+    )
+    # capped relation feeds three consumers (sizes + both join sides)
+    sh = sh_all.join(hot, "shingle", "left_anti").persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("n_common") / F.col("na")).alias("cont_a"),
+            (F.col("n_common") / F.col("nb")).alias("cont_b"),
+        )
+        .filter(F.greatest("cont_a", "cont_b") >= 0.5)
+    )
