@@ -246,3 +246,28 @@ def test_new_window_operators_invariant_under_partition_count(spark):
             assert a == b, f"{name}: result depends on partition count"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_late_round3_operators_invariant_under_partition_count(spark):
+    """Same property for the late-round-3 additions: trained-PQ ANN
+    (struct-min argmins + integer Lloyd stats under different shuffle
+    layouts), the sharded prefix-sum shuffle/batching pair, the
+    join-free skip-gram counts, and the integer PageRank fixpoint."""
+    from big_data_projects_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        out = {}
+        for nparts in ("32", "7"):
+            spark.conf.set("spark.sql.shuffle.partitions", nparts)
+            for name in ("q_knn_pq", "q_global_shuffle", "q_length_batching",
+                         "q_skipgram_pairs", "q_pagerank_sim_graph",
+                         "q_upsample_mix", "q_containment_pairs"):
+                rows = REGISTRY[name].raw(spark, sf).collect()
+                key = sorted(tuple(str(v) for v in r) for r in rows)
+                out.setdefault(name, []).append(key)
+        for name, (a, b) in out.items():
+            assert a == b, f"{name}: result depends on partition count"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
