@@ -1103,3 +1103,92 @@ def pq_topk(
         .orderBy(F.desc("sim"), F.col(id_col))
         .limit(k)
     )
+
+
+def mmr_select(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversity selection: greedily pick k
+    items from the top-``pool`` cosine candidates, each round taking
+    argmax of  lam*sim(query, d) - (1-lam)*max_{s in selected} sim(d, s)
+    (ties to the smallest id) — the standard diverse-subset re-rank for
+    dedup-aware retrieval and diversity-constrained training-set
+    curation (plain top-k returns near-duplicates of one neighborhood).
+
+    Returns (rank, id, score) for the k picks in selection order.
+
+    Scale contract: the corpus-wide work is exactly one brute-force (or
+    ANN-fed) top-``pool`` pass; everything after operates on the
+    control-plane-sized pool (pool x pool pairwise sims, k greedy
+    rounds collecting ONE winner row each — driver traffic is k rows).
+    Determinism: candidate sims use the sequential cosine fold (DuckDB
+    list_dot_product parity), scores are the identical double
+    expression lam*qsim - (1-lam)*maxprev on both engines, every
+    argmax carries the id tiebreak, and MAX over floats is
+    order-independent — so the greedy trajectory hash-matches an
+    unrolled SQL oracle.
+    """
+    cands = (
+        topk_cosine(emb, query_id, k=pool, id_col=id_col, vec_col=vec_col)
+        .select(F.col(id_col).alias("__cid"), F.col("sim").alias("__qsim"))
+        .persist()
+    )
+    vecs = emb.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vec"))
+    cv = cands.join(vecs, cands["__cid"] == vecs["__vid"]).select(
+        "__cid", "__qsim", "__vec"
+    )
+    a = cv.select(
+        F.col("__cid").alias("__ia"), F.col("__vec").alias("__va")
+    )
+    b = cv.select(
+        F.col("__cid").alias("__ib"), F.col("__vec").alias("__vb")
+    )
+    ps = (
+        a.join(b, F.col("__ia") != F.col("__ib"))
+        .select(
+            "__ia", "__ib",
+            cosine_sim(F.col("__va"), F.col("__vb")).alias("__s"),
+        )
+        .persist()
+    )
+    ps.count()
+
+    picks: list[tuple[int, int, float]] = []  # (rank, id, score)
+    selected: list[int] = []
+    for rnd in range(1, k + 1):
+        if not selected:
+            scored = cands.select(
+                "__cid", (F.lit(lam) * F.col("__qsim")
+                          - F.lit(1.0 - lam) * F.lit(0.0)).alias("__score")
+            )
+        else:
+            sel_lits = F.array(*[F.lit(s) for s in selected])
+            mx = (
+                ps.filter(F.array_contains(sel_lits, F.col("__ib")))
+                .groupBy("__ia")
+                .agg(F.max("__s").alias("__mx"))
+            )
+            scored = (
+                cands.filter(~F.array_contains(sel_lits, F.col("__cid")))
+                .join(mx, cands["__cid"] == mx["__ia"])
+                .select(
+                    "__cid",
+                    (F.lit(lam) * F.col("__qsim")
+                     - F.lit(1.0 - lam) * F.col("__mx")).alias("__score"),
+                )
+            )
+        win = scored.orderBy(F.desc("__score"), "__cid").limit(1).collect()[0]
+        picks.append((rnd, win["__cid"], win["__score"]))
+        selected.append(win["__cid"])
+    cands.unpersist()
+    ps.unpersist()
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        picks, schema=f"rank int, {id_col} long, score double"
+    )

@@ -2562,3 +2562,78 @@ def q_containment_pairs(spark, sf_dir):
         )
         .filter(F.greatest("cont_a", "cont_b") >= 0.5)
     )
+
+
+def _mmr_oracle(k: int = 10, pool: int = 50, lam: float = 0.7) -> str:
+    # The greedy MMR trajectory unrolled: sel{r} picks the argmax of
+    # lam*qsim - (1-lam)*max(sim to already-selected), id tiebreak.
+    # CTEs are MATERIALIZED: DuckDB inlines plain CTEs, and the
+    # recursive sel{r} references would expand exponentially (each
+    # re-scanning the parquet — measured as an fd explosion).
+    # Float literals are emitted as repr(double)e0 so BOTH engines use
+    # the exact same IEEE constants (writing "0.3" would hand DuckDB a
+    # decimal that casts to a DIFFERENT double than Python's 1.0-0.7).
+    l_ = f"{lam!r}e0"
+    ml = f"{(1.0 - lam)!r}e0"
+    cos = (
+        "list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * "
+        "sqrt(list_dot_product({b}, {b})))"
+    )
+    levels = [f"""sel1 AS MATERIALIZED (
+        SELECT 1 AS rank, cid, {l_} * qsim - {ml} * 0.0e0 AS score
+        FROM cands ORDER BY {l_} * qsim - {ml} * 0.0e0 DESC, cid LIMIT 1
+    )"""]
+    for r in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT cid FROM sel{i}" for i in range(1, r)
+        )
+        levels.append(f"""sel{r} AS MATERIALIZED (
+        SELECT {r} AS rank, c.cid, {l_} * c.qsim - {ml} * m.mx AS score
+        FROM cands c JOIN (
+            SELECT ia, MAX(s) AS mx FROM ps
+            WHERE ib IN ({prev}) GROUP BY ia) m ON m.ia = c.cid
+        WHERE c.cid NOT IN ({prev})
+        ORDER BY score DESC, c.cid LIMIT 1
+    )""")
+    unrolled = ",\n    ".join(levels)
+    final = " UNION ALL ".join(
+        f"SELECT rank, cid AS vec_id, score FROM sel{i}"
+        for i in range(1, k + 1)
+    )
+    qcos = cos.format(a="a.embedding::DOUBLE[]", b="q.qv")
+    pcos = cos.format(a="ex.embedding::DOUBLE[]", b="ey.embedding::DOUBLE[]")
+    return f"""
+    WITH cands AS MATERIALIZED (
+        SELECT a.vec_id AS cid, {qcos} AS qsim
+        FROM embeddings a,
+             (SELECT embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id = 0) q
+        WHERE a.vec_id != 0
+        ORDER BY qsim DESC, a.vec_id LIMIT {pool}
+    ),
+    ps AS MATERIALIZED (
+        SELECT x.cid AS ia, y.cid AS ib, {pcos} AS s
+        FROM cands x
+        JOIN embeddings ex ON ex.vec_id = x.cid
+        JOIN cands y ON y.cid != x.cid
+        JOIN embeddings ey ON ey.vec_id = y.cid
+    ),
+    {unrolled}
+    {final}
+    """
+
+
+@register("q_mmr_diversity", oracle=_mmr_oracle())
+def q_mmr_diversity(spark, sf_dir):
+    """Maximal-marginal-relevance diversity selection: 10 greedy picks
+    from the top-50 cosine candidates of query vec 0, each round
+    penalizing similarity to what is already selected (lambda = 0.7) —
+    the diverse-subset re-rank that keeps a retrieval/training sample
+    from collapsing into one near-duplicate neighborhood. The corpus
+    pays one top-k pass; the greedy loop runs on the control-plane pool
+    (operators/similarity.mmr_select). The whole greedy trajectory —
+    candidate sims, per-round scores, tiebreaks — hash-matches a
+    10-level unrolled CTE oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.mmr_select(emb, query_id=0, k=10, pool=50, lam=0.7)
