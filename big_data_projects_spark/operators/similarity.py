@@ -577,6 +577,7 @@ def batch_topk_matmul(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact_int: bool = False,
 ) -> DataFrame:
     """Cosine top-k for MANY queries at once: the query block (q×d,
     collected once — queries are a control-plane-sized set) broadcasts
@@ -585,8 +586,22 @@ def batch_topk_matmul(
     per-query top-k, and a final per-query window keeps the global
     top-k. For a handful of queries the JVM fold (topk_cosine) wins;
     past ~dozens of queries the matmul's arithmetic density wins —
-    this is that path. Returns (query_id, vec_id, sim) — sim in float64
-    (numpy), ranked per query with vec_id tiebreak.
+    this is that path.
+
+    exact_int=False (production): float64 matmul, returns (query_id,
+    id, sim). Fast, but the reduction order of a float matmul is
+    BLAS-internal — not restatable in SQL, so results are rows-only
+    checkable.
+
+    exact_int=True (oracle-checkable): each vector is L2-normalized
+    and quantized to int64 micro-units BEFORE the matmul — the norm's
+    squared-sum runs through np.add.accumulate, which is the same
+    left-to-right sequential fold Spark's aggregate() and DuckDB's
+    list_dot_product use, so the quantized integers match both engines
+    bit-for-bit — and the matmul runs in int64 (exact, order-free).
+    Returns (query_id, id, dot_q BIGINT): the scaled cosine in exact
+    micro²-units, hash-matchable end-to-end. Same plan, same arithmetic
+    density (int64 GEMM), 1e-6 quantization on the unit sphere.
     """
     import numpy as np
     import pandas as pd
@@ -598,31 +613,54 @@ def batch_topk_matmul(
     )
     qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
     qmat = np.array([r[vec_col] for r in qrows], dtype=np.float64)
-    qnorm = np.linalg.norm(qmat, axis=1)
+
+    def _quant(mat: "np.ndarray") -> "np.ndarray":
+        # Sequential per-row squared-sum (np.add.accumulate == the
+        # engines' left-to-right fold), then elementwise IEEE-identical
+        # normalize + floor-quantize.
+        sq = mat * mat
+        norm = np.sqrt(np.add.accumulate(sq, axis=1)[:, -1])
+        norm = np.maximum(norm, 1e-300)
+        return np.floor(mat / norm[:, None] * 1e6 + 0.5).astype(np.int64)
+
+    if exact_int:
+        qmat_i = _quant(qmat)
+        score_col, score_type = "dot_q", "long"
+    else:
+        qnorm = np.linalg.norm(qmat, axis=1)
+        score_col, score_type = "sim", "double"
 
     def score(batches):
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            sims = (qmat @ mat.T) / (
-                qnorm[:, None] * np.linalg.norm(mat, axis=1)[None, :]
-            )
-            out = {"query_id": [], id_col: [], "sim": []}
+            if exact_int:
+                sims = qmat_i @ _quant(mat).T  # int64 GEMM — exact
+            else:
+                sims = (qmat @ mat.T) / (
+                    qnorm[:, None] * np.linalg.norm(mat, axis=1)[None, :]
+                )
+            out = {"query_id": [], id_col: [], score_col: []}
             for qi, qid in enumerate(qids):
                 row = sims[qi]
                 mask = ids != qid
-                cand_idx = np.argsort(-row[mask])[:k]
+                # chunk-level cut must use the GLOBAL tie order
+                # (score desc, id asc) or an equal-score candidate at
+                # the k boundary could be dropped in favor of a larger
+                # id the final window would have ranked lower —
+                # integer scores make exact ties routine.
+                cand_idx = np.lexsort((ids[mask], -row[mask]))[:k]
                 cids, csims = ids[mask][cand_idx], row[mask][cand_idx]
                 out["query_id"].extend([qid] * len(cids))
                 out[id_col].extend(cids.tolist())
-                out["sim"].extend(csims.tolist())
+                out[score_col].extend(csims.tolist())
             yield pd.DataFrame(out)
 
     chunk_topk = emb.select(id_col, vec_col).mapInPandas(
-        score, schema=f"query_id long, {id_col} long, sim double"
+        score, schema=f"query_id long, {id_col} long, {score_col} {score_type}"
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col(id_col)
+        F.col(score_col).desc(), F.col(id_col)
     )
     return (
         chunk_topk.withColumn("__rk", F.row_number().over(w))

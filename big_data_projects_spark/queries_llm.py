@@ -1320,14 +1320,48 @@ def q_kmeans_clusters(spark, sf_dir):
     )
 
 
-@register("q_knn_batch")  # Python matmul stage → rows-only
+@register(
+    "q_knn_batch",
+    oracle="""
+    WITH iv AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                   x -> CAST(CAST(FLOOR(x / greatest(sqrt(list_dot_product(
+                            embedding::DOUBLE[], embedding::DOUBLE[])),
+                            1e-300) * 1e6 + 0.5) AS BIGINT) AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM iv WHERE vec_id <= 7),
+    scored AS (
+        SELECT q.query_id, a.vec_id,
+               CAST(list_dot_product(a.v, q.qv) AS BIGINT) AS dot_q
+        FROM iv a CROSS JOIN q
+        WHERE a.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, dot_q
+    FROM (SELECT s.*, row_number() OVER (
+              PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS rk
+          FROM scored s)
+    WHERE rk <= 5
+    """,
+)
 def q_knn_batch(spark, sf_dir):
     """Batched ANN: top-5 neighbors for 8 query vectors in ONE corpus
     pass — a q×batch numpy matmul per Arrow chunk, per-query top-k
     merged by a partitioned window. The many-queries fast path
-    complementing the JVM-fold single-query q_knn_cosine."""
+    complementing the JVM-fold single-query q_knn_cosine.
+
+    Formerly rows-only; now runs the exact-integer mode: vectors are
+    L2-normalized (np.add.accumulate == both engines' sequential fold)
+    and micro-quantized, the matmul runs in int64 (exact, order-free),
+    so the Arrow Python stage hash-matches the SQL restatement — dots
+    of integer-valued doubles below 2**53 are exact on the oracle side
+    too. The float-matmul production mode remains the default of
+    batch_topk_matmul."""
     emb = _t(spark, sf_dir, "embeddings")
-    return S.batch_topk_matmul(emb, query_ids=list(range(8)), k=5)
+    return S.batch_topk_matmul(
+        emb, query_ids=list(range(8)), k=5, exact_int=True
+    )
 
 
 @register(

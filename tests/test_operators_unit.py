@@ -1089,3 +1089,29 @@ def test_pq_ann_recall_and_determinism(spark):
     r1 = S.pq_topk(emb, query_id=0, k=10).collect()
     r2 = S.pq_topk(emb, query_id=0, k=10).collect()
     assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+
+
+def test_batch_matmul_exact_int_agrees_with_fold_topk(spark):
+    """The oracle-checkable exact-integer batch mode (normalized
+    micro-quantized int64 GEMM) must rank the same neighbors as the
+    float fold path at 1e-6 quantization on the unit sphere."""
+    from big_data_projects_spark.data import load_table
+    from big_data_projects_spark.operators.similarity import (
+        batch_topk_matmul,
+        topk_cosine,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    rows = batch_topk_matmul(
+        emb, query_ids=[0, 1, 2], k=5, exact_int=True
+    ).collect()
+    for qid in [0, 1, 2]:
+        batch_ids = [
+            r["vec_id"]
+            for r in sorted(
+                (r for r in rows if r["query_id"] == qid),
+                key=lambda r: (-r["dot_q"], r["vec_id"]),
+            )
+        ]
+        fold_ids = [r["vec_id"] for r in topk_cosine(emb, qid, k=5).collect()]
+        assert batch_ids == fold_ids, qid

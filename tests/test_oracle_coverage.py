@@ -51,8 +51,6 @@ def test_rows_only_set_is_intentional():
         "q_mono_id",
         # approximate sketches — engine-specific estimates
         "q_approx_agg",
-        # float reduction order differs from any SQL restatement
-        "q_knn_batch",
         # k-means blocking — iterative, centroid-dependent
         "q_kmeans_clusters", "q_semdedup", "q_semdedup_hier",
         # binary media outputs (PPM/WAV decode itself IS oracle-checked
