@@ -769,11 +769,36 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
-@register("q_multimodal_features")  # pandas-UDF plumbing → rows-only
+@register(
+    "q_multimodal_features",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n,
+               CAST(list_sum(list_transform(generate_series(1, n),
+                   i -> CAST(('0x' || substr(hx, 2*i-1, 2)) AS BIGINT)))
+                    AS BIGINT) AS total
+        FROM b
+    )
+    SELECT doc_id, 'text' AS kind, CAST(n AS BIGINT) AS n_bytes,
+           'decoded' AS decode_status,
+           CAST(n AS DOUBLE) AS f_len,
+           CAST(total % 256 AS DOUBLE) AS f_mod256
+    FROM s
+    """,
+)
 def q_multimodal_features(spark, sf_dir):
-    """Arrow-batched mapInPandas featurizer over binary payloads
-    (decode step stubbed — no media libs in container; byte-level
-    deterministic features keep the batch shape real)."""
+    """Arrow-batched mapInPandas featurizer over binary payloads.
+    Text-kind payloads take the byte-featurizer path (length, modular
+    byte sums — deterministic byte arithmetic), which the oracle
+    recomputes from the SAME UTF-8 bytes via hex-string extraction, so
+    the Python batch stage is hash-checked end-to-end (formerly
+    rows-only). Real PPM/WAV decode features are checked separately by
+    q_multimodal_decode; codec-class formats stay stubbed."""
     docs = _t(spark, sf_dir, "documents")
     feats = M.extract_features(M.with_binary_payload(docs))
     return feats.select(
