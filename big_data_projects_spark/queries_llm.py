@@ -1265,29 +1265,72 @@ def q_hash_split(spark, sf_dir):
     )
 
 
-@register("q_multimodal_resize")  # Python-stage op → rows-only
+@register(
+    "q_multimodal_resize",
+    oracle="""
+    SELECT doc_id, 'resized' AS resize_status,
+           CAST(2048 AS BIGINT) AS n_bytes,
+           md5(substr(hex(encode(text)) || repeat('00', 2048), 1, 4096))
+               AS payload_md5
+    FROM documents
+    """,
+)
 def q_multimodal_resize(spark, sf_dir):
-    """Resize plumbing over binary payloads (stubbed pixel transform,
-    real mapInPandas batch shape): 64×32-byte targets, grouped status
-    accounting."""
+    """Resize plumbing over binary payloads (real mapInPandas batch
+    shape; 64×32-byte targets). Text-kind payloads take the documented
+    deterministic truncate/zero-pad path, and the output PAYLOAD BYTES
+    are verified: the oracle reconstructs the same 2048-byte blob from
+    the UTF-8 text and compares md5s — the Arrow 1-in-1-out transform
+    is hash-checked end-to-end (formerly rows-only). Real pixel
+    resampling for P6 images is checked by unit test (decode side by
+    q_multimodal_decode); codec formats stay stubbed."""
     docs = _t(spark, sf_dir, "documents")
     binary = M.with_binary_payload(docs)
     resized = M.resize_payload(binary, width=64, height=32)
-    return resized.groupBy("resize_status", "n_bytes").agg(
-        F.count(F.lit(1)).alias("n")
+    return resized.select(
+        "doc_id", "resize_status", "n_bytes",
+        # md5 over the HEX rendering (uppercase on both engines):
+        # DuckDB has no blob slicing, so byte equality is checked in
+        # hex-string space.
+        F.md5(F.hex("payload")).alias("payload_md5"),
     )
 
 
-@register("q_multimodal_frames")  # Python-stage op → rows-only
+@register(
+    "q_multimodal_frames",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, encode(text) AS raw,
+               octet_length(encode(text)) AS n
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, raw, n, i, greatest(1, n // 3) AS step
+        FROM b, UNNEST(generate_series(0, 2)) AS u(i)
+    )
+    SELECT doc_id, CAST(i AS INT) AS frame_index,
+           CAST(i * 500 AS BIGINT) AS frame_ms,
+           CAST(greatest(0, least(n, (i+1)*step) - i*step) AS BIGINT)
+               AS n_bytes,
+           md5(substr(hex(raw), CAST(i*step*2 + 1 AS BIGINT),
+                      CAST(step*2 AS BIGINT))) AS payload_md5
+    FROM f
+    """,
+)
 def q_multimodal_frames(spark, sf_dir):
-    """Frame sampling (1 row → 3 frame rows through Arrow batches):
-    per-frame-index byte accounting proves the fan-out shape."""
+    """Frame sampling (1 row → 3 frame rows through Arrow batches).
+    Frames are deterministic equal byte-slices (the codec-free stand-in
+    for ffmpeg frame extraction), and each emitted FRAME PAYLOAD is
+    verified: the oracle recomputes the same byte-slices from the
+    UTF-8 text and compares md5s per (doc, frame) — the 1→N Arrow
+    fan-out is hash-checked end-to-end (formerly rows-only)."""
     docs = _t(spark, sf_dir, "documents")
     binary = M.with_binary_payload(docs)
     frames = M.sample_frames(binary, n_frames=3, fps=2.0)
-    return frames.groupBy("frame_index", "frame_ms").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("n_bytes").alias("total_bytes"),
+    return frames.select(
+        "doc_id", "frame_index", "frame_ms", "n_bytes",
+        # hex-space md5 — see q_multimodal_resize.
+        F.md5(F.hex("payload")).alias("payload_md5"),
     )
 
 

@@ -53,9 +53,6 @@ def test_rows_only_set_is_intentional():
         "q_approx_agg",
         # k-means blocking — iterative, centroid-dependent
         "q_kmeans_clusters", "q_semdedup", "q_semdedup_hier",
-        # binary media outputs (PPM/WAV decode itself IS oracle-checked
-        # via q_multimodal_decode; these produce opaque rasters/frames)
-        "q_multimodal_resize", "q_multimodal_frames",
     ])
     assert rows_only == declared, (
         "rows-only set drifted; either add an oracle_sql twin or update "
