@@ -841,3 +841,46 @@ def q_generator_funcs(spark, sf_dir):
         F.lit(0).cast("long").alias("k"), "n", "val",
     )
     return pos_sum.unionByName(stack_sum)
+
+
+@register(
+    "q_collation",
+    oracle="""
+    WITH c AS (
+        SELECT lower(c_mktsegment) AS seg_ci, c_acctbal, c_custkey,
+               c_mktsegment
+        FROM customer
+    )
+    SELECT seg_ci,
+           COUNT(*) AS n,
+           COUNT(DISTINCT c_mktsegment) AS n_spellings,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+               AS total_bal
+    FROM c GROUP BY seg_ci
+    """,
+)
+def q_collation(spark, sf_dir):
+    """Spark 4 string collations: grouping under UTF8_LCASE compares
+    case-insensitively in the COLLATION itself (the engine-level
+    feature SQL-standard engines expose), not by rewriting every
+    expression with lower(). The group key is rendered back through
+    lower() only for display so the oracle — DuckDB spells the same
+    semantics with lower() — can hash-match; n_spellings counts the
+    raw-case variants folded into each group (1 on this data: the
+    check that collation grouping didn't merge what byte-equality
+    would)."""
+    cust = _t(spark, sf_dir, "customer")
+    ci = F.expr("collate(c_mktsegment, 'UTF8_LCASE')")
+    return (
+        cust.groupBy(ci.alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.expr("collate(c_mktsegment, 'UTF8_BINARY')"))
+            .alias("n_spellings"),
+            dsum("c_acctbal", "total_bal"),
+        )
+        .select(
+            F.lower(F.col("seg")).alias("seg_ci"), "n", "n_spellings",
+            "total_bal",
+        )
+    )

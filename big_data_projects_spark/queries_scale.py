@@ -863,3 +863,51 @@ def q_scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy(status.alias("status")).agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@register(
+    "q_scan_xml",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events GROUP BY event_type
+    """,
+)
+def q_scan_xml(spark, sf_dir):
+    """XML source/sink roundtrip (Spark 4 built-in xml format — no
+    external spark-xml jar): events written as <row> elements, read
+    back with rowTag + an EXPLICIT schema (no inference scan), then
+    aggregated — hash-matching the base-table oracle proves the text
+    serialization round-trips ids and doubles exactly (Spark writes
+    the shortest round-trip double rendering). The read is
+    row-splittable like JSON-lines; at scale prefer columnar formats —
+    this is the ingest-what-exists path for XML feeds."""
+    import os
+    import tempfile
+
+    ensure_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="bdp_xml_"), "events_xml")
+    (
+        ev.write.mode("overwrite")
+        .option("rootTag", "events")
+        .option("rowTag", "row")
+        .format("xml")
+        .save(out)
+    )
+    back = (
+        spark.read.schema(ev.schema)
+        .option("rowTag", "row")
+        .format("xml")
+        .load(out)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", "total_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
