@@ -1115,3 +1115,42 @@ def test_batch_matmul_exact_int_agrees_with_fold_topk(spark):
         ]
         fold_ids = [r["vec_id"] for r in topk_cosine(emb, qid, k=5).collect()]
         assert batch_ids == fold_ids, qid
+
+
+def test_asof_nearest_matches_pandas_merge_asof(spark):
+    """direction='nearest' parity against pandas merge_asof on the real
+    events×orders keys (ties backward — pandas semantics)."""
+    import pandas as pd
+
+    from big_data_projects_spark.data import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts")
+    od = load_table(spark, sf, "orders").select("o_custkey", "o_orderdate")
+    got = {
+        r["event_id"]: r["asof_o_orderdate"]
+        for r in asof_join(
+            ev, od, "user_id", "o_custkey", "ts", "o_orderdate",
+            how="left", direction="nearest",
+        ).collect()
+    }
+    evp = ev.toPandas().sort_values("ts").reset_index(drop=True)
+    odp = (
+        od.toPandas()
+        .sort_values("o_orderdate")
+        .rename(columns={"o_custkey": "user_id"})
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        evp, odp, left_on="ts", right_on="o_orderdate",
+        by="user_id", direction="nearest",
+    )
+    mismatches = 0
+    for _, row in exp.iterrows():
+        g = got[row["event_id"]]
+        e = row["o_orderdate"]
+        if pd.isna(e):
+            mismatches += g is not None
+        else:
+            mismatches += g is None or pd.Timestamp(g) != pd.Timestamp(e)
+    assert mismatches == 0, f"{mismatches} rows diverge from merge_asof"
