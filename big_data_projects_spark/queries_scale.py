@@ -911,3 +911,63 @@ def q_scan_xml(spark, sf_dir):
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
     )
+
+
+@register(
+    "q_observe_metrics",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events WHERE value >= 100 GROUP BY event_type
+    """,
+)
+def q_observe_metrics(spark, sf_dir):
+    """The Observation API: pipeline accounting metrics (rows scanned,
+    rows kept, value mass) collected DURING the one query pass — the
+    zero-extra-scan alternative to running separate count() audits,
+    which at 100 TB would double the I/O. The observed metrics ride the
+    same job as the aggregate; tests/test_operators_unit.py asserts
+    they equal independently-computed totals. The returned relation is
+    the filtered aggregate, hash-checked as usual."""
+    from pyspark.sql import Observation
+
+    ensure_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation("ingest_audit")
+    kept = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum(F.when(F.col("value") >= 100, 1).otherwise(0)).alias(
+            "rows_kept"
+        ),
+    ).filter(F.col("value") >= 100)
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "total_value")
+    )
+
+
+@register(
+    "q_metadata_columns",
+    oracle="""
+    SELECT 'events.parquet' AS file_name, COUNT(*) AS n,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events
+    """,
+)
+def q_metadata_columns(spark, sf_dir):
+    """Hidden file-metadata columns (_metadata.file_name etc.): the
+    built-in ingestion-lineage surface — per-source-file provenance
+    without materializing paths into the data, the thing incremental
+    loaders and quarantine triage key on. Grouping by the hidden
+    column proves it resolves through the scan; the oracle states the
+    expected single-file layout of the testdata table."""
+    ensure_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.col("_metadata.file_name").alias("file_name")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )

@@ -1154,3 +1154,24 @@ def test_asof_nearest_matches_pandas_merge_asof(spark):
         else:
             mismatches += g is None or pd.Timestamp(g) != pd.Timestamp(e)
     assert mismatches == 0, f"{mismatches} rows diverge from merge_asof"
+
+
+def test_observation_metrics_match_independent_totals(spark):
+    """The Observation metrics collected during q_observe_metrics' one
+    pass must equal independently computed counts."""
+    from pyspark.sql import Observation
+    from big_data_projects_spark.data import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    obs = Observation("audit")
+    kept = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum(F.when(F.col("value") >= 100, 1).otherwise(0)).alias("rows_kept"),
+    ).filter(F.col("value") >= 100)
+    kept_count = kept.count()  # materializes the pass, fills obs
+    got = obs.get
+    assert got["rows_scanned"] == ev.count()
+    assert got["rows_kept"] == kept_count

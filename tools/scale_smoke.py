@@ -94,6 +94,11 @@ QUERIES = [
     # path is join-only (LSH buckets), never a corpus-sized broadcast.
     "q_semdedup",
     "q_hard_negatives_ann",
+    # late-round-3 additions: containment shares the df-capped shingle
+    # join; PQ's encode is O(n·K·dim) broadcast passes with a
+    # constant-size codebook collect per round.
+    "q_containment_pairs",
+    "q_knn_pq",
 ]
 # Near-linear tolerance: shuffles and within-bucket verify grow a bit
 # superlinearly even in healthy plans; 3x headroom over proportional
