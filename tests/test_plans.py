@@ -320,3 +320,48 @@ def test_dpp_join_prunes_fact_partitions(spark):
     plan = plan_of(spark, "q_dpp_join")
     assert "dynamicpruning" in plan, "no dynamic partition pruning in scan"
     assert "CartesianProduct" not in plan
+
+
+def test_skipgram_pairs_is_join_free(spark):
+    """Pair expansion happens inside the projection (Generate over a
+    per-row computed array): no join of positions, one aggregate
+    exchange, top-k as TakeOrderedAndProject."""
+    plan = plan_of(spark, "q_skipgram_pairs", mode="simple")
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") <= 2  # partial->final agg only
+
+
+def test_global_shuffle_uses_range_sharding(spark):
+    """The corpus range-shards on the hash key (RangePartitioning) and
+    never funnels through a single-partition data exchange feeding a
+    data-scale sort: the only SinglePartition consumer is the 32-row
+    shard-totals window."""
+    plan = plan_of(spark, "q_global_shuffle", mode="simple")
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_upsample_mix_broadcasts_mass_tables(spark):
+    """The per-source mass and max-mass relations join in as
+    broadcasts; the corpus side never shuffles before the explode."""
+    plan = plan_of(spark, "q_upsample_mix", mode="simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Generate" in plan  # the sequence-explode row fan-out
+    assert "SortMergeJoin" not in plan
+
+
+def test_pq_codebook_is_broadcast_and_topk_never_sorts(spark):
+    """PQ serving: codebook relations enter as BroadcastExchange, both
+    the ADC candidate cut and the final top-k are
+    TakeOrderedAndProject — no global Sort of corpus-scale data."""
+    plan = plan_of(spark, "q_knn_pq", mode="simple")
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_inverted_index_caps_before_ranking(spark):
+    """The posting-list rank window must consume the df-capped join
+    (the Filter on df <= 1000 sits below the window's sort)."""
+    plan = plan_of(spark, "q_inverted_index", mode="simple")
+    assert "Window" in plan
+    assert "1000" in plan  # the df cap is present in the plan
