@@ -115,13 +115,18 @@ _ROUND3_WINDOW = [
 # q_stream_dedup_watermarked, q_scan_merge_schema, q_dpp_join,
 # q_map_lambdas, q_pipeline_web_corpus, q_label_propagation,
 # q_stream_daily_topk, q_scan_csv_corrupt, q_semdedup_hier,
-# q_tfidf_cosine_pairs, and the late-round-3 batch: q_pandas_udaf_trimmed
-# and q_pagerank_sim_graph now oracle-backed [upgraded from rows-only],
-# q_upsample_mix, q_length_batching, q_global_shuffle, q_asof_nearest,
-# q_generator_funcs, q_stream_file_ingest) to the front, oracle-backed
-# first — they fit a 50-entry window with the 25 queue entries only
-# partially, so lead with the queue (older debt) and the strongest new
-# families.
+# q_tfidf_cosine_pairs, and the late-round-3 batch: q_upsample_mix,
+# q_length_batching, q_global_shuffle, q_asof_nearest,
+# q_generator_funcs, q_stream_file_ingest, q_skipgram_pairs, q_knn_pq,
+# q_inverted_index, q_containment_pairs, q_mmr_diversity, q_scan_xml,
+# q_collation, q_observe_metrics, q_metadata_columns — plus SEVEN
+# upgraded from rows-only to oracle-backed this round, whose r01/r02
+# driver rows are stale rows-only checks worth refreshing when slots
+# allow: q_pandas_udaf_trimmed, q_pagerank_sim_graph, q_knn_batch,
+# q_multimodal_features, q_multimodal_resize, q_multimodal_frames)
+# to the front, oracle-backed first — they fit a 50-entry window with
+# the 25 queue entries only partially, so lead with the queue (older
+# debt) and the strongest new families.
 _ROUND4_QUEUE = [
     "q_grouping_id", "q_bitwise_agg", "q_incremental_rollup",
     "q_order_limit", "q_window_ignore_nulls", "q_snapshot_diff",
