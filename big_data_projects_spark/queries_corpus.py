@@ -1561,3 +1561,100 @@ def q_skipgram_pairs(spark, sf_dir):
     return counts.orderBy(
         F.desc("n"), "center", "context"
     ).limit(100)
+
+
+_SPAN_K = 8  # tokens per duplicated-span shingle
+
+
+@register(
+    "q_dup_span",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ), spans AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(t[(i+1):(i+{_SPAN_K})], ' ') AS sh
+        FROM toks,
+             UNNEST(generate_series(0, len(t) - {_SPAN_K})) AS u(i)
+        WHERE len(t) >= {_SPAN_K}
+    ), dup AS (
+        SELECT sh FROM spans GROUP BY sh
+        HAVING COUNT(DISTINCT doc_id) > 1
+    ), covered AS (
+        SELECT s.doc_id, COUNT(DISTINCT p) AS covered_tokens
+        FROM spans s JOIN dup d USING (sh),
+             UNNEST(generate_series(s.pos, s.pos + {_SPAN_K} - 1)) AS g(p)
+        GROUP BY s.doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(c.covered_tokens, 0) AS BIGINT)
+             AS covered_tokens,
+           CAST(COALESCE(c.covered_tokens, 0) AS DOUBLE) / len(t.t)
+             AS dup_frac
+    FROM toks t LEFT JOIN covered c USING (doc_id)
+    """,
+)
+def q_dup_span(spark, sf_dir):
+    """Exact duplicated-span detection (the substring-level counterpart
+    of document dedup, per Lee et al.'s deduplication of exact repeated
+    spans): every 8-token shingle occurring in more than one document
+    marks its K token positions as duplicated; each document reports
+    the fraction of its tokens covered by at least one such span.
+
+    Scale shape: shingles are generated in-row (transform over a
+    sequence of start offsets — no per-token explode), the duplicate
+    set comes from one shingle groupBy (uniform md5-like key
+    distribution), and position coverage is a distinct-count over
+    exploded [pos, pos+K) ranges — bounded fan-out of K per span
+    occurrence. At 100 TB the shingle groupBy is the only large
+    shuffle, the same profile as q_ngram_jaccard's df-capped shingle
+    join; hot boilerplate shingles can reuse the same df-cap if they
+    ever skew. All outputs are exact integers plus one final double
+    division, so the oracle hash-matches."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.tokens("text").alias("t"))
+    k = _SPAN_K
+    spans = toks.where(F.size("t") >= k).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {k}), "
+                f"i -> struct(CAST(i AS BIGINT) AS pos, "
+                f"array_join(slice(t, i + 1, {k}), ' ') AS sh))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.pos", "s.sh")
+    dup = (
+        spans.groupBy("sh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("sh")
+    )
+    covered = (
+        spans.join(dup, "sh")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + k - 1)
+            ).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct("p").alias("covered_tokens"))
+    )
+    return (
+        toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("covered_tokens", F.lit(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            (
+                F.coalesce("covered_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens")
+            ).alias("dup_frac"),
+        )
+    )

@@ -1,0 +1,439 @@
+"""Time-series analytics and sketch-based approximate aggregation.
+
+Additive surface (the reference at Song-Analytics-with-Spark/
+transform-data.py has no time-series or sketch operators): linear gap
+interpolation, EWMA smoothing, Markov event transitions, robust MAD
+outlier detection, rolling trend slopes, mergeable HLL distinct
+sketches, and approx-top-k heavy hitters.
+
+Float determinism policy (same as the kNN family): every floating-point
+expression is written with the *identical* operation order on the Spark
+and DuckDB sides, so IEEE-754 double results are bit-identical and the
+driver's value hash matches — no rounding, no tolerance. Where order
+independence is needed under a shuffle (sums), accumulation happens in
+exact decimal/integer space first (operators.relational.dsum pattern).
+
+Sketch oracle pattern: DuckDB cannot evaluate Spark's DataSketches
+binaries, so the sketch queries output (a) the *exact* answer computed
+independently and (b) a boolean asserting the sketch's deterministic
+estimate stays inside its error bound. The oracle pins the exact
+columns and the literal TRUE — a real regression signal for the
+sketch + partial-merge path (a broken merge flips the boolean), not a
+tautology.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from big_data_projects_spark.data import load_table
+from big_data_projects_spark.registry import register
+from big_data_projects_spark.session import ensure_runtime_conf
+
+_DEC = "decimal(38,6)"
+
+
+def _t(spark, sf_dir, name):
+    ensure_runtime_conf(spark)
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "q_interpolate_linear",
+    oracle="""
+    WITH actual AS (
+        SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS h,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+                 AS v
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM actual GROUP BY 1
+    ), spine AS (
+        SELECT user_id,
+               unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h
+        FROM bounds
+    ), j AS (
+        SELECT s.user_id, s.h, a.v
+        FROM spine s LEFT JOIN actual a USING (user_id, h)
+    ), anchored AS (
+        SELECT user_id, h, v,
+            last_value(v IGNORE NULLS) OVER wp AS pv,
+            last_value(CASE WHEN v IS NOT NULL THEN epoch_us(h) END
+                       IGNORE NULLS) OVER wp AS pus,
+            first_value(v IGNORE NULLS) OVER wn AS nv,
+            first_value(CASE WHEN v IS NOT NULL THEN epoch_us(h) END
+                        IGNORE NULLS) OVER wn AS nus
+        FROM j
+        WINDOW wp AS (PARTITION BY user_id ORDER BY h
+                      ROWS UNBOUNDED PRECEDING),
+               wn AS (PARTITION BY user_id ORDER BY h
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, epoch_ms(h) AS hour_ms,
+           CASE WHEN v IS NOT NULL THEN v
+                ELSE pv + (nv - pv) *
+                     (CAST(epoch_us(h) - pus AS DOUBLE) /
+                      CAST(nus - pus AS DOUBLE))
+           END AS val_filled,
+           v IS NULL AS was_gap
+    FROM anchored
+    """,
+)
+def q_interpolate_linear(spark, sf_dir):
+    """Time-series linear interpolation: per-user hourly mean value on a
+    generated hourly spine, with missing hours filled by time-weighted
+    linear interpolation between the neighbouring observed hours (the
+    resample().interpolate() of pandas, distributed). Differs from
+    q_gapfill_hourly, which zero-fills counts; here the fill is a value
+    model.
+
+    Shape: per-group bounded spine (sequence min..max hour, never a
+    global calendar cross join), two IGNORE-NULLS window passes to find
+    the previous/next anchor, pure codegen arithmetic for the fill.
+    Spine endpoints are observed hours, so every gap has both anchors.
+    At 100 TB the window partitions by user — bounded state per key, no
+    global sort. Mean = exact decimal sum / count; the interpolation
+    `pv + (nv-pv)*frac` is written identically in the oracle, so the
+    doubles are bit-identical."""
+    ev = _t(spark, sf_dir, "events")
+    actual = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        (F.sum(F.col("value").cast(_DEC)).cast("double") / F.count("*"))
+        .alias("v")
+    )
+    bounds = actual.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    j = spine.join(actual, ["user_id", "h"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    us = F.unix_micros("h")
+    anchor_us = F.when(F.col("v").isNotNull(), us)
+    pv = F.last("v", ignorenulls=True).over(wp)
+    pus = F.last(anchor_us, ignorenulls=True).over(wp)
+    nv = F.first("v", ignorenulls=True).over(wn)
+    nus = F.first(anchor_us, ignorenulls=True).over(wn)
+    frac = (us - pus).cast("double") / (nus - pus).cast("double")
+    return j.select(
+        "user_id",
+        F.unix_millis("h").alias("hour_ms"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .otherwise(pv + (nv - pv) * frac)
+        .alias("val_filled"),
+        F.col("v").isNull().alias("was_gap"),
+    )
+
+
+@register(
+    "q_ewma",
+    oracle="""
+    SELECT user_id, CAST(len(l) AS BIGINT) AS n_events,
+           list_reduce(l, (acc, x) -> 0.25 * x + 0.75 * acc) AS ewma
+    FROM (
+        SELECT user_id, list(value ORDER BY ts, event_id) AS l
+        FROM events GROUP BY user_id
+    )
+    """,
+)
+def q_ewma(spark, sf_dir):
+    """Exponentially-weighted moving average per user (alpha = 0.25,
+    seeded with the first observation): y_i = 0.25*x_i + 0.75*y_{i-1}.
+    EWMA is inherently sequential, but the sequence is *per key* — so
+    the scalable shape is collect the (bounded) per-user series into an
+    array and fold it JVM-side with the aggregate() higher-order
+    function: one shuffle to group, zero Python, state bounded by the
+    largest single user. The oracle folds the same ordered list with
+    DuckDB list_reduce using the same lambda, so every intermediate
+    IEEE operation matches and the final doubles are bit-identical
+    (0.25 and 0.75 are exact binary fractions — no literal-conversion
+    noise on either side)."""
+    ev = _t(spark, sf_dir, "events")
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.unix_micros("ts").alias("us"),
+                F.col("event_id").alias("eid"),
+                F.col("value").alias("v"),
+            )
+        )
+    )
+    grouped = ev.groupBy("user_id").agg(arr.alias("a"))
+    rest = F.slice(
+        F.col("a"), 2, F.greatest(F.size("a") - 1, F.lit(0))
+    )
+    ewma = F.aggregate(
+        rest,
+        F.col("a")[0]["v"],
+        lambda acc, x: F.lit(0.25) * x["v"] + F.lit(0.75) * acc,
+    )
+    return grouped.select(
+        "user_id",
+        F.size("a").cast("long").alias("n_events"),
+        ewma.alias("ewma"),
+    )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+    WITH pairs AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    ), counts AS (
+        SELECT from_type, to_type, COUNT(*) AS n
+        FROM pairs WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
+    FROM counts
+    """,
+)
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: count of (event_type -> next event_type) steps and the
+    row-normalized transition probability. The lead() window partitions
+    by user (bounded state), the count groupBy is on a tiny key space,
+    and the normalization window runs over at most |event_type|² rows —
+    everything after the first shuffle is control-plane sized at any
+    corpus scale. p = exact integer count / exact integer row sum, the
+    same double division on both sides."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n")
+    )
+    wf = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wf)).alias("p"),
+    )
+
+
+@register(
+    "q_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, median(value) AS med FROM events GROUP BY 1
+    ), dev AS (
+        SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ), mads AS (
+        SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.event_type, MIN(d.med) AS med, MIN(m.mad) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM dev d JOIN mads m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def q_mad_outliers(spark, sf_dir):
+    """Robust outlier detection per event type via median absolute
+    deviation: a point is an outlier when |x - median| > 3·MAD. Two
+    exact-median passes (Spark F.median matches DuckDB median
+    interpolation — proven by q_median) with the per-type medians
+    broadcast back onto the fact table, so the big side shuffles only
+    for its own group-bys; the medians themselves aggregate a bounded
+    key space. The strict > comparison is on bit-identical doubles
+    (both sides compute abs(value - med) and 3*mad in the same
+    order)."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mads = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mads), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "q_trend_slope",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id,
+               (epoch_us(ts) // 1000000)
+                 - MIN(epoch_us(ts) // 1000000)
+                     OVER (PARTITION BY user_id) AS x,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM events
+    ), sums AS (
+        SELECT user_id, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM pts GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS DOUBLE) /
+           CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_s
+    FROM sums
+    WHERE n * sxx - sx * sx <> 0
+    """,
+)
+def q_trend_slope(spark, sf_dir):
+    """Per-user OLS trend slope of value over time (cents per second):
+    slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²). The inputs are mapped to
+    exact integers first — x = seconds since the user's first event,
+    y = cents — so every Σ accumulates integers exactly and the shuffle
+    order cannot perturb the result; only the final single division is
+    floating point, computed from identical integer operands on both
+    sides. All moment products stay in exact decimal (Spark) / hugeint
+    (DuckDB) space, well inside 38 digits at any per-user history
+    length; one groupBy shuffle total, degenerate (vertical / single
+    point) series filtered by the zero-variance denominator."""
+    ev = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    sec = F.expr("unix_micros(ts) DIV 1000000")
+    pts = ev.select(
+        "user_id",
+        (sec - F.min(sec).over(wu)).alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    d = "decimal(38,0)"
+    sums = pts.groupBy("user_id").agg(
+        F.count("*").cast(d).alias("n"),
+        F.sum("x").cast(d).alias("sx"),
+        F.sum("y").cast(d).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(d).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(d).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return sums.where(den != 0).select(
+        "user_id",
+        F.col("n").cast("long").alias("n"),
+        (num.cast("double") / den.cast("double"))
+        .alias("slope_cents_per_s"),
+    )
+
+
+@register(
+    "q_hll_uniques",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_uniques,
+           TRUE AS est_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
+def q_hll_uniques(spark, sf_dir):
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    hll_sketch_agg / hll_union_agg): per-type *daily* sketches are
+    built first, then merged across days — the pre-aggregation shape
+    that makes 100 TB distinct counts cheap (a day's sketch is a few KB
+    regardless of row count; re-aggregating a year over any dimension
+    merges sketches instead of re-scanning raw rows, and partial
+    map-side merges are exact for the sketch semantics). The query
+    outputs the exact distinct count (independent count_distinct path)
+    plus a boolean pinning the merged sketch's estimate inside ±5% —
+    the sketch is deterministic for a given input, so the boolean is a
+    stable value the oracle can assert; a broken merge or estimator
+    flips it."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_uniques")
+    )
+    return exact.join(F.broadcast(merged), "event_type").select(
+        "event_type",
+        "exact_uniques",
+        (
+            F.abs(F.col("est") - F.col("exact_uniques"))
+            <= 0.05 * F.col("exact_uniques")
+        ).alias("est_within_5pct"),
+    )
+
+
+@register(
+    "q_sketch_top_terms",
+    oracle=r"""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 AS tok
+        FROM documents
+    ), exact AS (
+        SELECT tok, COUNT(*) AS n FROM toks WHERE tok <> ''
+        GROUP BY tok
+    )
+    SELECT tok, CAST(n AS BIGINT) AS n, TRUE AS sketch_ok
+    FROM exact
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+)
+def q_sketch_top_terms(spark, sf_dir):
+    """Heavy-hitter detection: exact top-20 corpus tokens (count desc,
+    token asc tiebreak) cross-checked against the approx_top_k sketch.
+    The sketch runs as a single mergeable aggregate — at 100 TB it
+    replaces the full token groupBy with a bounded-memory summary per
+    partition merged on one reducer — and the boolean pins that every
+    exact heavy hitter appears in the sketch with its count inside ±2%
+    (deterministic for a given input; the oracle asserts the exact
+    counts and the literal TRUE)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    exact = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    top = exact.orderBy(F.desc("n"), "tok").limit(20)
+    approx = (
+        toks.agg(F.expr("approx_top_k(tok, 64, 65536)").alias("a"))
+        .select(F.explode("a").alias("e"))
+        .select(
+            F.col("e.item").alias("tok"), F.col("e.count").alias("est")
+        )
+    )
+    return top.join(approx, "tok", "left").select(
+        "tok",
+        "n",
+        (
+            F.col("est").isNotNull()
+            & (
+                F.abs(F.col("est") - F.col("n"))
+                <= F.greatest(F.lit(1.0), 0.02 * F.col("n"))
+            )
+        ).alias("sketch_ok"),
+    )

@@ -18,6 +18,7 @@ _ORACLE_TEST_MODULES = (
     "tests.test_oracle_llm",
     "tests.test_oracle_olap",
     "tests.test_oracle_scale",
+    "tests.test_oracle_series",
     "tests.test_oracle_tpch_expr",
 )
 
