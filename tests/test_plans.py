@@ -365,3 +365,34 @@ def test_inverted_index_caps_before_ranking(spark):
     plan = plan_of(spark, "q_inverted_index", mode="simple")
     assert "Window" in plan
     assert "1000" in plan  # the df cap is present in the plan
+
+
+def test_series_family_plan_shapes(spark):
+    """Time-series/sketch family (round-3 additions): per-key windows
+    never collapse to one partition, medians broadcast onto the fact
+    table, the heavy-hitter top-k is TakeOrderedAndProject (never a
+    global sort), and the whole family stays JVM-side."""
+    for name in ("q_interpolate_linear", "q_ewma", "q_event_transitions",
+                 "q_trend_slope"):
+        plan = plan_of(spark, name)
+        assert "Exchange SinglePartition" not in plan, (
+            f"{name}: single-partition exchange (O(N) bottleneck at scale)"
+        )
+        assert "EvalPython" not in plan, f"{name}: Python UDF in plan"
+    mad = plan_of(spark, "q_mad_outliers")
+    assert "BroadcastHashJoin" in mad and "CartesianProduct" not in mad
+    hll = plan_of(spark, "q_hll_uniques")
+    assert "CartesianProduct" not in hll
+    top = plan_of(spark, "q_sketch_top_terms")
+    assert "TakeOrderedAndProject" in top
+    assert "CartesianProduct" not in top
+
+
+def test_dup_span_joins_are_keyed(spark):
+    """Duplicated-span detection must stay an equi-join pipeline: the
+    dup-shingle semi side joins on the shingle key and coverage joins
+    back on doc_id — no nested-loop fallback anywhere."""
+    plan = plan_of(spark, "q_dup_span")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
