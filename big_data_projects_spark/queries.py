@@ -32,6 +32,10 @@ try:
     import big_data_projects_spark.queries_series  # noqa: F401,E402
 except ImportError:
     pass
+try:
+    import big_data_projects_spark.queries_sql_api  # noqa: F401,E402
+except ImportError:
+    pass
 
 # The driver's per-round CORRECTNESS sweep checks the first 50 registry
 # entries in registration order (r01 covered exactly entries 0-49, r02 the
@@ -121,7 +125,9 @@ _ROUND3_WINDOW = [
 # q_stream_daily_topk, q_scan_csv_corrupt, q_semdedup_hier,
 # q_tfidf_cosine_pairs, the time-series/sketch family (q_interpolate_linear,
 # q_ewma, q_event_transitions, q_mad_outliers, q_trend_slope, q_hll_uniques,
-# q_sketch_top_terms, q_dup_span — all oracle-backed), and the
+# q_sketch_top_terms, q_dup_span, q_ohlc_bars — all oracle-backed), the
+# SQL entry-point family (q_parameterized_sql, q_sql_variables,
+# q_sql_scripting, q_pandas_api_rollup — oracle-backed), and the
 # late-round-3 batch: q_upsample_mix,
 # q_length_batching, q_global_shuffle, q_asof_nearest,
 # q_generator_funcs, q_stream_file_ingest, q_skipgram_pairs, q_knn_pq,

@@ -437,3 +437,63 @@ def q_sketch_top_terms(spark, sf_dir):
             )
         ).alias("sketch_ok"),
     )
+
+
+@register(
+    "q_ohlc_bars",
+    oracle="""
+    WITH fl AS (
+        SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+               value,
+               first_value(value) OVER w AS open,
+               last_value(value) OVER w AS close
+        FROM events
+        WINDOW w AS (PARTITION BY event_type,
+                                  time_bucket(INTERVAL '1 hour', ts)
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, epoch_ms(h) AS hour_ms,
+           MIN(open) AS open, MAX(value) AS high, MIN(value) AS low,
+           MIN(close) AS close, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume
+    FROM fl GROUP BY event_type, h
+    """,
+)
+def q_ohlc_bars(spark, sf_dir):
+    """Hourly OHLC bars per event type (the downsample-to-candles shape
+    of metrics and market pipelines): open/close are the first/last
+    value inside the bar by (ts, event_id), high/low are extrema,
+    volume is an order-independent decimal sum. One window pass
+    partitioned by (type, hour) — bounded frames, never a global sort —
+    then one groupBy over the same key, which AQE plans as a single
+    exchange since the partitioning matches."""
+    ev = _t(spark, sf_dir, "events")
+    h = F.date_trunc("hour", "ts")
+    w = (
+        Window.partitionBy("event_type", "h")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    fl = ev.select(
+        "event_type", h.alias("h"), "ts", "event_id", "value"
+    ).select(
+        "event_type",
+        "h",
+        "value",
+        F.first("value").over(w).alias("open"),
+        F.last("value").over(w).alias("close"),
+    )
+    return fl.groupBy("event_type", "h").agg(
+        F.min("open").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.min("close").alias("close"),
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("volume"),
+    ).select(
+        "event_type",
+        F.unix_millis("h").alias("hour_ms"),
+        "open", "high", "low", "close", "n", "volume",
+    )

@@ -12,12 +12,14 @@ SERIES_QUERIES = sorted(
     if q.oracle is not None
     and n.startswith(("q_interpolate_", "q_ewma", "q_event_transitions",
                       "q_mad_", "q_trend_", "q_hll_", "q_sketch_",
-                      "q_dup_span"))
+                      "q_dup_span", "q_ohlc_", "q_parameterized_",
+                      "q_sql_variables", "q_sql_scripting",
+                      "q_pandas_api_"))
 )
 
 
 def test_family_is_registered():
-    assert len(SERIES_QUERIES) == 8, SERIES_QUERIES
+    assert len(SERIES_QUERIES) == 13, SERIES_QUERIES
 
 
 @pytest.mark.parametrize("name", SERIES_QUERIES)
