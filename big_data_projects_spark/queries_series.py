@@ -497,3 +497,178 @@ def q_ohlc_bars(spark, sf_dir):
         F.unix_millis("h").alias("hour_ms"),
         "open", "high", "low", "close", "n", "volume",
     )
+
+
+_PSI_BINS = 10
+
+
+@register(
+    "q_drift_psi",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type, epoch_us(ts) AS us,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), mid AS (
+        SELECT (MIN(us) + MAX(us)) // 2 AS mid_us FROM b
+    ), halves AS (
+        SELECT b.event_type, b.cents,
+               CASE WHEN b.us <= m.mid_us THEN 0 ELSE 1 END AS half
+        FROM b CROSS JOIN mid m
+    ), edges AS (
+        SELECT event_type, MIN(cents) AS mn, MAX(cents) AS mx
+        FROM halves WHERE half = 0 GROUP BY event_type
+    ), binned AS (
+        SELECT h.event_type, h.half,
+               greatest(0, least({_PSI_BINS - 1},
+                   (h.cents - e.mn) * {_PSI_BINS} // (e.mx - e.mn + 1)))
+                 AS bin
+        FROM halves h JOIN edges e USING (event_type)
+    ), grid AS (
+        SELECT DISTINCT event_type, u.bin
+        FROM edges, UNNEST(generate_series(0, {_PSI_BINS - 1})) AS u(bin)
+    ), counts AS (
+        SELECT g.event_type, g.bin,
+               COALESCE(SUM(CASE WHEN b.half = 0 THEN 1 END), 0) AS kr,
+               COALESCE(SUM(CASE WHEN b.half = 1 THEN 1 END), 0) AS kc
+        FROM grid g LEFT JOIN binned b
+          ON g.event_type = b.event_type AND g.bin = b.bin
+        GROUP BY g.event_type, g.bin
+    ), tot AS (
+        SELECT event_type, SUM(kr) AS nr, SUM(kc) AS nc
+        FROM counts GROUP BY event_type
+    )
+    SELECT c.event_type,
+           CAST(t.nr AS BIGINT) AS n_ref, CAST(t.nc AS BIGINT) AS n_cur,
+           round(SUM(CAST(round(
+               ((kc + 0.5) / (t.nc + {_PSI_BINS} * 0.5)
+                - (kr + 0.5) / (t.nr + {_PSI_BINS} * 0.5))
+               * ln(((kc + 0.5) / (t.nc + {_PSI_BINS} * 0.5))
+                    / ((kr + 0.5) / (t.nr + {_PSI_BINS} * 0.5))), 12)
+             AS DECIMAL(38,18))), 10) AS psi
+    FROM counts c JOIN tot t USING (event_type)
+    GROUP BY c.event_type, t.nr, t.nc
+    """,
+)
+def q_drift_psi(spark, sf_dir):
+    """Distribution-drift detection via the Population Stability Index:
+    the event timeline is split at its midpoint, each type's value
+    distribution is histogrammed into 10 equal-width bins sized on the
+    REFERENCE (first) half, and PSI = Σ (p_cur−p_ref)·ln(p_cur/p_ref)
+    with add-half smoothing flags types whose value profile shifted
+    (rule of thumb: >0.2 = major drift). The shape a production feed
+    monitor runs daily against its training snapshot.
+
+    Scale: bin edges are exact integer cents (no float boundary risk);
+    the midpoint and per-type edges are tiny aggregates broadcast back;
+    per-(type,bin,half) counts are one uniform groupBy; everything
+    after is control-plane sized (types × 10 rows). Float determinism:
+    each PSI term is a fixed-shape double expression rounded to 12,
+    decimal-summed, rounded to 10 — the q_entropy recipe."""
+    ev = _t(spark, sf_dir, "events")
+    nb = _PSI_BINS
+    b = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    mid = b.agg(
+        ((F.min("us") + F.max("us")) / F.lit(2)).cast("long").alias("mid_us")
+    )
+    halves = b.join(F.broadcast(mid)).select(
+        "event_type",
+        "cents",
+        F.when(F.col("us") <= F.col("mid_us"), 0).otherwise(1).alias("half"),
+    )
+    edges = (
+        halves.where(F.col("half") == 0)
+        .groupBy("event_type")
+        .agg(F.min("cents").alias("mn"), F.max("cents").alias("mx"))
+    )
+    binned = halves.join(F.broadcast(edges), "event_type").select(
+        "event_type",
+        "half",
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(nb - 1),
+                ((F.col("cents") - F.col("mn")) * nb)
+                .cast("long")
+                / (F.col("mx") - F.col("mn") + 1),
+            ),
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    grid = edges.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("bin"),
+    ).select("event_type", F.col("bin").cast("long").alias("bin"))
+    counts = (
+        grid.join(binned, ["event_type", "bin"], "left")
+        .groupBy("event_type", "bin")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("half") == 0, 1)), F.lit(0)
+            ).alias("kr"),
+            F.coalesce(
+                F.sum(F.when(F.col("half") == 1, 1)), F.lit(0)
+            ).alias("kc"),
+        )
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("kr").alias("nr"), F.sum("kc").alias("nc")
+    )
+    j = counts.join(F.broadcast(tot), "event_type")
+    smooth = F.lit(nb * 0.5)
+    pr = (F.col("kr") + 0.5) / (F.col("nr") + smooth)
+    pc = (F.col("kc") + 0.5) / (F.col("nc") + smooth)
+    term = F.round((pc - pr) * F.log(pc / pr), 12).cast("decimal(38,18)")
+    return j.groupBy("event_type", "nr", "nc").agg(
+        F.round(F.sum(term), 10).cast("double").alias("psi")
+    ).select(
+        "event_type",
+        F.col("nr").cast("long").alias("n_ref"),
+        F.col("nc").cast("long").alias("n_cur"),
+        "psi",
+    )
+
+
+@register(
+    "q_approx_percentile_bound",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.50), 9) AS p50,
+           round(quantile_cont(value, 0.90), 9) AS p90,
+           TRUE AS approx_p50_in_band,
+           TRUE AS approx_p90_in_band
+    FROM events GROUP BY event_type
+    """,
+)
+def q_approx_percentile_bound(spark, sf_dir):
+    """Approximate percentiles with a pinned error band: exact p50/p90
+    per type (the oracle's quantile_cont twins, round-9 to absorb
+    interpolation-formula ulps) alongside booleans asserting the
+    approx_percentile sketch estimate (accuracy 10000) lands inside the
+    exact [p45,p55] / [p85,p95] rank bands. Upgrades the sketch from a
+    rows-only claim (q_approx_agg precedent) to a hash-checked one: the
+    Greenwald-Khanna-style summary is deterministic for a given input,
+    so the in-band booleans are stable values a broken sketch or merge
+    would flip. At 100 TB the sketch path is the only viable one —
+    exact per-group percentile sorts; the sketch merges bounded
+    summaries map-side."""
+    ev = _t(spark, sf_dir, "events")
+    pct = lambda p: F.round(F.percentile("value", F.lit(p)), 9)  # noqa: E731
+    apx = lambda p: F.approx_percentile(  # noqa: E731
+        "value", F.lit(p), F.lit(10000)
+    )
+    return ev.groupBy("event_type").agg(
+        pct(0.50).alias("p50"),
+        pct(0.90).alias("p90"),
+        apx(0.50)
+        .between(pct(0.45), pct(0.55))
+        .alias("approx_p50_in_band"),
+        apx(0.90)
+        .between(pct(0.85), pct(0.95))
+        .alias("approx_p90_in_band"),
+    )
