@@ -604,17 +604,19 @@ def q_drift_psi(spark, sf_dir):
         "event_type",
         F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("bin"),
     ).select("event_type", F.col("bin").cast("long").alias("bin"))
-    counts = (
-        grid.join(binned, ["event_type", "bin"], "left")
-        .groupBy("event_type", "bin")
-        .agg(
-            F.coalesce(
-                F.sum(F.when(F.col("half") == 0, 1)), F.lit(0)
-            ).alias("kr"),
-            F.coalesce(
-                F.sum(F.when(F.col("half") == 1, 1)), F.lit(0)
-            ).alias("kc"),
-        )
+    # Aggregate the fact rows FIRST (uniform (type, bin) groupBy), then
+    # left-join the tiny grid onto the tiny counts — joining the grid
+    # directly against un-aggregated rows would broadcast the fact side
+    # of a LeftOuter join, which dies at 100 TB.
+    raw = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("kr0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("kc0"),
+    )
+    counts = grid.join(raw, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        F.coalesce("kr0", F.lit(0)).alias("kr"),
+        F.coalesce("kc0", F.lit(0)).alias("kc"),
     )
     tot = counts.groupBy("event_type").agg(
         F.sum("kr").alias("nr"), F.sum("kc").alias("nc")

@@ -154,6 +154,43 @@ SHOWCASE = [
         "exchange is the (center, context) count aggregate, and top-100 "
         "is TakeOrderedAndProject.",
     ),
+    (
+        "q_interpolate_linear",
+        "Resample-and-interpolate: the hourly spine is generated PER "
+        "GROUP (explode of sequence(min,max) inside the user's own "
+        "bounds — never a global calendar cross join), both anchor "
+        "passes are windows partitioned by user_id (no Exchange "
+        "SinglePartition anywhere), and the fill arithmetic is pure "
+        "codegen projection.",
+    ),
+    (
+        "q_hll_uniques",
+        "Mergeable-sketch pre-aggregation: daily HLL sketches build in "
+        "a partial aggregate (map-side combine on (type, day)), then "
+        "merge per type — the plan that turns a 100 TB distinct-count "
+        "re-aggregation into KB-sized sketch unions. The exact "
+        "count_distinct side runs as its own expand+two-phase "
+        "aggregate, and the final join broadcasts the 5-row sketch "
+        "relation.",
+    ),
+    (
+        "q_dup_span",
+        "Duplicated-span detection: shingles are generated in-row "
+        "(Generate over transform(sequence) — executor-local, no "
+        "per-token explode), the duplicate set is one uniform shingle "
+        "groupBy, and both the dup semi-join and the coverage join-back "
+        "are keyed equi-joins — no nested-loop fallback, the "
+        "q_ngram_jaccard profile.",
+    ),
+    (
+        "q_drift_psi",
+        "Drift monitoring at scale: the timeline midpoint and per-type "
+        "bin edges are tiny aggregates BROADCAST back onto the fact "
+        "rows (BroadcastHashJoin / 1-row BroadcastNestedLoopJoin), the "
+        "only real shuffle is the uniform (type, bin, half) count, and "
+        "every PSI term computes on control-plane-sized rows "
+        "afterwards.",
+    ),
 ]
 
 
