@@ -69,6 +69,12 @@ HEADLINE = [
     "q_knn_pq",
     "q_global_shuffle",
     "q_skipgram_pairs",
+    # time-series/sketch + drift additions: heaviest of the family,
+    # same cold-cache 2x alarm. The 38-query subtotal above stays
+    # comparable to the late-round-3 history.
+    "q_sketch_top_terms",
+    "q_drift_psi",
+    "q_interpolate_linear",
 ]
 
 

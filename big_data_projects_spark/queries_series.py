@@ -118,17 +118,22 @@ def q_interpolate_linear(spark, sf_dir):
         .orderBy("h")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # The forward anchor runs over a DESCENDING sort with a running
+    # frame: Spark's [CURRENT ROW, UNBOUNDED FOLLOWING] frame re-scans
+    # to the partition end for every row (O(n²) per key — measured 6.4 s
+    # vs 1.3 s at sf0.1), while the running frame is O(n); last non-null
+    # over h-descending ≡ first non-null at-or-after the current hour.
     wn = (
         Window.partitionBy("user_id")
-        .orderBy("h")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.desc("h"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     us = F.unix_micros("h")
     anchor_us = F.when(F.col("v").isNotNull(), us)
     pv = F.last("v", ignorenulls=True).over(wp)
     pus = F.last(anchor_us, ignorenulls=True).over(wp)
-    nv = F.first("v", ignorenulls=True).over(wn)
-    nus = F.first(anchor_us, ignorenulls=True).over(wn)
+    nv = F.last("v", ignorenulls=True).over(wn)
+    nus = F.last(anchor_us, ignorenulls=True).over(wn)
     frac = (us - pus).cast("double") / (nus - pus).cast("double")
     return j.select(
         "user_id",
