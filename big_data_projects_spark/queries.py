@@ -128,7 +128,8 @@ _ROUND3_WINDOW = [
 # q_sketch_top_terms, q_dup_span, q_ohlc_bars, q_drift_psi,
 # q_approx_percentile_bound — all oracle-backed), the
 # SQL entry-point family (q_parameterized_sql, q_sql_variables,
-# q_sql_scripting, q_pandas_api_rollup — oracle-backed), and the
+# q_sql_scripting, q_pandas_api_rollup — oracle-backed), q_rank_fusion
+# (hybrid-retrieval RRF, oracle-backed), and the
 # late-round-3 batch: q_upsample_mix,
 # q_length_batching, q_global_shuffle, q_asof_nearest,
 # q_generator_funcs, q_stream_file_ingest, q_skipgram_pairs, q_knn_pq,

@@ -2739,3 +2739,102 @@ def q_mmr_diversity(spark, sf_dir):
     10-level unrolled CTE oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.mmr_select(emb, query_id=0, k=10, pool=50, lam=0.7)
+
+
+@register(
+    "q_rank_fusion",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+           WHERE term IN ('join', 'shuffle', 'vector') GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    per_term AS (
+        SELECT t.doc_id,
+               CAST(round(
+                   ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * t.tf * (1.2 + 1)
+                   / (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / avgdl)),
+                   8) AS DECIMAL(38, 10)) AS s
+        FROM tf t
+        JOIN dfreq USING (term)
+        JOIN dl d USING (doc_id)
+        CROSS JOIN stats
+    ),
+    bm AS (SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS bm25
+           FROM per_term GROUP BY doc_id),
+    lex AS (
+        SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+        FROM bm ORDER BY bm25 DESC, doc_id LIMIT 100
+    ),
+    sims AS (
+        SELECT a.vec_id,
+               list_dot_product(a.embedding::DOUBLE[], q.qv) /
+               (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                      a.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(q.qv, q.qv))) AS sim
+        FROM embeddings a,
+             (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id = 0) q
+        WHERE a.vec_id != 0
+    ),
+    dense AS (
+        SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS r
+        FROM sims ORDER BY sim DESC, vec_id LIMIT 100
+    )
+    SELECT CAST(COALESCE(l.doc_id, d.vec_id) AS BIGINT) AS id,
+           CAST(l.r AS BIGINT) AS lex_r,
+           CAST(d.r AS BIGINT) AS dense_r,
+           COALESCE(1.0 / (60 + l.r), 0.0)
+             + COALESCE(1.0 / (60 + d.r), 0.0) AS rrf
+    FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.vec_id
+    ORDER BY rrf DESC, id LIMIT 20
+    """,
+)
+def q_rank_fusion(spark, sf_dir):
+    """Hybrid-retrieval reciprocal-rank fusion (RRF, k=60): the lexical
+    BM25 top-100 (q_bm25's scorer, composed via its raw builder) and
+    the dense cosine top-100 against query vec 0 (topk_cosine) are
+    rank-fused with score = Σ 1/(60+rank), missing-from-a-list
+    contributing 0 — the standard hybrid-search merge (Cormack et al.).
+
+    Scale shape: each arm is its own corpus pass ending in a bounded
+    TakeOrderedAndProject top-100; the rank windows then run over
+    ≤100-row relations (a single-partition window over a control-plane
+    list is the sanctioned exception to the no-global-window rule —
+    the corpus itself never sees a global sort), and the fusion is a
+    100×100 full-outer equi-join. Floats: BM25 and cosine doubles are
+    bit-identical to the oracle (proven by their parent queries), so
+    ranks agree exactly; the RRF score is integer-reciprocal sums in a
+    fixed order."""
+    lex_scores = q_bm25(spark, sf_dir)
+    dense_scores = S.topk_cosine(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=100
+    )
+    wl = Window.orderBy(F.desc("bm25"), "doc_id")
+    wd = Window.orderBy(F.desc("sim"), "vec_id")
+    lex = (
+        lex_scores.orderBy(F.desc("bm25"), "doc_id").limit(100)
+        .select("doc_id", F.row_number().over(wl).alias("lr"))
+    )
+    dense = (
+        dense_scores
+        .select("vec_id", F.row_number().over(wd).alias("dr"))
+    )
+    fused = lex.join(
+        dense, lex["doc_id"] == dense["vec_id"], "full_outer"
+    ).select(
+        F.coalesce("doc_id", "vec_id").cast("long").alias("id"),
+        F.col("lr").cast("long").alias("lex_r"),
+        F.col("dr").cast("long").alias("dense_r"),
+        (
+            F.coalesce(1.0 / (60 + F.col("lr")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("dr")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "id").limit(20)
