@@ -271,3 +271,30 @@ def test_late_round3_operators_invariant_under_partition_count(spark):
             assert a == b, f"{name}: result depends on partition count"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_series_sketch_operators_invariant_under_partition_count(spark):
+    """Same property for the time-series/sketch/fusion family: EWMA's
+    collected fold, the interpolation windows, exact-integer PSI bins,
+    OLS moment sums, sketch estimates (HLL/approx_top_k/
+    approx_percentile are merge-order-sensitive only if broken), and
+    the RRF rank join must all be layout-independent."""
+    from big_data_projects_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        out = {}
+        for nparts in ("32", "7"):
+            spark.conf.set("spark.sql.shuffle.partitions", nparts)
+            for name in ("q_ewma", "q_interpolate_linear", "q_drift_psi",
+                         "q_trend_slope", "q_hll_uniques",
+                         "q_sketch_top_terms", "q_approx_percentile_bound",
+                         "q_dup_span", "q_rank_fusion"):
+                rows = REGISTRY[name].raw(spark, sf).collect()
+                key = sorted(tuple(str(v) for v in r) for r in rows)
+                out.setdefault(name, []).append(key)
+        for name, (a, b) in out.items():
+            assert a == b, f"{name}: result depends on partition count"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
