@@ -679,3 +679,160 @@ def q_approx_percentile_bound(spark, sf_dir):
         .between(pct(0.85), pct(0.95))
         .alias("approx_p90_in_band"),
     )
+
+
+@register(
+    "q_feature_store_join",
+    oracle="""
+    WITH labels AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ), feat_daily AS (
+        SELECT user_id,
+               time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day'
+                 AS avail_ts,
+               COUNT(*) AS n_clicks
+        FROM events WHERE event_type = 'click'
+        GROUP BY 1, 2
+    ), feat_hourly AS (
+        SELECT user_id,
+               time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+                 AS avail_ts,
+               COUNT(*) AS n_views
+        FROM events WHERE event_type = 'view'
+        GROUP BY 1, 2
+    ), j1 AS (
+        SELECT l.event_id, l.user_id, l.ts, d.n_clicks
+        FROM labels l
+        ASOF LEFT JOIN feat_daily d
+          ON l.user_id = d.user_id AND l.ts >= d.avail_ts
+    )
+    SELECT j1.event_id, j1.user_id, epoch_ms(j1.ts) AS label_ts_ms,
+           CAST(COALESCE(j1.n_clicks, 0) AS BIGINT) AS clicks_before,
+           CAST(COALESCE(h.n_views, 0) AS BIGINT) AS views_before
+    FROM j1
+    ASOF LEFT JOIN feat_hourly h
+      ON j1.user_id = h.user_id AND j1.ts >= h.avail_ts
+    """,
+)
+def q_feature_store_join(spark, sf_dir):
+    """Point-in-time-correct feature-store join (the training-set
+    assembly shape of an ML feature platform): each label event
+    (purchases) picks up, per feature table, the latest feature row
+    whose AVAILABILITY time is at-or-before the label time — daily
+    click counts published at day close and hourly view counts
+    published at hour close. Joining on availability (not observation)
+    time is what prevents feature leakage: a label can never see a
+    feature computed from its own future.
+
+    Two sequential as-of joins (operators/asof.py union-of-tagged-
+    streams — one shuffle each, no broadcast requirement), left
+    semantics with 0-fill for users with no feature history. The
+    oracle is DuckDB's native ASOF LEFT JOIN twice."""
+    ev = _t(spark, sf_dir, "events")
+    from big_data_projects_spark.operators.asof import asof_join
+
+    labels = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    feat_daily = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(
+            "user_id",
+            (
+                F.date_trunc("day", "ts") + F.expr("INTERVAL 1 DAY")
+            ).alias("avail_ts"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    feat_hourly = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy(
+            "user_id",
+            (
+                F.date_trunc("hour", "ts") + F.expr("INTERVAL 1 HOUR")
+            ).alias("avail_ts"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_views"))
+    )
+    j1 = asof_join(
+        labels, feat_daily,
+        left_on="user_id", right_on="user_id",
+        left_time="ts", right_time="avail_ts",
+        right_cols=["n_clicks"], how="left",
+    ).select("event_id", "user_id", "ts", "asof_n_clicks")
+    j2 = asof_join(
+        j1, feat_hourly,
+        left_on="user_id", right_on="user_id",
+        left_time="ts", right_time="avail_ts",
+        right_cols=["n_views"], how="left",
+    )
+    return j2.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("label_ts_ms"),
+        F.coalesce("asof_n_clicks", F.lit(0))
+        .cast("long")
+        .alias("clicks_before"),
+        F.coalesce("asof_n_views", F.lit(0))
+        .cast("long")
+        .alias("views_before"),
+    )
+
+
+@register(
+    "q_cdc_apply",
+    oracle="""
+    WITH log AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ), counts AS (
+        SELECT user_id, COUNT(*) AS n_changes FROM log GROUP BY user_id
+    )
+    SELECT l.user_id, epoch_ms(l.ts) AS updated_ms,
+           l.value AS last_value,
+           CAST(c.n_changes AS BIGINT) AS n_changes
+    FROM log l JOIN counts c USING (user_id)
+    WHERE l.rn = 1 AND l.op <> 'D'
+    """,
+)
+def q_cdc_apply(spark, sf_dir):
+    """CDC changelog materialization (last-writer-wins with
+    tombstones): the event stream is read as a change log — 'error'
+    rows are deletes, everything else upserts — and applied to produce
+    the latest surviving state per key plus a change count. The
+    compaction shape every CDC sink (Debezium → lakehouse) runs;
+    distinct from q_merge_upsert (two-snapshot merge) and
+    q_scd2_intervals (full history): this keeps ONLY current state and
+    honors tombstones. One key-partitioned rank window and one count
+    aggregate on the same key — a single shuffle's worth of work at
+    any scale."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    log = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+    ).withColumn("rn", F.row_number().over(w))
+    counts = log.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_changes")
+    )
+    return (
+        log.where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .join(counts, "user_id")
+        .select(
+            "user_id",
+            F.unix_millis("ts").alias("updated_ms"),
+            F.col("value").alias("last_value"),
+            F.col("n_changes").cast("long").alias("n_changes"),
+        )
+    )
