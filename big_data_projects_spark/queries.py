@@ -126,8 +126,8 @@ _ROUND3_WINDOW = [
 # q_tfidf_cosine_pairs, the time-series/sketch family (q_interpolate_linear,
 # q_ewma, q_event_transitions, q_mad_outliers, q_trend_slope, q_hll_uniques,
 # q_sketch_top_terms, q_dup_span, q_ohlc_bars, q_drift_psi,
-# q_approx_percentile_bound, q_feature_store_join, q_cdc_apply — all
-# oracle-backed), the
+# q_approx_percentile_bound, q_feature_store_join, q_cdc_apply,
+# q_profile_columns, q_shard_assignment — all oracle-backed), the
 # SQL entry-point family (q_parameterized_sql, q_sql_variables,
 # q_sql_scripting, q_pandas_api_rollup — oracle-backed), q_rank_fusion
 # (hybrid-retrieval RRF, oracle-backed), and the

@@ -836,3 +836,195 @@ def q_cdc_apply(spark, sf_dir):
             F.col("n_changes").cast("long").alias("n_changes"),
         )
     )
+
+
+@register(
+    "q_profile_columns",
+    oracle="""
+    SELECT 'event_id' AS column, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           CAST(MIN(event_id) AS VARCHAR) AS min_repr,
+           CAST(MAX(event_id) AS VARCHAR) AS max_repr
+    FROM events
+    UNION ALL
+    SELECT 'ts', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT ts) AS BIGINT),
+           CAST(epoch_ms(MIN(ts)) AS VARCHAR),
+           CAST(epoch_ms(MAX(ts)) AS VARCHAR)
+    FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT),
+           CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT event_type) AS BIGINT),
+           MIN(event_type), MAX(event_type)
+    FROM events
+    UNION ALL
+    SELECT 'value', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT value) AS BIGINT),
+           CAST(CAST(round(MIN(value) * 100) AS BIGINT) AS VARCHAR),
+           CAST(CAST(round(MAX(value) * 100) AS BIGINT) AS VARCHAR)
+    FROM events
+    UNION ALL
+    SELECT 'props', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT props) AS BIGINT),
+           MIN(props), MAX(props)
+    FROM events
+    """,
+)
+def q_profile_columns(spark, sf_dir):
+    """Column profiling (the Deequ / Great Expectations profile stage):
+    per column — row count, null count, exact distinct count, and
+    canonical min/max representations (ints as decimal strings,
+    timestamps as epoch-ms, doubles as exact integer cents) in one tall
+    (column, metric...) relation. ONE aggregate pass over the table
+    computes every metric (Catalyst plans the multi-count-distinct via
+    expand — still a single scan), then stack() unpivots the 1-row
+    result executor-locally. At 100 TB this is the profile you run
+    before committing a new feed: one scan, no per-column jobs."""
+    ev = _t(spark, sf_dir, "events")
+    reprs = {
+        "event_id": (F.min("event_id"), F.max("event_id")),
+        "ts": (F.unix_millis(F.min("ts")), F.unix_millis(F.max("ts"))),
+        "user_id": (F.min("user_id"), F.max("user_id")),
+        "event_type": (F.min("event_type"), F.max("event_type")),
+        "value": (
+            F.round(F.min("value") * 100).cast("long"),
+            F.round(F.max("value") * 100).cast("long"),
+        ),
+        "props": (F.min("props"), F.max("props")),
+    }
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c, (mn, mx) in reprs.items():
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                f"null_{c}"
+            ),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+            mn.cast("string").alias(f"mn_{c}"),
+            mx.cast("string").alias(f"mx_{c}"),
+        ]
+    one = ev.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', null_{c}, nd_{c}, mn_{c}, mx_{c}" for c in reprs
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(reprs)}, {stack_args}) AS "
+            "(column, n_null, n_distinct, min_repr, max_repr)"
+        ),
+        "n",
+    ).select("column", "n", "n_null", "n_distinct", "min_repr", "max_repr")
+
+
+_N_SHARDS, _N_REPLICAS = 8, 16
+
+
+@register(
+    "q_shard_assignment",
+    oracle=f"""
+    WITH vn AS (
+        SELECT s.s, r.r,
+               CAST(('0x' || substr(md5('vn:' || s.s || ':' || r.r), 1, 8))
+                    AS BIGINT) AS vpos
+        FROM (SELECT unnest(generate_series(0, {_N_SHARDS - 1})) AS s) s,
+             (SELECT unnest(generate_series(0, {_N_REPLICAS - 1})) AS r) r
+    ), d AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('doc:' || CAST(doc_id AS VARCHAR)),
+                                    1, 8)) AS BIGINT) AS dpos
+        FROM documents
+    ), sel AS (
+        SELECT d.doc_id, v.s,
+               row_number() OVER (PARTITION BY d.doc_id
+                                  ORDER BY (v.vpos < d.dpos), v.vpos, v.s)
+                 AS rn
+        FROM d CROSS JOIN vn v
+    ), c AS (
+        SELECT s AS shard, COUNT(*) AS n_docs FROM sel WHERE rn = 1
+        GROUP BY s
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_docs * {_N_SHARDS} AS DOUBLE) / SUM(n_docs) OVER ()
+             AS load
+    FROM c
+    """,
+)
+def q_shard_assignment(spark, sf_dir):
+    """Consistent-hash shard routing with virtual nodes (the Dynamo /
+    Cassandra ring): 8 shards × 16 vnodes hash onto a 32-bit ring;
+    each document routes to the first vnode clockwise from its own
+    position (wrapping to the ring minimum). Output is per-shard
+    document count and load factor (1.0 = perfectly even) — the
+    balance audit you run before resharding, and the routing that
+    moves only ~1/n of keys when a shard joins or leaves.
+
+    Scale shape: the 128-entry ring is built engine-side (spark.range,
+    no driver literals), collapsed into ONE sorted array row and
+    broadcast; each document then binary-searches it with an array
+    lambda — zero fan-out, zero shuffle until the 8-row count. The
+    oracle states the same routing as a cross-join rank, which is fine
+    at oracle scale and exactly what the broadcast array avoids at
+    100 TB. md5-based positions are engine-portable (the q_hash_split
+    recipe)."""
+    ensure_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    n, r = _N_SHARDS, _N_REPLICAS
+    vn = spark.range(n * r).select(
+        (F.col("id") % n).alias("s"), (F.col("id") / n).cast("long").alias("r")
+    )
+    vpos = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("vn:"),
+                    F.col("s").cast("string"),
+                    F.lit(":"),
+                    F.col("r").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    ring = vn.select(vpos.alias("vpos"), "s").agg(
+        F.array_sort(
+            F.collect_list(F.struct("vpos", "s"))
+        ).alias("ring")
+    )
+    dpos = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    d = docs.select("doc_id", dpos.alias("dpos")).join(F.broadcast(ring))
+    cand = F.filter("ring", lambda x: x["vpos"] >= F.col("dpos"))
+    shard = F.coalesce(F.element_at(cand, 1), F.col("ring")[0])["s"]
+    counts = d.select(shard.alias("shard")).groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy()
+    return counts.select(
+        "shard",
+        "n_docs",
+        (
+            (F.col("n_docs") * n).cast("double") / F.sum("n_docs").over(w)
+        ).alias("load"),
+    )

@@ -99,6 +99,11 @@ QUERIES = [
     # constant-size codebook collect per round.
     "q_containment_pairs",
     "q_knn_pq",
+    # series-family addition: duplicated-span detection shares the
+    # shingle-groupBy profile; its risk is boilerplate-heavy corpora
+    # inflating the dup-shingle join-back, which stays linear in span
+    # occurrences by construction — this measures it.
+    "q_dup_span",
 ]
 # Near-linear tolerance: shuffles and within-bucket verify grow a bit
 # superlinearly even in healthy plans; 3x headroom over proportional
