@@ -129,7 +129,8 @@ _ROUND3_WINDOW = [
 # q_approx_percentile_bound, q_feature_store_join, q_cdc_apply,
 # q_profile_columns, q_shard_assignment — all oracle-backed), the
 # SQL entry-point family (q_parameterized_sql, q_sql_variables,
-# q_sql_scripting, q_pandas_api_rollup — oracle-backed), q_rank_fusion
+# q_sql_scripting, q_pandas_api_rollup, q_sql_udf — oracle-backed),
+# q_rank_fusion
 # (hybrid-retrieval RRF, oracle-backed), and the
 # late-round-3 batch: q_upsample_mix,
 # q_length_batching, q_global_shuffle, q_asof_nearest,

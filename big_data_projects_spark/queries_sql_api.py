@@ -185,3 +185,51 @@ def q_pandas_api_rollup(spark, sf_dir):
         F.col("n").cast("long").alias("n"),
         F.col("total_cents").cast("long").alias("total_cents"),
     )
+
+
+@register(
+    "q_sql_udf",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                AS BIGINT) AS n_tokens,
+           CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                AS DOUBLE) / (n_chars + 1) AS density,
+           CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                AS DOUBLE) / (n_chars + 1) > 0.1 AS keep
+    FROM documents
+    """,
+)
+def q_sql_udf(spark, sf_dir):
+    """SQL-defined scalar UDF (Spark 4 CREATE FUNCTION ... RETURN
+    <expr>): the reusable-expression registry that replaces Python UDFs
+    for pure-SQL logic. The function body is inlined by Catalyst at
+    analysis time — the plan is identical to hand-inlining the
+    expression (whole-stage codegen, pushdown intact), so unlike a
+    Python UDF it costs NOTHING at 100 TB while still giving pipelines
+    one shared definition. The oracle states the inlined expression,
+    which is exactly what the optimizer sees."""
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents_udf_v")
+    ensure_runtime_conf(spark)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION bdp_token_density(
+            toks BIGINT, chars BIGINT) RETURNS DOUBLE
+        RETURN CAST(toks AS DOUBLE) / (chars + 1)
+        """
+    )
+    return spark.sql(
+        r"""
+        SELECT doc_id,
+               size(split(trim(lower(text)), '\\s+')) :: BIGINT
+                 AS n_tokens,
+               bdp_token_density(
+                   size(split(trim(lower(text)), '\\s+')), n_chars)
+                 AS density,
+               bdp_token_density(
+                   size(split(trim(lower(text)), '\\s+')), n_chars) > 0.1
+                 AS keep
+        FROM documents_udf_v
+        """
+    )
