@@ -1175,3 +1175,95 @@ def test_observation_metrics_match_independent_totals(spark):
     got = obs.get
     assert got["rows_scanned"] == ev.count()
     assert got["rows_kept"] == kept_count
+
+
+def test_ewma_matches_pandas_ewm(spark):
+    """q_ewma parity against pandas ewm(alpha=0.25, adjust=False) — an
+    independent recurrence implementation (neither Spark's aggregate()
+    fold nor DuckDB's list_reduce). All three engines execute the same
+    IEEE op sequence, so equality is exact."""
+    import pandas as pd
+
+    from big_data_projects_spark.data import load_table
+    from big_data_projects_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        REGISTRY["q_ewma"].raw(spark, sf).toPandas()
+        .set_index("user_id")["ewma"].sort_index()
+    )
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_id", "value"
+    ).toPandas()
+    exp = (
+        ev.sort_values(["ts", "event_id"])
+        .groupby("user_id")["value"]
+        .apply(lambda s: s.ewm(alpha=0.25, adjust=False).mean().iloc[-1])
+        .sort_index()
+    )
+    assert list(got.index) == list(exp.index)
+    assert (got.values == exp.values).all()
+
+
+def test_cdc_apply_matches_dict_replay(spark):
+    """q_cdc_apply parity against a literal dict replay of the change
+    log in timestamp order — the semantics a stateful consumer would
+    produce one event at a time."""
+    from big_data_projects_spark.data import load_table
+    from big_data_projects_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["user_id"]: (r["updated_ms"], r["last_value"], r["n_changes"])
+        for r in REGISTRY["q_cdc_apply"].raw(spark, sf).collect()
+    }
+    ev = load_table(spark, sf, "events").selectExpr(
+        "user_id", "unix_millis(ts) AS ms", "event_id", "event_type", "value"
+    ).collect()
+    state, counts = {}, {}
+    for r in sorted(ev, key=lambda r: (r["user_id"], r["ms"], r["event_id"])):
+        counts[r["user_id"]] = counts.get(r["user_id"], 0) + 1
+        if r["event_type"] == "error":
+            state.pop(r["user_id"], None)
+        else:
+            state[r["user_id"]] = (r["ms"], r["value"])
+    exp = {
+        u: (ms, v, counts[u]) for u, (ms, v) in state.items()
+    }
+    assert got == exp
+
+
+def test_feature_store_join_is_leakage_free(spark):
+    """Every feature value joined by q_feature_store_join must be
+    reproducible by counting ONLY feature events whose publication
+    period closed at-or-before the label timestamp — the point-in-time
+    contract, checked row-by-row against pandas merge_asof."""
+    import pandas as pd
+
+    from big_data_projects_spark.data import load_table
+    from big_data_projects_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        REGISTRY["q_feature_store_join"].raw(spark, sf).toPandas()
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    ev = load_table(spark, sf, "events").toPandas()
+    labels = ev[ev.event_type == "purchase"][
+        ["event_id", "user_id", "ts"]
+    ].sort_values("ts")
+    clicks = ev[ev.event_type == "click"].copy()
+    clicks["avail"] = clicks.ts.dt.floor("d") + pd.Timedelta(days=1)
+    daily = (
+        clicks.groupby(["user_id", "avail"]).size()
+        .rename("n_clicks").reset_index().sort_values("avail")
+    )
+    exp = pd.merge_asof(
+        labels, daily, left_on="ts", right_on="avail",
+        by="user_id", direction="backward",
+    )
+    exp["n_clicks"] = exp["n_clicks"].fillna(0).astype("int64")
+    merged = got.merge(
+        exp[["event_id", "n_clicks"]], on="event_id", how="left"
+    )
+    assert (merged["clicks_before"] == merged["n_clicks"]).all()
