@@ -130,6 +130,7 @@ _ROUND3_WINDOW = [
 # q_profile_columns, q_shard_assignment — all oracle-backed), the
 # SQL entry-point family (q_parameterized_sql, q_sql_variables,
 # q_sql_scripting, q_pandas_api_rollup, q_sql_udf — oracle-backed),
+# the Python-boundary API pins (q_scalar_iter_udf, q_map_in_arrow),
 # q_rank_fusion
 # (hybrid-retrieval RRF, oracle-backed), and the
 # late-round-3 batch: q_upsample_mix,

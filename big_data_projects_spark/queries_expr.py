@@ -11,6 +11,10 @@ Catalyst built-ins (JVM codegen, no Python UDFs anywhere).
 
 from __future__ import annotations
 
+from typing import Iterator  # noqa: F401  (resolved by pandas_udf hints)
+
+import pandas as pd  # module-level so Iterator-UDF type hints resolve
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -883,4 +887,79 @@ def q_collation(spark, sf_dir):
             F.lower(F.col("seg")).alias("seg_ci"), "n", "n_spellings",
             "total_bal",
         )
+    )
+
+
+@register(
+    "q_scalar_iter_udf",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                AS BIGINT) AS n_toks
+    FROM documents
+    """,
+)
+def q_scalar_iter_udf(spark, sf_dir):
+    """Iterator-of-Series pandas UDF (SURVEY.md §2.10): the
+    amortized-initialization Python boundary — per-worker setup (here a
+    compiled regex; in production a tokenizer or embedding model) runs
+    ONCE per executor task, then every Arrow batch streams through the
+    same generator. This is the sanctioned shape for model-inference
+    columns at 100 TB: batch-granular Python, one model load per task
+    instead of per row or per batch. The token count is exact integer
+    work, so the Python path hash-matches the oracle's regexp split;
+    the built-ins twin (q_token_stats) stays the hot path for logic SQL
+    can express."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def tok_count(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import re
+
+        splitter = re.compile(r"\s+")  # amortized across all batches
+        for s in batches:
+            yield s.map(
+                lambda t: len(splitter.split(t.strip().lower()))
+            ).astype("int64")
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", tok_count("text").alias("n_toks"))
+
+
+@register(
+    "q_map_in_arrow",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id
+    """,
+)
+def q_map_in_arrow(spark, sf_dir):
+    """mapInArrow (SURVEY.md §2.10): the zero-copy RecordBatch-level
+    Python boundary — below mapInPandas (no pandas conversion), for
+    per-batch logic that wants raw Arrow arrays (tensor codecs, FFI
+    libraries). Here each batch converts value→exact integer cents with
+    pyarrow.compute kernels; Spark then aggregates the exact ints, so
+    the Arrow hop is provably lossless. Per-batch independent → no
+    shuffle until the final groupBy."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def to_cents(batches):
+        for batch in batches:
+            cents = pc.cast(
+                pc.round(pc.multiply(batch.column(1), pa.scalar(100.0))),
+                pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), cents], ["user_id", "cents"]
+            )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    mapped = ev.mapInArrow(to_cents, "user_id long, cents long")
+    return mapped.groupBy("user_id").agg(
+        F.sum("cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n"),
     )

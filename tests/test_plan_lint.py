@@ -68,6 +68,10 @@ PYTHON_OK = {
     # the two-table grouped-map API (cogroup + applyInPandas) — the
     # oracle's full-outer-join restatement keeps the Python path checked
     "q_cogroup_stats", "q_multimodal_decode",
+    # iterator pandas UDF (amortized per-task init) and the RecordBatch-
+    # level mapInArrow hop — both exist to pin Python-boundary APIs;
+    # their built-ins twins are the hot paths.
+    "q_scalar_iter_udf", "q_map_in_arrow",
 }
 
 LINTABLE = sorted(
