@@ -333,14 +333,44 @@ def q_distinct_agg(spark, sf_dir):
     )
 
 
-@register("q_approx_agg")  # HLL/KLL sketches are engine-specific → rows-only
+@register(
+    "q_approx_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           round(median(o_totalprice), 9) AS exact_median_price,
+           TRUE AS distinct_within_5pct,
+           TRUE AS median_in_band
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
 def q_approx_agg(spark, sf_dir):
     """Approximate sketch aggregates: HLL++ distinct + KLL-style
-    quantiles — the 100 TB substitutes for exact distinct/median."""
+    quantiles — the 100 TB substitutes for exact distinct/median.
+    Formerly rows-only (engine-specific estimates); upgraded to the
+    sketch oracle pattern (queries_series.py): the query outputs the
+    EXACT answers computed independently plus booleans pinning each
+    deterministic sketch estimate inside its bound — HLL++ within ±5%
+    of the exact distinct count, approx_percentile inside the exact
+    [p40, p60] rank band — so a broken sketch or merge flips a hash-
+    checked value."""
     orders = _t(spark, sf_dir, "orders")
+    pct = lambda p: F.round(  # noqa: E731
+        F.percentile("o_totalprice", F.lit(p)), 9
+    )
     return orders.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers"),
-        F.percentile_approx("o_totalprice", 0.5).alias("approx_median_price"),
+        F.count_distinct("o_custkey").alias("exact_customers"),
+        pct(0.5).alias("exact_median_price"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", rsd=0.01)
+                - F.count_distinct("o_custkey")
+            )
+            <= 0.05 * F.count_distinct("o_custkey")
+        ).alias("distinct_within_5pct"),
+        F.percentile_approx("o_totalprice", 0.5)
+        .between(pct(0.40), pct(0.60))
+        .alias("median_in_band"),
     )
 
 

@@ -50,9 +50,9 @@ def test_rows_only_set_is_intentional():
     declared = sorted([
         # nondeterministic by contract (monotonically_increasing_id)
         "q_mono_id",
-        # approximate sketches — engine-specific estimates
-        "q_approx_agg",
-        # k-means blocking — iterative, centroid-dependent
+        # k-means blocking — iterative, centroid-dependent (q_approx_agg
+        # left this list: upgraded to the exact+error-bound-boolean
+        # sketch oracle pattern)
         "q_kmeans_clusters", "q_semdedup", "q_semdedup_hier",
     ])
     assert rows_only == declared, (
