@@ -353,3 +353,155 @@ def q_stream_file_ingest(spark, sf_dir):
         "event_type",
         F.expr("CAST(FLOOR(value) AS BIGINT) DIV 100").alias("value_bucket"),
     ).agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+
+
+@register(
+    "q_stream_drift_psi",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type, epoch_us(ts) AS us,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), mid AS (
+        SELECT (MIN(us) + MAX(us)) // 2 AS mid_us FROM b
+    ), halves AS (
+        SELECT b.event_type, b.cents,
+               CASE WHEN b.us <= m.mid_us THEN 0 ELSE 1 END AS half
+        FROM b CROSS JOIN mid m
+    ), edges AS (
+        SELECT event_type, MIN(cents) AS mn, MAX(cents) AS mx
+        FROM halves WHERE half = 0 GROUP BY event_type
+    ), binned AS (
+        SELECT h.event_type, h.half,
+               greatest(0, least(9,
+                   (h.cents - e.mn) * 10 // (e.mx - e.mn + 1)))
+                 AS bin
+        FROM halves h JOIN edges e USING (event_type)
+    ), grid AS (
+        SELECT DISTINCT event_type, u.bin
+        FROM edges, UNNEST(generate_series(0, 9)) AS u(bin)
+    ), counts AS (
+        SELECT g.event_type, g.bin,
+               COALESCE(SUM(CASE WHEN b.half = 0 THEN 1 END), 0) AS kr,
+               COALESCE(SUM(CASE WHEN b.half = 1 THEN 1 END), 0) AS kc
+        FROM grid g LEFT JOIN binned b
+          ON g.event_type = b.event_type AND g.bin = b.bin
+        GROUP BY g.event_type, g.bin
+    ), tot AS (
+        SELECT event_type, SUM(kr) AS nr, SUM(kc) AS nc
+        FROM counts GROUP BY event_type
+    )
+    SELECT c.event_type,
+           CAST(t.nr AS BIGINT) AS n_ref, CAST(t.nc AS BIGINT) AS n_cur,
+           round(SUM(CAST(round(
+               ((kc + 0.5) / (t.nc + 5.0)
+                - (kr + 0.5) / (t.nr + 5.0))
+               * ln(((kc + 0.5) / (t.nc + 5.0))
+                    / ((kr + 0.5) / (t.nr + 5.0))), 12)
+             AS DECIMAL(38,18))), 10) AS psi
+    FROM counts c JOIN tot t USING (event_type)
+    GROUP BY c.event_type, t.nr, t.nc
+    """,
+)
+def q_stream_drift_psi(spark, sf_dir):
+    """The PSI drift monitor (q_drift_psi) as a REAL streaming job —
+    the production deployment shape of a training-feed monitor: the
+    reference statistics (timeline midpoint, per-type integer-cent bin
+    edges) are batch-computed control-plane tables joined into the
+    stream (stream-static broadcast join), the stream maintains
+    per-(type, bin, half) counts in state (complete mode), and PSI is
+    computed over the drained aggregate — the same two-stage shape as
+    q_stream_daily_topk, since the ln/decimal reduction isn't
+    incrementally plannable and never needs to be: it runs on
+    control-plane-sized state. Counts are additive, so micro-batch
+    arrival order cannot change the result; the oracle is q_drift_psi's
+    batch statement verbatim."""
+    from big_data_projects_spark.streaming.core import (
+        events_stream,
+        run_to_completion,
+    )
+
+    ensure_runtime_conf(spark)
+    from big_data_projects_spark.data import load_table
+
+    # Control plane (batch): midpoint + reference-half bin edges.
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    mid = b.agg(
+        ((F.min("us") + F.max("us")) / F.lit(2)).cast("long").alias("mid_us")
+    )
+    edges = (
+        b.join(F.broadcast(mid))
+        .where(F.col("us") <= F.col("mid_us"))
+        .groupBy("event_type")
+        .agg(F.min("cents").alias("mn"), F.max("cents").alias("mx"))
+        .join(F.broadcast(mid))
+    )
+
+    # Stream: derive (half, bin) per event against the static edges,
+    # keep running counts in state.
+    stream = events_stream(spark, sf_dir).select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    joined = stream.join(F.broadcast(edges), "event_type")
+    binned = joined.select(
+        "event_type",
+        F.when(F.col("us") <= F.col("mid_us"), 0).otherwise(1).alias("half"),
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(9),
+                ((F.col("cents") - F.col("mn")) * 10)
+                .cast("long")
+                / (F.col("mx") - F.col("mn") + 1),
+            ),
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    streamed = run_to_completion(
+        binned.groupBy("event_type", "bin", "half").agg(
+            F.count(F.lit(1)).alias("k")
+        ),
+        "complete",
+    )
+
+    # Post-drain PSI over the control-plane-sized drained state.
+    raw = streamed.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("k")).otherwise(0))
+        .alias("kr0"),
+        F.sum(F.when(F.col("half") == 1, F.col("k")).otherwise(0))
+        .alias("kc0"),
+    )
+    grid = edges.select(
+        "event_type", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin")
+    ).select("event_type", F.col("bin").cast("long").alias("bin"))
+    counts = grid.join(raw, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        F.coalesce("kr0", F.lit(0)).alias("kr"),
+        F.coalesce("kc0", F.lit(0)).alias("kc"),
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("kr").alias("nr"), F.sum("kc").alias("nc")
+    )
+    j = counts.join(F.broadcast(tot), "event_type")
+    pr = (F.col("kr") + 0.5) / (F.col("nr") + F.lit(5.0))
+    pc = (F.col("kc") + 0.5) / (F.col("nc") + F.lit(5.0))
+    term = F.round((pc - pr) * F.log(pc / pr), 12).cast("decimal(38,18)")
+    return (
+        j.groupBy("event_type", "nr", "nc")
+        .agg(F.round(F.sum(term), 10).cast("double").alias("psi"))
+        .select(
+            "event_type",
+            F.col("nr").cast("long").alias("n_ref"),
+            F.col("nc").cast("long").alias("n_cur"),
+            "psi",
+        )
+    )
