@@ -158,20 +158,50 @@ _ROUND4_QUEUE = [
     "q_multimodal_frames",
 ]
 
+# Round-4 window, pre-staged: the 25-entry queue above (oldest driver
+# debt) plus the 25 strongest never-checked round-3 additions — family
+# flagships, the streaming drift monitor, and the multimodal decode.
+# It ACTIVATES AUTOMATICALLY when the driver has recorded
+# CORRECTNESS_r03.json (i.e. round 4 has started): this round's sweep
+# order is untouched, and next round's rotation cannot be forgotten.
+# The ~45 remaining never-checked entries queue for round 5.
+_ROUND4_WINDOW = _ROUND4_QUEUE[:25] + [
+    "q_hard_negatives_ann", "q_multimodal_decode", "q_incremental_dedup",
+    "q_prefix_dedup", "q_label_propagation", "q_tfidf_cosine_pairs",
+    "q_knn_pq", "q_inverted_index", "q_containment_pairs",
+    "q_mmr_diversity", "q_pipeline_web_corpus", "q_rank_fusion",
+    "q_feature_store_join", "q_cdc_apply", "q_drift_psi",
+    "q_stream_drift_psi", "q_interpolate_linear", "q_ewma",
+    "q_hll_uniques", "q_sketch_top_terms", "q_dup_span",
+    "q_profile_columns", "q_shard_assignment", "q_sql_scripting",
+    "q_scalar_iter_udf",
+]
+
+
+def _round3_swept() -> bool:
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.exists(os.path.join(repo, "CORRECTNESS_r03.json"))
+
 
 def _rotate_registry() -> None:
+    if _round3_swept():  # round 4: pre-staged window to the front
+        front, already = (
+            _ROUND4_WINDOW,
+            _ALREADY_DRIVER_CHECKED + _ROUND3_WINDOW,
+        )
+    else:  # round 3 in progress: sweep order frozen
+        front, already = _ROUND3_WINDOW + _ROUND4_QUEUE, _ALREADY_DRIVER_CHECKED
     ordered: dict[str, Query] = {}
-    for name in _ROUND3_WINDOW:  # this round's sweep target: front of line
+    for name in front:
         if name in REGISTRY:
-            ordered[name] = REGISTRY[name]
-    for name in _ROUND4_QUEUE:  # never driver-checked: next round's window
-        if name in REGISTRY and name not in ordered:
             ordered[name] = REGISTRY[name]
     for name, q in REGISTRY.items():  # anything new keeps relative order
-        if name not in ordered and name not in _ALREADY_DRIVER_CHECKED:
+        if name not in ordered and name not in already:
             ordered[name] = q
-    for name in _ALREADY_DRIVER_CHECKED:  # r01/r02 green rows go last
-        if name in REGISTRY:
+    for name in already:  # green rows from prior rounds go last
+        if name in REGISTRY and name not in ordered:
             ordered[name] = REGISTRY[name]
     REGISTRY.clear()
     REGISTRY.update(ordered)
