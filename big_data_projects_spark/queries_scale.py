@@ -971,3 +971,67 @@ def q_metadata_columns(spark, sf_dir):
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
     )
+
+
+@register(
+    "q_codec_tradeoff",
+    oracle="""
+    SELECT codec, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS smaller_than_uncompressed
+    FROM events, (VALUES ('snappy'), ('zstd')) c(codec)
+    GROUP BY codec
+    """,
+)
+def q_codec_tradeoff(spark, sf_dir):
+    """Compression-codec audit — the storage decision that is worth
+    petabytes at 100 TB: the same deterministic row layout (hash
+    repartition + in-partition sort) is written as uncompressed, snappy
+    and zstd parquet, read back through the hidden _metadata.file_size
+    column (no filesystem calls — the audit is itself a Spark query),
+    and each codec reports its exact row count plus a boolean pinning
+    that it beats the uncompressed footprint. Parquet encoding is
+    deterministic for a fixed layout+codec, so the booleans are stable
+    hash-checked values; the absolute byte counts stay out of the
+    output because they are version-dependent, not data-dependent."""
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.repartition(4, "user_id").sortWithinPartitions(
+        "user_id", "event_id"
+    )
+    out = tempfile.mkdtemp(prefix="bdp_codec_")
+    sizes = {}
+    rows = {}
+    for codec in ("uncompressed", "snappy", "zstd"):
+        path = f"{out}/{codec}"
+        base.write.mode("overwrite").option("compression", codec).parquet(
+            path
+        )
+        back = spark.read.parquet(path).select(
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.file_size").alias("fs"),
+        )
+        per_file = back.groupBy("fp").agg(
+            F.min("fs").alias("fs"), F.count(F.lit(1)).alias("n")
+        )
+        sizes[codec] = per_file.agg(
+            F.sum("fs").alias("bytes"), F.sum("n").alias("n")
+        )
+    frames = []
+    for codec in ("snappy", "zstd"):
+        frames.append(
+            sizes[codec]
+            .join(
+                sizes["uncompressed"].select(
+                    F.col("bytes").alias("u_bytes")
+                )
+            )
+            .select(
+                F.lit(codec).alias("codec"),
+                F.col("n").alias("n_rows"),
+                (F.col("bytes") < F.col("u_bytes")).alias(
+                    "smaller_than_uncompressed"
+                ),
+            )
+        )
+    return frames[0].unionByName(frames[1])

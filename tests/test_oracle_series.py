@@ -15,12 +15,12 @@ SERIES_QUERIES = sorted(
                       "q_dup_span", "q_ohlc_", "q_parameterized_",
                       "q_sql_variables", "q_sql_scripting", "q_sql_udf",
                       "q_scalar_iter_udf", "q_map_in_arrow",
-                      "q_pandas_api_", "q_drift_", "q_approx_", "q_feature_store_", "q_cdc_", "q_profile_", "q_shard_"))
+                      "q_pandas_api_", "q_drift_", "q_approx_", "q_feature_store_", "q_cdc_", "q_profile_", "q_shard_", "q_codec_"))
 )
 
 
 def test_family_is_registered():
-    assert len(SERIES_QUERIES) == 23, SERIES_QUERIES
+    assert len(SERIES_QUERIES) == 24, SERIES_QUERIES
 
 
 @pytest.mark.parametrize("name", SERIES_QUERIES)

@@ -35,7 +35,7 @@ SIDE_EFFECTING = {
     "q_compaction", "q_multimodal_resize", "q_multimodal_frames",
     "q_scan_text_lines", "q_scan_binaryfile", "q_zorder_layout",
     "q_range_sharded_write", "q_scan_merge_schema", "q_dpp_join",
-    "q_scan_csv_corrupt", "q_scan_xml",
+    "q_scan_csv_corrupt", "q_scan_xml", "q_codec_tradeoff",
 }
 
 # Surrogate-key windows documented to run over post-aggregation results
