@@ -1267,3 +1267,25 @@ def test_feature_store_join_is_leakage_free(spark):
         exp[["event_id", "n_clicks"]], on="event_id", how="left"
     )
     assert (merged["clicks_before"] == merged["n_clicks"]).all()
+
+
+def test_ewma_fold_single_and_two_element_groups(spark):
+    """The aggregate() EWMA fold's edges: a single-observation series
+    returns its own value (slice length 0 → init only), a two-element
+    series returns 0.25*x1 + 0.75*x0."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 1, 5.0), (2, 1, 4.0), (2, 2, 8.0)],
+        "user_id long, eid long, v double",
+    )
+    arr = F.array_sort(F.collect_list(F.struct(F.col("eid"), F.col("v"))))
+    g = df.groupBy("user_id").agg(arr.alias("a"))
+    rest = F.slice(F.col("a"), 2, F.greatest(F.size("a") - 1, F.lit(0)))
+    ew = F.aggregate(
+        rest,
+        F.col("a")[0]["v"],
+        lambda acc, x: F.lit(0.25) * x["v"] + F.lit(0.75) * acc,
+    )
+    got = {r["user_id"]: r["e"] for r in g.select("user_id", ew.alias("e")).collect()}
+    assert got == {1: 5.0, 2: 0.25 * 8.0 + 0.75 * 4.0}
