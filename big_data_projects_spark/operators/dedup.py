@@ -212,6 +212,44 @@ def minhash_signatures(
     )
 
 
+def band_buckets(
+    sig: DataFrame, id_col: str = "doc_id", hasher: str = "xxh64"
+) -> DataFrame:
+    """LSH banding of minhash signatures: (id, band, bucket) with
+    LSH_BANDS rows per doc. The bucket key hashes each band's signature
+    slice — md5 mode is engine-portable (the oracle recomputes it),
+    xxh64 mode is the fastest production variant. Shared by the batch
+    self-join pairing AND the streaming corpus-index lookup."""
+
+    def bucket_key(b: int):
+        slice_cols = [
+            F.col("sig")[i] for i in range(b * LSH_ROWS, (b + 1) * LSH_ROWS)
+        ]
+        if hasher == "md5":
+            return (
+                F.conv(
+                    F.substring(F.md5(F.concat_ws(":", *slice_cols)), 1, 15),
+                    16, 10,
+                ).cast("long")
+            )
+        return F.xxhash64(*slice_cols)
+
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        bucket_key(b).alias("bucket"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -244,33 +282,7 @@ def minhash_lsh_pairs(
         df, id_col, text_col, n, shingle_df=sh_shared
     ).persist()
 
-    def bucket_key(b: int):
-        slice_cols = [
-            F.col("sig")[i] for i in range(b * LSH_ROWS, (b + 1) * LSH_ROWS)
-        ]
-        if hasher == "md5":
-            return (
-                F.conv(
-                    F.substring(F.md5(F.concat_ws(":", *slice_cols)), 1, 15),
-                    16, 10,
-                ).cast("long")
-            )
-        return F.xxhash64(*slice_cols)
-
-    bands = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        bucket_key(b).alias("bucket"),
-                    )
-                    for b in range(LSH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    bands = band_buckets(sig, id_col=id_col, hasher=hasher)
 
     left = bands.select(F.col(id_col).alias("doc_a"), "band", "bucket")
     right = bands.select(F.col(id_col).alias("doc_b"), "band", "bucket")

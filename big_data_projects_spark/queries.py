@@ -131,7 +131,8 @@ _ROUND3_WINDOW = [
 # SQL entry-point family (q_parameterized_sql, q_sql_variables,
 # q_sql_scripting, q_pandas_api_rollup, q_sql_udf — oracle-backed),
 # the Python-boundary API pins (q_scalar_iter_udf, q_map_in_arrow),
-# q_stream_drift_psi (streamed PSI monitor), q_codec_tradeoff,
+# q_stream_drift_psi (streamed PSI monitor), q_stream_fuzzy_dedup
+# (streaming MinHash-LSH gate, in-row signatures), q_codec_tradeoff,
 # q_rank_fusion
 # (hybrid-retrieval RRF, oracle-backed), and the
 # late-round-3 batch: q_upsample_mix,

@@ -505,3 +505,222 @@ def q_stream_drift_psi(spark, sf_dir):
             "psi",
         )
     )
+
+
+def _stream_fuzzy_oracle() -> str:
+    # Same SQL reconstruction as q_dedup_minhash_lsh's oracle (md5
+    # shingles → universal-hash minima → md5 band buckets → exact
+    # verify), with the candidate join crossed between the incoming
+    # split (doc_id % 3 = 0) and the corpus split instead of the
+    # self-join's doc_a < doc_b.
+    from big_data_projects_spark.operators.dedup import (
+        LSH_BANDS,
+        LSH_ROWS,
+        _MERSENNE31,
+        _PERMS,
+    )
+
+    M = _MERSENNE31
+    mins = ",\n               ".join(
+        f"MIN((b * {a} + {bb}) % {M}) AS h{i}"
+        for i, (a, bb) in enumerate(_PERMS)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, CAST(('0x' || substr(md5("
+        + " || ':' || ".join(
+            f"CAST(h{i} AS VARCHAR)"
+            for i in range(b * LSH_ROWS, (b + 1) * LSH_ROWS)
+        )
+        + "), 1, 15)) AS BIGINT) AS bucket FROM sigs"
+        for b in range(LSH_BANDS)
+    )
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))
+                    AS BIGINT) AS shingle
+        FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
+        WHERE len(t) >= 3
+    ),
+    based AS (SELECT doc_id, shingle % {M} AS b FROM sh),
+    sigs AS (
+        SELECT doc_id,
+               {mins}
+        FROM based GROUP BY doc_id
+    ),
+    bands AS (
+        {band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS in_doc, b.doc_id AS corpus_doc
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 != 0
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT c.in_doc, c.corpus_doc, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh s1 ON s1.doc_id = c.in_doc
+        JOIN sh s2 ON s2.doc_id = c.corpus_doc AND s2.shingle = s1.shingle
+        GROUP BY 1, 2
+    )
+    SELECT m.in_doc, m.corpus_doc,
+           m.n_common / (sa.n_sh + sb.n_sh - m.n_common) AS jaccard
+    FROM common m
+    JOIN sizes sa ON sa.doc_id = m.in_doc
+    JOIN sizes sb ON sb.doc_id = m.corpus_doc
+    WHERE m.n_common / (sa.n_sh + sb.n_sh - m.n_common) >= 0.1
+    """
+
+
+@register("q_stream_fuzzy_dedup", oracle=_stream_fuzzy_oracle())
+def q_stream_fuzzy_dedup(spark, sf_dir):
+    """Streaming fuzzy near-dup gate — the incremental deployment of
+    MinHash-LSH dedup: a STATIC corpus LSH index (md5-portable band
+    buckets of the existing corpus, doc_id % 3 != 0) is joined against
+    a STREAM of incoming documents whose 64-permutation MinHash
+    signatures are computed ENTIRELY IN-ROW (shingle array →
+    array_distinct → 64 array_min folds → band buckets, pure codegen
+    projection — zero shuffle, zero streaming state), so each
+    micro-batch is a stateless stream-static equi-join on
+    (band, bucket). Candidate matches drain in append mode; exact
+    Jaccard verification then runs batch-side over the drained
+    control-plane-sized candidate set — the two-stage shape. At 100 TB
+    the corpus index is a real table (not broadcast) and the join
+    shuffles only each micro-batch; the in-row signature is the key
+    property: incoming docs never need a groupBy before the lookup.
+    The oracle reconstructs the whole pipeline in SQL, so signatures,
+    banding, the stream-side candidate set, and the verify all
+    hash-match."""
+    from big_data_projects_spark.operators import dedup as D
+    from big_data_projects_spark.streaming.core import (
+        documents_stream,
+        run_to_completion,
+    )
+
+    ensure_runtime_conf(spark)
+    from big_data_projects_spark.data import load_table
+
+    M = D._MERSENNE31
+    docs = load_table(spark, sf_dir, "documents")
+
+    # Static corpus index (batch): signatures → (band, bucket) table.
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    corpus_bands = D.band_buckets(
+        D.minhash_signatures(corpus), hasher="md5"
+    ).select(F.col("doc_id").alias("corpus_doc"), "band", "bucket")
+
+    # Stream side: in-row signature (no shuffle, no state).
+    stream = documents_stream(spark, sf_dir).where(
+        F.col("doc_id") % 3 == 0
+    )
+    base = stream.select(
+        "doc_id",
+        F.split(F.trim(F.lower("text")), r"\s+").alias("__toks"),
+    ).where(F.size("__toks") >= 3)
+    sh = (
+        "array_distinct(transform(sequence(0, size(__toks) - 3), "
+        "i -> CAST(conv(substr(md5(concat_ws(' ', __toks[i], "
+        "__toks[i+1], __toks[i+2])), 1, 15), 16, 10) AS BIGINT)))"
+    )
+    withsig = base.withColumn("__sh", F.expr(sh)).withColumn(
+        "__b", F.expr(f"transform(__sh, s -> s % {M})")
+    )
+    hs = [
+        F.expr(f"array_min(transform(__b, b -> (b * {a} + {c}) % {M}))")
+        .alias(f"h{i}")
+        for i, (a, c) in enumerate(D._PERMS)
+    ]
+    sig_row = withsig.select("doc_id", *hs)
+    bucket_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col(f"h{b * D.LSH_ROWS}"),
+                            *[
+                                F.col(f"h{i}")
+                                for i in range(
+                                    b * D.LSH_ROWS + 1, (b + 1) * D.LSH_ROWS
+                                )
+                            ],
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("bucket"),
+        )
+        for b in range(D.LSH_BANDS)
+    ]
+    stream_bands = sig_row.select(
+        F.col("doc_id").alias("in_doc"),
+        F.explode(F.array(*bucket_structs)).alias("bb"),
+    ).select("in_doc", "bb.band", "bb.bucket")
+
+    matches = stream_bands.join(corpus_bands, ["band", "bucket"]).select(
+        "in_doc", "corpus_doc"
+    )
+    drained = run_to_completion(matches, "append")
+
+    # Batch-side exact verify over the drained candidate set.
+    cand = drained.distinct()
+    sh_all = D.shingles(docs, "doc_id", "text").persist()
+    sizes = sh_all.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    arrays = sh_all.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("arr")
+    )
+    j = (
+        cand.join(
+            arrays.select(
+                F.col("doc_id").alias("in_doc"), F.col("arr").alias("arr_a")
+            ),
+            "in_doc",
+        )
+        .join(
+            arrays.select(
+                F.col("doc_id").alias("corpus_doc"),
+                F.col("arr").alias("arr_b"),
+            ),
+            "corpus_doc",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("in_doc"), F.col("n_sh").alias("n_a")
+            ),
+            "in_doc",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("corpus_doc"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "corpus_doc",
+        )
+        .select(
+            "in_doc",
+            "corpus_doc",
+            (
+                F.size(F.array_intersect("arr_a", "arr_b"))
+                / (
+                    F.col("n_a")
+                    + F.col("n_b")
+                    - F.size(F.array_intersect("arr_a", "arr_b"))
+                )
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.1)
+    )
+    return j

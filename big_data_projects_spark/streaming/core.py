@@ -105,3 +105,20 @@ def run_available_now_to_parquet(
         .start()
     )
     query.awaitTermination()
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents table (bounded backfill), same
+    staging trick as events_stream. Documents carry no event time —
+    callers run stateless transforms (append mode) or add an arrival
+    timestamp if they need windows."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = f"{sf_dir}/documents.parquet"
+    batch_schema = spark.read.parquet(src).schema
+    stage = tempfile.mkdtemp(prefix="bdp_stream_docs_")
+    link = os.path.join(stage, "documents.parquet")
+    try:
+        os.symlink(src, link)
+    except OSError:
+        shutil.copy(src, link)
+    return spark.readStream.schema(batch_schema).parquet(stage)
