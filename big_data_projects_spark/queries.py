@@ -175,7 +175,7 @@ _ROUND4_WINDOW = _ROUND4_QUEUE[:25] + [
     "q_feature_store_join", "q_cdc_apply", "q_drift_psi",
     "q_stream_drift_psi", "q_interpolate_linear", "q_ewma",
     "q_hll_uniques", "q_sketch_top_terms", "q_dup_span",
-    "q_profile_columns", "q_shard_assignment", "q_sql_scripting",
+    "q_profile_columns", "q_shard_assignment", "q_stream_fuzzy_dedup",
     "q_scalar_iter_udf",
 ]
 
