@@ -1163,14 +1163,18 @@ def mmr_select(
 
     Scale contract: the corpus-wide work is exactly one brute-force (or
     ANN-fed) top-``pool`` pass; everything after operates on the
-    control-plane-sized pool (pool x pool pairwise sims, k greedy
-    rounds collecting ONE winner row each — driver traffic is k rows).
-    Determinism: candidate sims use the sequential cosine fold (DuckDB
-    list_dot_product parity), scores are the identical double
-    expression lam*qsim - (1-lam)*maxprev on both engines, every
-    argmax carries the id tiebreak, and MAX over floats is
-    order-independent — so the greedy trajectory hash-matches an
-    unrolled SQL oracle.
+    control-plane-sized pool. The pool's pairwise sims are computed in
+    ONE Spark job (pool² ≈ 2.5k rows collected once) and the k greedy
+    rounds then run entirely driver-local — no per-round Spark jobs,
+    so selection latency is O(1) jobs instead of k.
+    Determinism: candidate and pairwise sims are computed by the SAME
+    sequential cosine fold expression on the cluster (DuckDB
+    list_dot_product parity) and only the collected doubles feed the
+    local greedy loop, whose arithmetic (lam*qsim - (1-lam)*maxprev,
+    IEEE double) is bit-identical to the former per-round Spark
+    expression; every argmax carries the id tiebreak, and MAX over
+    floats is order-independent — so the greedy trajectory
+    hash-matches an unrolled SQL oracle.
     """
     cands = (
         topk_cosine(emb, query_id, k=pool, id_col=id_col, vec_col=vec_col)
@@ -1187,45 +1191,43 @@ def mmr_select(
     b = cv.select(
         F.col("__cid").alias("__ib"), F.col("__vec").alias("__vb")
     )
-    ps = (
-        a.join(b, F.col("__ia") != F.col("__ib"))
-        .select(
-            "__ia", "__ib",
-            cosine_sim(F.col("__va"), F.col("__vb")).alias("__s"),
-        )
-        .persist()
+    ps = a.join(b, F.col("__ia") != F.col("__ib")).select(
+        "__ia", "__ib",
+        cosine_sim(F.col("__va"), F.col("__vb")).alias("__s"),
     )
-    ps.count()
+
+    # One action for the pool (pool rows), one for its pairwise sims
+    # (pool² rows) — both control-plane-sized. The greedy loop then
+    # runs locally on the collected doubles: same IEEE arithmetic,
+    # zero per-round Spark jobs.
+    qsim = {r["__cid"]: r["__qsim"] for r in cands.collect()}
+    sim: dict[int, dict[int, float]] = {}
+    for r in ps.collect():
+        sim.setdefault(r["__ia"], {})[r["__ib"]] = r["__s"]
+    cands.unpersist()
 
     picks: list[tuple[int, int, float]] = []  # (rank, id, score)
     selected: list[int] = []
+    remaining = set(qsim)
     for rnd in range(1, k + 1):
-        if not selected:
-            scored = cands.select(
-                "__cid", (F.lit(lam) * F.col("__qsim")
-                          - F.lit(1.0 - lam) * F.lit(0.0)).alias("__score")
-            )
-        else:
-            sel_lits = F.array(*[F.lit(s) for s in selected])
-            mx = (
-                ps.filter(F.array_contains(sel_lits, F.col("__ib")))
-                .groupBy("__ia")
-                .agg(F.max("__s").alias("__mx"))
-            )
-            scored = (
-                cands.filter(~F.array_contains(sel_lits, F.col("__cid")))
-                .join(mx, cands["__cid"] == mx["__ia"])
-                .select(
-                    "__cid",
-                    (F.lit(lam) * F.col("__qsim")
-                     - F.lit(1.0 - lam) * F.col("__mx")).alias("__score"),
-                )
-            )
-        win = scored.orderBy(F.desc("__score"), "__cid").limit(1).collect()[0]
-        picks.append((rnd, win["__cid"], win["__score"]))
-        selected.append(win["__cid"])
-    cands.unpersist()
-    ps.unpersist()
+        if not remaining:
+            break
+        best_id, best_score = None, None
+        for cid in remaining:
+            if not selected:
+                score = lam * qsim[cid] - (1.0 - lam) * 0.0
+            else:
+                mx = max(sim[cid][s] for s in selected)
+                score = lam * qsim[cid] - (1.0 - lam) * mx
+            if (
+                best_score is None
+                or score > best_score
+                or (score == best_score and cid < best_id)
+            ):
+                best_id, best_score = cid, score
+        picks.append((rnd, best_id, best_score))
+        selected.append(best_id)
+        remaining.discard(best_id)
     spark = emb.sparkSession
     return spark.createDataFrame(
         picks, schema=f"rank int, {id_col} long, score double"

@@ -909,17 +909,25 @@ def q_scalar_iter_udf(spark, sf_dir):
     instead of per row or per batch. The token count is exact integer
     work, so the Python path hash-matches the oracle's regexp split;
     the built-ins twin (q_token_stats) stays the hot path for logic SQL
-    can express."""
+    can express.
+
+    Tokenization matches SQL semantics exactly: strip ONLY ASCII
+    spaces (SQL ``trim`` strips spaces, not tabs/NBSP — Python
+    ``str.strip()`` would strip all unicode whitespace) and split on
+    the RE2 ``\\s`` class ``[ \\t\\n\\x0b\\f\\r]`` (Python ``\\s``
+    would additionally match unicode whitespace like NBSP), so the
+    Python path cannot diverge from the oracle on exotic whitespace."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
     def tok_count(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         import re
 
-        splitter = re.compile(r"\s+")  # amortized across all batches
+        # amortized across all batches; RE2 \s class, NOT Python \s
+        splitter = re.compile(r"[ \t\n\x0b\f\r]+")
         for s in batches:
             yield s.map(
-                lambda t: len(splitter.split(t.strip().lower()))
+                lambda t: len(splitter.split(t.strip(" ").lower()))
             ).astype("int64")
 
     docs = _t(spark, sf_dir, "documents")
@@ -943,14 +951,23 @@ def q_map_in_arrow(spark, sf_dir):
     libraries). Here each batch converts value→exact integer cents with
     pyarrow.compute kernels; Spark then aggregates the exact ints, so
     the Arrow hop is provably lossless. Per-batch independent → no
-    shuffle until the final groupBy."""
+    shuffle until the final groupBy.
+
+    Rounding mode matters: pyarrow's default is half_to_even (0.5→0,
+    2.5→2), while DuckDB round() and Spark F.round round half AWAY
+    from zero — on a .5 cents tie (e.g. value=12.125 → 1212.5) the
+    default would silently diverge, so half_towards_infinity is passed
+    explicitly to match."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     def to_cents(batches):
         for batch in batches:
             cents = pc.cast(
-                pc.round(pc.multiply(batch.column(1), pa.scalar(100.0))),
+                pc.round(
+                    pc.multiply(batch.column(1), pa.scalar(100.0)),
+                    round_mode="half_towards_infinity",
+                ),
                 pa.int64(),
             )
             yield pa.RecordBatch.from_arrays(

@@ -992,7 +992,14 @@ def q_codec_tradeoff(spark, sf_dir):
     that it beats the uncompressed footprint. Parquet encoding is
     deterministic for a fixed layout+codec, so the booleans are stable
     hash-checked values; the absolute byte counts stay out of the
-    output because they are version-dependent, not data-dependent."""
+    output because they are version-dependent, not data-dependent.
+
+    The three parquet copies live in a scratch dir that is removed in
+    a ``finally`` before returning: the per-codec size aggregates are
+    single rows, so they are materialized eagerly (control-plane-sized
+    collect) and the returned DataFrame is a local relation with no
+    dependency on the scratch files — repeated sweeps leak no disk."""
+    import shutil
     import tempfile
 
     ev = _t(spark, sf_dir, "events")
@@ -1000,38 +1007,31 @@ def q_codec_tradeoff(spark, sf_dir):
         "user_id", "event_id"
     )
     out = tempfile.mkdtemp(prefix="bdp_codec_")
-    sizes = {}
-    rows = {}
-    for codec in ("uncompressed", "snappy", "zstd"):
-        path = f"{out}/{codec}"
-        base.write.mode("overwrite").option("compression", codec).parquet(
-            path
-        )
-        back = spark.read.parquet(path).select(
-            F.col("_metadata.file_path").alias("fp"),
-            F.col("_metadata.file_size").alias("fs"),
-        )
-        per_file = back.groupBy("fp").agg(
-            F.min("fs").alias("fs"), F.count(F.lit(1)).alias("n")
-        )
-        sizes[codec] = per_file.agg(
-            F.sum("fs").alias("bytes"), F.sum("n").alias("n")
-        )
-    frames = []
-    for codec in ("snappy", "zstd"):
-        frames.append(
-            sizes[codec]
-            .join(
-                sizes["uncompressed"].select(
-                    F.col("bytes").alias("u_bytes")
-                )
+    stats: dict[str, tuple[int, int]] = {}
+    try:
+        for codec in ("uncompressed", "snappy", "zstd"):
+            path = f"{out}/{codec}"
+            base.write.mode("overwrite").option(
+                "compression", codec
+            ).parquet(path)
+            back = spark.read.parquet(path).select(
+                F.col("_metadata.file_path").alias("fp"),
+                F.col("_metadata.file_size").alias("fs"),
             )
-            .select(
-                F.lit(codec).alias("codec"),
-                F.col("n").alias("n_rows"),
-                (F.col("bytes") < F.col("u_bytes")).alias(
-                    "smaller_than_uncompressed"
-                ),
+            per_file = back.groupBy("fp").agg(
+                F.min("fs").alias("fs"), F.count(F.lit(1)).alias("n")
             )
-        )
-    return frames[0].unionByName(frames[1])
+            row = per_file.agg(
+                F.sum("fs").alias("bytes"), F.sum("n").alias("n")
+            ).collect()[0]  # one row per codec: control-plane-sized
+            stats[codec] = (row["bytes"], row["n"])
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    u_bytes = stats["uncompressed"][0]
+    rows = [
+        (codec, stats[codec][1], stats[codec][0] < u_bytes)
+        for codec in ("snappy", "zstd")
+    ]
+    return spark.createDataFrame(
+        rows, "codec string, n_rows long, smaller_than_uncompressed boolean"
+    )

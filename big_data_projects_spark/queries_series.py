@@ -320,10 +320,13 @@ def q_trend_slope(spark, sf_dir):
     y = cents — so every Σ accumulates integers exactly and the shuffle
     order cannot perturb the result; only the final single division is
     floating point, computed from identical integer operands on both
-    sides. All moment products stay in exact decimal (Spark) / hugeint
-    (DuckDB) space, well inside 38 digits at any per-user history
-    length; one groupBy shuffle total, degenerate (vertical / single
-    point) series filtered by the zero-variance denominator."""
+    sides. The moment products are cast to decimal(38,0) BEFORE the
+    sum so accumulation itself happens in decimal (Spark) / hugeint
+    (DuckDB) space — summing x·x ≈ 1e15-scale int64 products over
+    ~1e4+ events would overflow an int64 accumulator; decimal
+    accumulation is exact at any per-user history length. One groupBy
+    shuffle total, degenerate (vertical / single point) series
+    filtered by the zero-variance denominator."""
     ev = _t(spark, sf_dir, "events")
     wu = Window.partitionBy("user_id")
     sec = F.expr("unix_micros(ts) DIV 1000000")
@@ -333,12 +336,13 @@ def q_trend_slope(spark, sf_dir):
         F.round(F.col("value") * 100).cast("long").alias("y"),
     )
     d = "decimal(38,0)"
+    xd = F.col("x").cast(d)
     sums = pts.groupBy("user_id").agg(
         F.count("*").cast(d).alias("n"),
-        F.sum("x").cast(d).alias("sx"),
-        F.sum("y").cast(d).alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast(d).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast(d).alias("sxx"),
+        F.sum(xd).cast(d).alias("sx"),
+        F.sum(F.col("y").cast(d)).cast(d).alias("sy"),
+        F.sum(xd * F.col("y")).cast(d).alias("sxy"),
+        F.sum(xd * F.col("x")).cast(d).alias("sxx"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")

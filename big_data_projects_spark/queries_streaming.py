@@ -588,19 +588,21 @@ def q_stream_fuzzy_dedup(spark, sf_dir):
     array_distinct → 64 array_min folds → band buckets, pure codegen
     projection — zero shuffle, zero streaming state), so each
     micro-batch is a stateless stream-static equi-join on
-    (band, bucket). Candidate matches drain in append mode; exact
-    Jaccard verification then runs batch-side over the drained
-    control-plane-sized candidate set — the two-stage shape. At 100 TB
-    the corpus index is a real table (not broadcast) and the join
-    shuffles only each micro-batch; the in-row signature is the key
-    property: incoming docs never need a groupBy before the lookup.
-    The oracle reconstructs the whole pipeline in SQL, so signatures,
-    banding, the stream-side candidate set, and the verify all
-    hash-match."""
+    (band, bucket). Candidate matches drain through a foreachBatch
+    parquet sink into a DISTRIBUTED batch DataFrame (the candidate set
+    scales with batch×corpus overlap, so it never collects to the
+    driver — run_to_distributed_batch, not the aggregate-only memory
+    sink); exact Jaccard verification then runs batch-side over the
+    drained candidates — the two-stage shape. At 100 TB the corpus
+    index is a real table (not broadcast) and the join shuffles only
+    each micro-batch; the in-row signature is the key property:
+    incoming docs never need a groupBy before the lookup. The oracle
+    reconstructs the whole pipeline in SQL, so signatures, banding,
+    the stream-side candidate set, and the verify all hash-match."""
     from big_data_projects_spark.operators import dedup as D
     from big_data_projects_spark.streaming.core import (
         documents_stream,
-        run_to_completion,
+        run_to_distributed_batch,
     )
 
     ensure_runtime_conf(spark)
@@ -673,7 +675,7 @@ def q_stream_fuzzy_dedup(spark, sf_dir):
     matches = stream_bands.join(corpus_bands, ["band", "bucket"]).select(
         "in_doc", "corpus_doc"
     )
-    drained = run_to_completion(matches, "append")
+    drained = run_to_distributed_batch(matches)
 
     # Batch-side exact verify over the drained candidate set.
     cand = drained.distinct()

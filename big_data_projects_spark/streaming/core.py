@@ -18,6 +18,28 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# One staging dir per source file per process (reused across calls):
+# repeated sweeps/tests must not accumulate mkdtemp dirs — the staging
+# dir only holds a symlink to the read-only source parquet, so reuse
+# is always safe.
+_STAGE_CACHE: dict[str, str] = {}
+
+
+def _staged_source(src: str, prefix: str) -> str:
+    """Return a directory containing (a symlink to) ``src``, creating
+    it on first use and reusing it afterwards."""
+    stage = _STAGE_CACHE.get(src)
+    if stage is not None and os.path.isdir(stage):
+        return stage
+    stage = tempfile.mkdtemp(prefix=prefix)
+    link = os.path.join(stage, os.path.basename(src))
+    try:
+        os.symlink(src, link)
+    except OSError:
+        shutil.copy(src, link)
+    _STAGE_CACHE[src] = stage
+    return stage
+
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events table (bounded backfill).
@@ -31,12 +53,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = f"{sf_dir}/events.parquet"
     batch_schema = spark.read.parquet(src).schema
-    stage = tempfile.mkdtemp(prefix="bdp_stream_src_")
-    link = os.path.join(stage, "events.parquet")
-    try:
-        os.symlink(src, link)
-    except OSError:
-        shutil.copy(src, link)
+    stage = _staged_source(src, "bdp_stream_src_")
     stream = spark.readStream.schema(batch_schema).parquet(stage)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -49,7 +66,14 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_to_completion(df: DataFrame, output_mode: str) -> DataFrame:
     """Start df as a memory-sink streaming query, drain the source, and
-    return the sink contents as a (materialized) batch DataFrame."""
+    return the sink contents as a (materialized) batch DataFrame.
+
+    HARNESS-ONLY, for aggregate-shaped streams: the memory sink plus
+    the final collect are bounded by the aggregate's group count (tens
+    to thousands of rows). Streams whose output scales with the data —
+    candidate pairs, per-row gates — must drain through
+    run_to_distributed_batch (foreachBatch → parquet, no driver
+    collect) instead."""
     spark = df.sparkSession
     name = f"bdp_stream_{uuid.uuid4().hex[:8]}"
     query = (
@@ -64,6 +88,23 @@ def run_to_completion(df: DataFrame, output_mode: str) -> DataFrame:
         query.stop()
     result = spark.table(name)
     return spark.createDataFrame(result.collect(), schema=result.schema)
+
+
+def run_to_distributed_batch(df: DataFrame) -> DataFrame:
+    """Drain ``df`` through a foreachBatch parquet sink — the
+    production shape for candidate-scale streams — and return the sink
+    contents as a DISTRIBUTED batch DataFrame (read back from parquet;
+    nothing proportional to the stream's output ever touches the
+    driver). The scratch sink dir is removed at process exit."""
+    import atexit
+
+    spark = df.sparkSession
+    out = tempfile.mkdtemp(prefix="bdp_stream_sink_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    run_foreach_batch_to_parquet(df, out)
+    if not any(f.startswith("part-") for f in os.listdir(out)):
+        return spark.createDataFrame([], df.schema)
+    return spark.read.parquet(out)
 
 
 def run_foreach_batch_to_parquet(df, out_dir: str):
@@ -115,10 +156,5 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     src = f"{sf_dir}/documents.parquet"
     batch_schema = spark.read.parquet(src).schema
-    stage = tempfile.mkdtemp(prefix="bdp_stream_docs_")
-    link = os.path.join(stage, "documents.parquet")
-    try:
-        os.symlink(src, link)
-    except OSError:
-        shutil.copy(src, link)
+    stage = _staged_source(src, "bdp_stream_docs_")
     return spark.readStream.schema(batch_schema).parquet(stage)
