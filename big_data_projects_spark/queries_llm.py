@@ -1375,16 +1375,74 @@ def q_data_quality(spark, sf_dir):
     return violations_summary(docs, rules)
 
 
-@register("q_kmeans_clusters")  # iterative + driver-side seed loop → rows-only
+@register(
+    "q_kmeans_clusters",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           TRUE AS partition_complete, TRUE AS k_bounded,
+           TRUE AS multi_cluster, TRUE AS wss_le_tss
+    FROM embeddings
+    """,
+)
 def q_kmeans_clusters(spark, sf_dir):
-    """Distributed k-means over the embedding corpus (farthest-first
-    deterministic seeding, Lloyd iterations in DataFrame ops) — the
-    coarse quantizer that builds an IVF partitioning when no natural
-    block key exists. Output: cluster sizes (k rows)."""
+    """Distributed k-means over the embedding corpus (deterministic
+    k-means‖ seeding, Lloyd iterations in DataFrame ops) — the coarse
+    quantizer that builds an IVF partitioning when no natural block
+    key exists.
+
+    The clustering itself is iterative and centroid-dependent, so
+    per-cluster rows cannot be SQL-reproduced; instead the output is a
+    one-row invariant summary in the same sketch-oracle pattern as
+    q_hll_uniques: the exact corpus count (independently computable by
+    the oracle) plus hash-checked booleans pinning that (a) every
+    vector got exactly one assignment, (b) 1 ≤ n_clusters ≤ k,
+    (c) the corpus actually splits (≥2 non-empty clusters), and
+    (d) the within-cluster sum of squares — measured against the
+    REALIZED cluster means — is ≤ the total sum of squares to the
+    global mean, i.e. the clustering is never worse than the trivial
+    k=1 partition (mathematically guaranteed for any true partition;
+    a broken assign or update flips it). All checks are aggregates —
+    a few extra shuffles over the 500-row corpus, same plan shape at
+    any scale."""
     emb = _t(spark, sf_dir, "embeddings")
-    assignments = S.kmeans_assign(emb, k=8, n_iter=2)
-    return assignments.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("n_vectors")
+    k = 8
+    assignments = S.kmeans_assign(emb, k=k, n_iter=2)
+    joined = emb.join(assignments, "vec_id")
+    ex = joined.select(
+        "vec_id", "cluster",
+        F.posexplode(
+            F.expr("transform(embedding, x -> cast(x as double))")
+        ).alias("pos", "x"),
+    ).persist()
+    cmeans = ex.groupBy("cluster", "pos").agg(F.avg("x").alias("cm"))
+    gmeans = ex.groupBy("pos").agg(F.avg("x").alias("gm"))
+    wss = (
+        ex.join(F.broadcast(cmeans), ["cluster", "pos"])
+        .agg(F.sum((F.col("x") - F.col("cm")) ** 2).alias("wss"))
+    )
+    tss = (
+        ex.join(F.broadcast(gmeans), ["pos"])
+        .agg(F.sum((F.col("x") - F.col("gm")) ** 2).alias("tss"))
+    )
+    stats = joined.agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.countDistinct("vec_id").alias("n_ids"),
+        F.countDistinct("cluster").alias("n_clusters"),
+    )
+    total = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        total.crossJoin(stats).crossJoin(wss).crossJoin(tss).select(
+            "n_vectors",
+            (
+                (F.col("n_assigned") == F.col("n_vectors"))
+                & (F.col("n_ids") == F.col("n_vectors"))
+            ).alias("partition_complete"),
+            (
+                (F.col("n_clusters") >= 1) & (F.col("n_clusters") <= k)
+            ).alias("k_bounded"),
+            (F.col("n_clusters") >= 2).alias("multi_cluster"),
+            (F.col("wss") <= F.col("tss")).alias("wss_le_tss"),
+        )
     )
 
 
@@ -2054,7 +2112,79 @@ def q_hard_negatives_ann(spark, sf_dir):
     )
 
 
-@register("q_semdedup")  # kmeans blocking is iterative → rows-only
+_SEMDEDUP_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           TRUE AS partition_complete, TRUE AS marks_sound,
+           TRUE AS marks_complete, TRUE AS keeps_remain
+    FROM embeddings
+"""
+
+
+def _semdedup_invariants(emb, marked, threshold: float):
+    """One-row invariant summary for a semdedup marking (the
+    sketch-oracle pattern: exact count + hash-checked booleans).
+
+    The clustering is iterative so per-cluster rows are not
+    SQL-reproducible; what IS exactly checkable is the marking
+    semantics GIVEN the clustering: an INDEPENDENT within-cluster pair
+    recomputation (direct cosine fold, not the operator's
+    blocked_neardup_pairs path) asserts that is_dup holds for exactly
+    the vectors with a lower-id cosine-≥τ neighbor in their cluster —
+    ``marks_sound`` (no false marks) and ``marks_complete`` (no missed
+    marks) together pin the keep-lowest-id policy end to end. The
+    verify is a cluster-keyed equi-join, Σ n_c² pair work, the same
+    scale shape as the operator itself."""
+    cl = (
+        emb.select("vec_id", "embedding")
+        .join(marked, "vec_id")
+        .select(
+            "vec_id", "cluster", "is_dup",
+            F.expr(
+                "transform(embedding, x -> cast(x as double))"
+            ).alias("v"),
+        )
+        .persist()
+    )
+    a = cl.select(
+        F.col("cluster").alias("c"), F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"),
+    )
+    b = cl.select(
+        F.col("cluster").alias("c"), F.col("vec_id").alias("ib"),
+        F.col("v").alias("vb"),
+    )
+    has_nb = (
+        a.join(b, "c")
+        .where(F.col("ib") < F.col("ia"))
+        .where(S.cosine_sim(F.col("va"), F.col("vb")) >= threshold)
+        .select(F.col("ia").alias("vec_id"))
+        .distinct()
+        .withColumn("__nb", F.lit(True))
+    )
+    flags = cl.join(has_nb, "vec_id", "left").select(
+        "vec_id", "is_dup", F.coalesce("__nb", F.lit(False)).alias("nb")
+    )
+    checks = flags.agg(
+        F.count(F.lit(1)).alias("n_marked"),
+        F.countDistinct("vec_id").alias("n_ids"),
+        F.min(~F.col("is_dup") | F.col("nb")).alias("marks_sound"),
+        F.min(F.col("is_dup") | ~F.col("nb")).alias("marks_complete"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dups"),
+    )
+    total = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+    return total.crossJoin(checks).select(
+        "n_vectors",
+        (
+            (F.col("n_marked") == F.col("n_vectors"))
+            & (F.col("n_ids") == F.col("n_vectors"))
+        ).alias("partition_complete"),
+        "marks_sound",
+        "marks_complete",
+        (F.col("n_dups") < F.col("n_vectors")).alias("keeps_remain"),
+    )
+
+
+@register("q_semdedup", oracle=_SEMDEDUP_ORACLE)
 def q_semdedup(spark, sf_dir):
     """SemDeDup semantic dedup (Abbas et al. 2023): k-means cluster the
     embedding corpus, mark within-cluster cosine-≥τ near-duplicates of a
@@ -2065,15 +2195,13 @@ def q_semdedup(spark, sf_dir):
     pairwise pass (wall ratio pinned by tools/scale_smoke.py). τ is
     corpus-calibrated (0.3 on this synthetic corpus, where label-mates
     cluster near cosine ~0.35; real text embeddings use ~0.95).
-    Output: per-cluster vector/duplicate accounting (k rows,
-    deterministic)."""
+    Output: the one-row invariant summary from _semdedup_invariants —
+    exact corpus count plus booleans proving the marking is exactly
+    the lower-id-neighbor relation within the realized clustering."""
     emb = _t(spark, sf_dir, "embeddings")
     k = max(8, emb.count() // 64)
     marked = S.semdedup(emb, k=k, threshold=0.3, n_iter=2)
-    return marked.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("n_vectors"),
-        F.sum(F.col("is_dup").cast("long")).alias("n_dups"),
-    )
+    return _semdedup_invariants(emb, marked, threshold=0.3)
 
 
 @register(
@@ -2309,20 +2437,19 @@ def q_label_propagation(spark, sf_dir):
     )
 
 
-@register("q_semdedup_hier")  # hierarchical blocking, iterative → rows-only
+@register("q_semdedup_hier", oracle=_SEMDEDUP_ORACLE)
 def q_semdedup_hier(spark, sf_dir):
     """SemDeDup with the hierarchical blocking path FORCED (k=64 is
     past the flat-path cutoff): depth-log_branch(k) levels of
     branch-way Lloyd — the O(n·branch·log k) quantizer semdedup uses
     when k grows with the corpus, registered so the driver exercises
     the scale path directly rather than only through the smoke/tests.
-    Output: per-cluster vector/duplicate accounting."""
+    Output: the one-row invariant summary from _semdedup_invariants
+    (exact count + marking-exactness booleans), same oracle pattern as
+    q_semdedup."""
     emb = _t(spark, sf_dir, "embeddings")
     marked = S.semdedup(emb, k=64, threshold=0.3, n_iter=2)
-    return marked.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("n_vectors"),
-        F.sum(F.col("is_dup").cast("long")).alias("n_dups"),
-    )
+    return _semdedup_invariants(emb, marked, threshold=0.3)
 
 
 @register(

@@ -48,12 +48,12 @@ def test_rows_only_set_is_intentional():
     here, not an accident."""
     rows_only = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
     declared = sorted([
-        # nondeterministic by contract (monotonically_increasing_id)
+        # nondeterministic by contract (monotonically_increasing_id).
+        # The k-means family (q_kmeans_clusters, q_semdedup,
+        # q_semdedup_hier) left this list in round 4: upgraded to
+        # one-row invariant summaries under the sketch-oracle pattern
+        # (exact counts + hash-checked partition/marking booleans).
         "q_mono_id",
-        # k-means blocking — iterative, centroid-dependent (q_approx_agg
-        # left this list: upgraded to the exact+error-bound-boolean
-        # sketch oracle pattern)
-        "q_kmeans_clusters", "q_semdedup", "q_semdedup_hier",
     ])
     assert rows_only == declared, (
         "rows-only set drifted; either add an oracle_sql twin or update "
