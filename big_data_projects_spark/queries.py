@@ -180,15 +180,64 @@ _ROUND4_WINDOW = _ROUND4_QUEUE[:25] + [
 ]
 
 
-def _round3_swept() -> bool:
+# Round-5 window, pre-staged the same way (gated on the driver-committed
+# CORRECTNESS_r04.json artifact — the correctness files are checked into
+# git each round, so the rotation is reproducible from the repo alone).
+# Contents: every remaining never-driver-checked query — after round 4
+# lands, exactly the 49 below — plus one stale-row refresh
+# (q_kmeans_clusters: its r02 row is a rows-only check; it gained an
+# invariant hash-match oracle in round 4).  Union of r1–r5 windows then
+# covers the whole registry.  The other stale rows-only driver rows
+# (q_pandas_udaf_trimmed, q_pagerank_sim_graph, q_knn_batch, q_knn_ivf,
+# plus the r4-upgraded q_semdedup stale pair if r4 misses them) queue
+# for round 6.
+_ROUND5_WINDOW = [
+    # expression / API surface stragglers
+    "q_skew_stats", "q_cogroup_stats", "q_asof_forward", "q_asof_nearest",
+    "q_higher_order_funcs", "q_regex_extract_all", "q_xml_extract",
+    "q_null_semantics", "q_map_lambdas", "q_generator_funcs",
+    "q_collation", "q_map_in_arrow",
+    # source / sink / physical-layout stragglers
+    "q_range_sharded_write", "q_scan_merge_schema", "q_dpp_join",
+    "q_scan_csv_corrupt", "q_scan_xml", "q_observe_metrics",
+    "q_metadata_columns", "q_codec_tradeoff",
+    # multimodal trio (stale r01 rows-only rows; oracle-backed since r3)
+    "q_multimodal_features", "q_multimodal_resize", "q_multimodal_frames",
+    # k-means family (invariant oracles landed in round 4)
+    "q_semdedup", "q_semdedup_hier", "q_kmeans_clusters",
+    # text / corpus stragglers
+    "q_bpe_merge_step", "q_gopher_rules", "q_token_histogram",
+    "q_quality_ensemble", "q_url_parse", "q_html_strip", "q_oov_rate",
+    "q_upsample_mix", "q_length_batching", "q_global_shuffle",
+    "q_skipgram_pairs",
+    # streaming stragglers
+    "q_stream_dedup_watermarked", "q_stream_daily_topk",
+    "q_stream_file_ingest",
+    # time-series stragglers
+    "q_event_transitions", "q_mad_outliers", "q_trend_slope",
+    "q_ohlc_bars", "q_approx_percentile_bound",
+    # SQL entry points
+    "q_parameterized_sql", "q_sql_variables", "q_sql_scripting",
+    "q_pandas_api_rollup", "q_sql_udf",
+]
+
+
+def _swept(round_no: int) -> bool:
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    return os.path.exists(os.path.join(repo, "CORRECTNESS_r03.json"))
+    return os.path.exists(
+        os.path.join(repo, f"CORRECTNESS_r{round_no:02d}.json")
+    )
 
 
 def _rotate_registry() -> None:
-    if _round3_swept():  # round 4: pre-staged window to the front
+    if _swept(4):  # round 5: pre-staged window to the front
+        front, already = (
+            _ROUND5_WINDOW,
+            _ALREADY_DRIVER_CHECKED + _ROUND3_WINDOW + _ROUND4_WINDOW,
+        )
+    elif _swept(3):  # round 4: pre-staged window to the front
         front, already = (
             _ROUND4_WINDOW,
             _ALREADY_DRIVER_CHECKED + _ROUND3_WINDOW,

@@ -1,0 +1,67 @@
+"""The driver checks the FIRST 50 registry entries each round; these
+meta-tests pin the rotation machinery so a window typo or a forgotten
+activation can't silently waste a round's correctness signal."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from big_data_projects_spark.queries import (
+    REGISTRY,
+    _ALREADY_DRIVER_CHECKED,
+    _ROUND3_WINDOW,
+    _ROUND4_WINDOW,
+    _ROUND5_WINDOW,
+    _swept,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _driver_checked() -> set[str]:
+    names: set[str] = set()
+    for r in range(1, 10):
+        p = os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                names |= set(json.load(f))
+    return names
+
+
+def test_windows_are_well_formed():
+    for window in (_ROUND3_WINDOW, _ROUND4_WINDOW, _ROUND5_WINDOW):
+        assert len(window) == 50
+        assert len(set(window)) == 50, "duplicate entry in a window"
+        missing = [n for n in window if n not in REGISTRY]
+        assert not missing, f"window names not registered: {missing}"
+
+
+def test_active_window_is_at_the_front():
+    names = list(REGISTRY)
+    if _swept(4):
+        expected = _ROUND5_WINDOW
+    elif _swept(3):
+        expected = _ROUND4_WINDOW
+    else:
+        expected = _ROUND3_WINDOW
+    assert names[:50] == expected, (
+        "the driver would sweep the wrong 50 queries this round"
+    )
+
+
+def test_every_query_lands_under_a_driver_window():
+    """Union of recorded driver rows + pre-staged windows must cover the
+    registry: every query eventually gets the hard driver signal."""
+    covered = (
+        _driver_checked()
+        | set(_ALREADY_DRIVER_CHECKED)
+        | set(_ROUND3_WINDOW)
+        | set(_ROUND4_WINDOW)
+        | set(_ROUND5_WINDOW)
+    )
+    uncovered = [n for n in REGISTRY if n not in covered]
+    assert not uncovered, (
+        "queries with no recorded driver row and no window slot "
+        f"(extend the next round's window): {uncovered}"
+    )
