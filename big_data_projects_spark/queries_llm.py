@@ -2965,3 +2965,290 @@ def q_rank_fusion(spark, sf_dir):
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), "id").limit(20)
+
+
+@register(
+    "q_kn_bigram_ppl",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, t[i] AS a, t[i+1] AS b
+        FROM toks, UNNEST(generate_series(1, len(t)-1)) AS u(i)
+        WHERE len(t) >= 2
+    ),
+    cb AS (SELECT a, b, COUNT(*) AS c_ab FROM bi GROUP BY 1, 2),
+    cl AS (SELECT a, COUNT(*) AS c_l FROM bi GROUP BY 1),
+    n1l AS (SELECT a, COUNT(*) AS n1p_l FROM cb GROUP BY 1),
+    n1r AS (SELECT b, COUNT(*) AS n1p_r FROM cb GROUP BY 1),
+    nt AS (SELECT COUNT(*) AS n1p_tot FROM cb),
+    p AS (
+        SELECT bi.doc_id,
+               CAST(round(-ln(
+                 (greatest(CAST(c_ab AS DOUBLE) - 0.75, 0.0)
+                  + (0.75 * CAST(n1p_l AS DOUBLE))
+                    * (CAST(n1p_r AS DOUBLE) / CAST(n1p_tot AS DOUBLE)))
+                 / CAST(c_l AS DOUBLE)), 12) AS DECIMAL(38,14)) AS x
+        FROM bi JOIN cb USING (a, b) JOIN cl USING (a)
+                JOIN n1l USING (a) JOIN n1r USING (b) CROSS JOIN nt
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(x) AS DOUBLE) AS s
+        FROM p GROUP BY 1
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           round(exp(s / n_bigrams), 8) AS kn_ppl
+    FROM agg
+    """,
+)
+def q_kn_bigram_ppl(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM perplexity per document
+    (Kneser & Ney 1995; Chen & Goodman 1998) — the classic
+    count-based LM quality filter one step up from q_unigram_ppl:
+    P(w2|w1) = (max(c(w1,w2)−D, 0) + D·N1+(w1,·)·Pcont(w2)) / c(w1·)
+    with discount D = 0.75 and the continuation probability
+    Pcont(w2) = N1+(·,w2)/N1+(·,·), so frequent-but-unproductive
+    bigrams ("san francisco") stop inflating their second word's
+    unigram weight.
+
+    All model quantities are exact integer count tables (bigram
+    counts, left-context totals, left/right continuation type counts);
+    the probability is one fixed-shape double expression written
+    identically in both engines, each token's −ln P rounds to 12 and
+    decimal-sums per doc (shuffle-order-independent), and the final
+    exp rounds to 8 — hash-matches the oracle. Plan at 100 TB:
+    bigrams generate IN-ROW (transform over sequence — no position
+    self-join), three count shuffles keyed on bigram/context, the
+    1-row type total broadcasts, per-doc scoring is bigram-keyed
+    equi-joins + one doc_id aggregate; docs with <2 tokens drop out
+    naturally on both sides."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.tokens("text").alias("t"))
+    bi = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS a, t[i+1] AS b))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.a", "p.b")
+        .persist()  # feeds three count tables + the scoring join
+    )
+    cb = bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    cl = bi.groupBy("a").agg(F.count(F.lit(1)).alias("c_l"))
+    n1l = cb.groupBy("a").agg(F.count(F.lit(1)).alias("n1p_l"))
+    n1r = cb.groupBy("b").agg(F.count(F.lit(1)).alias("n1p_r"))
+    nt = cb.agg(F.count(F.lit(1)).alias("n1p_tot"))
+    p_kn = (
+        F.greatest(
+            F.col("c_ab").cast("double") - F.lit(0.75), F.lit(0.0)
+        )
+        + (F.lit(0.75) * F.col("n1p_l").cast("double"))
+        * (F.col("n1p_r").cast("double") / F.col("n1p_tot").cast("double"))
+    ) / F.col("c_l").cast("double")
+    scored = (
+        bi.join(cb, ["a", "b"])
+        .join(cl, "a")
+        .join(n1l, "a")
+        .join(n1r, "b")
+        .join(F.broadcast(nt))
+        .select(
+            "doc_id",
+            F.round(-F.log(p_kn), 12).cast("decimal(38,14)").alias("x"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("x").cast("double").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(F.exp(F.col("s") / F.col("n_bigrams")), 8).alias(
+                "kn_ppl"
+            ),
+        )
+    )
+
+
+@register(
+    "q_pipeline_ccnet",
+    oracle=r"""
+    WITH langs AS (
+        SELECT doc_id,
+            CASE WHEN en=0 AND de=0 AND fr=0 AND es=0 AND zh=0 THEN 'unknown'
+                 WHEN en>=de AND en>=fr AND en>=es AND en>=zh THEN 'en'
+                 WHEN de>=fr AND de>=es AND de>=zh THEN 'de'
+                 WHEN fr>=es AND fr>=zh THEN 'fr'
+                 WHEN es>=zh THEN 'es'
+                 ELSE 'zh' END AS pred_lang
+        FROM (
+            SELECT doc_id,
+                len(regexp_extract_all(lower(text), '\b(the|a|is|and|of)\b')) AS en,
+                len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS de,
+                len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS fr,
+                len(regexp_extract_all(lower(text), '\b(el|los|las|y|es)\b')) AS es,
+                len(regexp_extract_all(lower(text), '[\x{4e00}-\x{9fff}]')) AS zh
+            FROM documents)
+    ),
+    toks AS (
+        SELECT d.doc_id, l.pred_lang,
+               unnest(regexp_split_to_array(trim(lower(d.text)), '\s+'))
+                 AS term
+        FROM documents d JOIN langs l USING (doc_id)
+    ),
+    cf AS (SELECT pred_lang, term, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    tot AS (SELECT pred_lang, COUNT(*) AS n, COUNT(DISTINCT term) AS v
+            FROM toks GROUP BY 1),
+    nll AS (
+        SELECT t.doc_id, t.pred_lang,
+               CAST(round(-ln((c + 1.0) / (n + v)), 12) AS DECIMAL(38,14))
+                 AS x
+        FROM toks t JOIN cf USING (pred_lang, term)
+                    JOIN tot USING (pred_lang)
+    ),
+    ppl AS (
+        SELECT doc_id, pred_lang,
+               round(exp(CAST(SUM(x) AS DOUBLE) / COUNT(*)), 8) AS ppl
+        FROM nll GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT doc_id, pred_lang, ppl,
+               ROW_NUMBER() OVER (PARTITION BY pred_lang
+                                  ORDER BY ppl, doc_id) AS r,
+               COUNT(*) OVER (PARTITION BY pred_lang) AS n_lang
+        FROM ppl
+    ),
+    keeps AS (
+        SELECT doc_id,
+               doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+        FROM documents
+    ),
+    b AS (
+        SELECT pred_lang,
+               CAST((3 * (r - 1)) // n_lang AS INT) + 1 AS bucket, ppl, keep
+        FROM ranked JOIN keeps USING (doc_id)
+    )
+    SELECT pred_lang,
+           CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(CAST(SUM(CAST(ppl AS DECIMAL(38,14))) AS DOUBLE)
+                 / COUNT(*), 8) AS avg_ppl
+    FROM b GROUP BY 1, 2
+    """,
+)
+def q_pipeline_ccnet(spark, sf_dir):
+    """CCNet-shaped corpus curation pipeline (Wenzek et al. 2020),
+    composed end-to-end from this repo's operators: language-ID
+    (marker-word heuristic) → PER-LANGUAGE unigram-LM perplexity →
+    head/middle/tail terciles within each language (CCNet's quality
+    bucketing) → exact md5 dedup (keep-lowest-id) → per-(lang, bucket)
+    accounting with kept counts and mean perplexity.
+
+    Scale design: the tercile needs a per-language rank, which at
+    100 TB with ~6 languages would make a per-lang window 6 giant
+    single-task partitions — so the rank comes from ONE global
+    sharded_row_number over (lang, ppl, doc_id) (distributed
+    prefix-sum, 32-shard range partition, the only single-partition
+    window sees 32 aggregated rows) and per-lang ranks are recovered
+    by subtracting each language's broadcast min-rank. Bucket
+    boundaries are exact integer arithmetic ((3·r0) DIV n_lang), the
+    md5 dedup window partitions by the high-cardinality fingerprint,
+    and every float (ln round-12, decimal sum, ppl round-8, avg
+    round-8) follows the repo's determinism conventions — the whole
+    composed pipeline hash-matches the oracle."""
+    from big_data_projects_spark.operators.relational import (
+        sharded_row_number,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    langs = docs.select(
+        "doc_id", "text", T.predict_lang("text").alias("pred_lang")
+    )
+    toks = langs.select(
+        "doc_id", "pred_lang", F.explode(T.tokens("text")).alias("term")
+    ).persist()  # feeds the count tables AND the per-token scoring join
+    cf = toks.groupBy("pred_lang", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = toks.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("term").alias("v")
+    )
+    nll = (
+        toks.join(cf, ["pred_lang", "term"])
+        .join(F.broadcast(tot), "pred_lang")
+        .select(
+            "doc_id", "pred_lang",
+            F.round(
+                -F.log(
+                    (F.col("c") + F.lit(1.0)) / (F.col("n") + F.col("v"))
+                ),
+                12,
+            )
+            .cast("decimal(38,14)")
+            .alias("x"),
+        )
+    )
+    ppl = (
+        nll.groupBy("doc_id", "pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("x").cast("double").alias("s"),
+        )
+        .select(
+            "doc_id", "pred_lang",
+            F.round(F.exp(F.col("s") / F.col("n_toks")), 8).alias("ppl"),
+        )
+    )
+    ranked = sharded_row_number(
+        ppl, ["pred_lang", "ppl", "doc_id"], out_col="grn"
+    ).persist()  # consumed by lang_stats AND the bucket join
+    lang_stats = ranked.groupBy("pred_lang").agg(
+        F.min("grn").alias("base"), F.count(F.lit(1)).alias("n_lang")
+    )
+    keeps = docs.select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(
+                Window.partitionBy(F.md5(F.col("text").cast("binary")))
+            )
+        ).alias("keep"),
+    )
+    b = (
+        ranked.join(F.broadcast(lang_stats), "pred_lang")
+        .join(keeps, "doc_id")
+        .select(
+            "pred_lang",
+            (
+                F.expr("CAST((3 * (grn - base)) DIV n_lang AS INT)")
+                + F.lit(1)
+            ).alias("bucket"),
+            "ppl", "keep",
+        )
+    )
+    return b.groupBy(
+        "pred_lang",
+        F.when(F.col("bucket") == 1, "head")
+        .when(F.col("bucket") == 2, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.round(
+            F.sum(F.col("ppl").cast("decimal(38,14)")).cast("double")
+            / F.count(F.lit(1)),
+            8,
+        ).alias("avg_ppl"),
+    )

@@ -54,6 +54,10 @@ SINGLE_PARTITION_OK = {
     # operators.relational.sharded_row_number — identical shape: the
     # single-partition window consumes the n_shards-row totals relation.
     "q_vocab_build", "q_global_shuffle", "q_length_batching",
+    # per-language tercile rank via ONE global sharded_row_number
+    # (naive per-lang windows would be ~6 giant partitions): same
+    # 32-row shard-totals single-partition window as above.
+    "q_pipeline_ccnet",
     # load-factor normalization: the only single-partition window is
     # the total over the N_SHARDS-row (8-row) per-shard counts — the
     # per-doc routing itself is a broadcast-array lambda, no window.

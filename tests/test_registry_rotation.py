@@ -13,6 +13,7 @@ from big_data_projects_spark.queries import (
     _ROUND3_WINDOW,
     _ROUND4_WINDOW,
     _ROUND5_WINDOW,
+    _ROUND6_QUEUE,
     _swept,
 )
 
@@ -59,6 +60,7 @@ def test_every_query_lands_under_a_driver_window():
         | set(_ROUND3_WINDOW)
         | set(_ROUND4_WINDOW)
         | set(_ROUND5_WINDOW)
+        | set(_ROUND6_QUEUE)
     )
     uncovered = [n for n in REGISTRY if n not in covered]
     assert not uncovered, (
