@@ -3252,3 +3252,122 @@ def q_pipeline_ccnet(spark, sf_dir):
             8,
         ).alias("avg_ppl"),
     )
+
+
+def _bpe_train_oracle(n_steps: int = 8) -> str:
+    """Unrolled n-step BPE-training oracle (the q_mmr_diversity
+    unrolled-CTE precedent): level i counts weighted adjacent symbol
+    pairs over the word-TYPE table, picks the argmax (count desc, then
+    lexicographic pair), and applies the merge via space-delimited
+    string replace — the same left-to-right non-overlapping scan Java's
+    String.replace performs, so the merge application is
+    engine-portable by construction."""
+    ctes = [r"""
+    base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+               ' ' || regexp_replace(term, '(.)', '\1 ', 'g') AS word
+        FROM (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                     AS term
+            FROM documents
+        )
+        GROUP BY term
+    ), w0 AS (SELECT cnt, word FROM base)"""]
+    for i in range(n_steps):
+        ctes.append(f"""
+    p{i} AS (
+        SELECT s[i] AS a, s[i+1] AS b, SUM(cnt) AS c
+        FROM (SELECT cnt, regexp_split_to_array(trim(word), ' ') AS s
+              FROM w{i}),
+             UNNEST(generate_series(1, len(s)-1)) AS u(i)
+        GROUP BY 1, 2
+    ),
+    b{i} AS (SELECT a, b, c FROM p{i} ORDER BY c DESC, a, b LIMIT 1),
+    w{i + 1} AS (
+        SELECT cnt,
+               replace(word, ' ' || b{i}.a || ' ' || b{i}.b || ' ',
+                       ' ' || b{i}.a || b{i}.b || ' ') AS word
+        FROM w{i} CROSS JOIN b{i}
+    )""")
+    unions = "\n        UNION ALL ".join(
+        f"SELECT {i + 1} AS step, a AS pair_a, b AS pair_b,"
+        f" CAST(c AS BIGINT) AS freq FROM b{i}"
+        for i in range(n_steps)
+    )
+    return (
+        "WITH" + ",".join(ctes)
+        + f"\n    SELECT * FROM ({unions}) ORDER BY step"
+    )
+
+
+@register("q_bpe_train", oracle=_bpe_train_oracle())
+def q_bpe_train(spark, sf_dir):
+    """Iterative BPE tokenizer TRAINING (Sennrich et al. 2016), 8 merge
+    rounds end-to-end — the multi-step completion of q_bpe_merge_step:
+    words become space-delimited symbol strings, each round counts
+    frequency-weighted adjacent symbol pairs over the word-TYPE table,
+    the argmax pair (count desc, lexicographic tie-break) merges
+    everywhere via space-delimited string replace, and the output is
+    the 8-row merge trajectory (step, pair, weighted count).
+
+    Scale shape: the corpus collapses to the word-type table in ONE
+    token groupBy (types ~ vocab-sized, not corpus-sized — at 100 TB
+    the iteration input is millions of rows, not trillions); every
+    round is a pair-count aggregate (keyed shuffle) plus a 1-row
+    argmax collect (control-plane, the PQ-training bounded-actions
+    precedent), and merge application is a codegen projection. Each
+    round persists its word state and unpersists the previous so
+    lineage stays O(1) deep. Merge application uses the same
+    left-to-right non-overlapping replace scan in both engines, so
+    the full 8-step trajectory hash-matches the unrolled oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(T.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            "cnt",
+            F.concat(
+                F.lit(" "),
+                F.regexp_replace(F.col("term"), "(.)", "$1 "),
+            ).alias("word"),
+        )
+        .persist()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    cur = words
+    for step in range(1, 9):
+        syms = cur.select(
+            "cnt", F.split(F.trim(F.col("word")), " ").alias("s")
+        )
+        pairs = (
+            syms.filter(F.size("s") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(s) - 2),"
+                        " i -> struct(s[i] AS a, s[i+1] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        best = pairs.orderBy(F.desc("c"), "a", "b").limit(1).collect()[0]
+        merges.append((step, best["a"], best["b"], best["c"]))
+        nxt = cur.select(
+            "cnt",
+            F.replace(
+                F.col("word"),
+                F.lit(f" {best['a']} {best['b']} "),
+                F.lit(f" {best['a']}{best['b']} "),
+            ).alias("word"),
+        ).persist()
+        nxt.count()  # materialize before dropping the parent state
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return spark.createDataFrame(
+        merges, "step int, pair_a string, pair_b string, freq long"
+    )

@@ -183,6 +183,32 @@ SHOWCASE = [
         "q_ngram_jaccard profile.",
     ),
     (
+        "q_semdedup",
+        "SemDeDup with its round-4 invariant verify: k-means blocking "
+        "(broadcast centroid assign), within-cluster pair work as a "
+        "cluster-keyed equi-join (never all-pairs), and the "
+        "marks_sound/marks_complete recomputation rides the SAME "
+        "cluster-keyed join shape — the verify adds no new scale "
+        "hazard over the operator itself.",
+    ),
+    (
+        "q_kn_bigram_ppl",
+        "Kneser-Ney bigram LM scoring: bigrams generate IN-ROW "
+        "(Generate over transform(sequence) — no position self-join), "
+        "all count/continuation tables are keyed aggregates, the 1-row "
+        "type total broadcasts, and per-doc scoring is bigram-keyed "
+        "equi-joins + one doc_id aggregate.",
+    ),
+    (
+        "q_pipeline_ccnet",
+        "CCNet curation composed in one plan: per-language LM stats "
+        "broadcast onto the token stream, the per-language tercile "
+        "rank rides ONE global sharded prefix-sum (32-row "
+        "single-partition window over shard totals; per-lang windows "
+        "would be ~6 giant partitions), and the md5 dedup window "
+        "partitions by the high-cardinality fingerprint.",
+    ),
+    (
         "q_drift_psi",
         "Drift monitoring at scale: the timeline midpoint and per-type "
         "bin edges are tiny aggregates BROADCAST back onto the fact "
