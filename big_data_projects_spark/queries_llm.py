@@ -3371,3 +3371,83 @@ def q_bpe_train(spark, sf_dir):
     return spark.createDataFrame(
         merges, "step int, pair_a string, pair_b string, freq long"
     )
+
+
+@register(
+    "q_preference_pairs",
+    oracle=r"""
+    WITH f AS (
+        SELECT doc_id, source,
+               least(1.0, n_tokens / 50.0)
+                 * (1.0 - n_punct / n_tokens)
+                 * (0.5 + 0.5 * (n_stopwords / n_tokens)) AS q
+        FROM (
+            SELECT doc_id, source,
+                   CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                        AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(lower(text), '[.,;:!?]'))
+                        AS BIGINT) AS n_punct,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '\b(the|a|is|and|of|to|in|that|it|for)\b'))
+                        AS BIGINT) AS n_stopwords
+            FROM documents)
+    ),
+    c AS (
+        SELECT source, doc_id AS chosen_doc, q AS cq,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY q DESC, doc_id) AS r
+        FROM f
+    ),
+    rj AS (
+        SELECT source, doc_id AS rejected_doc, q AS rq,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY q ASC, doc_id) AS r
+        FROM f
+    )
+    SELECT c.source, chosen_doc, rejected_doc, cq - rq AS margin
+    FROM c JOIN rj ON c.source = rj.source
+    WHERE c.r = 1 AND rj.r = 1 AND chosen_doc <> rejected_doc
+    """,
+)
+def q_preference_pairs(spark, sf_dir):
+    """Preference-pair construction for DPO/RLHF-style training: per
+    source group, pair the highest-quality document (chosen) with the
+    lowest-quality one (rejected) under the deterministic heuristic
+    quality score, with doc_id tie-breaks on both ends and degenerate
+    single-doc groups dropped.
+
+    Scale shape: per-group argmax/argmin run as min-of-struct
+    AGGREGATES (one keyed shuffle), NOT per-source windows — source
+    cardinality is low, so a partitioned window would funnel each
+    source through one task at 100 TB while the aggregate gets
+    map-side partial combine. The struct trick (min over (−score, id)
+    / (score, id)) carries the tie-break inside the aggregate. The
+    score is the q_text_quality int-ratio expression, identical in
+    both engines, so the margin doubles hash-match."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = T.quality_features(docs).select(
+        "doc_id", "source", "quality_score"
+    )
+    agg = feats.groupBy("source").agg(
+        F.min(
+            F.struct(
+                (-F.col("quality_score")).alias("ns"),
+                F.col("doc_id").alias("id"),
+            )
+        ).alias("ch"),
+        F.min(
+            F.struct(
+                F.col("quality_score").alias("s"),
+                F.col("doc_id").alias("id"),
+            )
+        ).alias("rj"),
+    )
+    return (
+        agg.select(
+            "source",
+            F.col("ch.id").alias("chosen_doc"),
+            F.col("rj.id").alias("rejected_doc"),
+            ((-F.col("ch.ns")) - F.col("rj.s")).alias("margin"),
+        )
+        .where(F.col("chosen_doc") != F.col("rejected_doc"))
+    )
