@@ -104,6 +104,12 @@ QUERIES = [
     # inflating the dup-shingle join-back, which stays linear in span
     # occurrences by construction — this measures it.
     "q_dup_span",
+    # round-4 additions: KN bigram scoring is bigram-keyed joins (risk:
+    # the per-token scoring join fanning out on hot bigrams); BPE
+    # training iterates on the word-TYPE table, whose size grows
+    # sublinearly with the corpus — this measures both claims.
+    "q_kn_bigram_ppl",
+    "q_bpe_train",
 ]
 # Near-linear tolerance: shuffles and within-bucket verify grow a bit
 # superlinearly even in healthy plans; 3x headroom over proportional
