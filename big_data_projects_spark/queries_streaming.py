@@ -726,3 +726,113 @@ def q_stream_fuzzy_dedup(spark, sf_dir):
         .filter(F.col("jaccard") >= 0.1)
     )
     return j
+
+
+@register(
+    "q_stream_bloom_dedup",
+    oracle=r"""
+    WITH f AS (
+        SELECT doc_id,
+               md5(array_to_string(list_slice(
+                   regexp_split_to_array(trim(lower(text)), '\s+'),
+                   1, 5), ' ')) AS fp
+        FROM documents
+    )
+    SELECT a.doc_id,
+           a.fp IN (SELECT fp FROM f WHERE doc_id % 3 <> 0) AS is_dup
+    FROM f a WHERE a.doc_id % 3 = 0
+    """,
+)
+def q_stream_bloom_dedup(spark, sf_dir):
+    """Bloom-gated streaming exact-dedup ingestion: incoming documents
+    are fingerprinted IN-ROW (md5 of the first-5-token prefix — the
+    leading-boilerplate dedup key) and pass through a broadcast
+    4096-bit Bloom bitmask built from the corpus ledger (64 packed
+    int64 literals, k=3 xxhash64 probes). Bloom-negative docs are
+    DEFINITELY new and bypass the ledger join entirely — at 100 TB
+    that is the difference between shuffling every incoming doc
+    against a billion-row ledger and shuffling only the small
+    maybe-duplicate fraction; bloom-positive docs go through the exact
+    stream-static equi-join, which resolves false positives. Because a
+    Bloom filter has no false negatives, gate+verify is EXACTLY the
+    plain membership semantics, so the drained result hash-matches a
+    bloom-free oracle — a wrong bitmask or probe would surface as a
+    missed duplicate. (This demonstrates the gate with an explicit
+    bitmask; for batch joins Catalyst injects the same shape natively
+    — q_bloom_filter_join — and a production stream against a huge
+    ledger sizes the bitmask to the ledger cardinality.) Candidates
+    drain through the distributed foreachBatch sink, never the
+    driver."""
+    from big_data_projects_spark.data import load_table
+    from big_data_projects_spark.streaming.core import (
+        documents_stream,
+        run_to_distributed_batch,
+    )
+
+    ensure_runtime_conf(spark)
+    B, K = 4096, 3
+
+    def fp_col():
+        toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        return F.md5(
+            F.concat_ws(" ", F.slice(toks, 1, 5)).cast("binary")
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ledger = (
+        docs.where(F.col("doc_id") % 3 != 0)
+        .select(fp_col().alias("fp"))
+        .distinct()
+        .persist()
+    )
+
+    # Build: occupied bit positions (≤ B aggregated ints, control-plane
+    # collect) packed into B/64 signed longs for a compact plan literal.
+    probes = [
+        F.pmod(F.xxhash64(F.col("fp"), F.lit(i)), F.lit(B))
+        for i in range(K)
+    ]
+    positions = [
+        r["p"]
+        for r in ledger.select(
+            F.explode(F.array(*probes)).alias("p")
+        ).distinct().collect()
+    ]
+    words = [0] * (B // 64)
+    for p in positions:
+        words[p // 64] |= 1 << (p % 64)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    mask = F.array(*[F.lit(w).cast("long") for w in words])
+
+    stream = documents_stream(spark, sf_dir).where(
+        F.col("doc_id") % 3 == 0
+    ).select("doc_id", fp_col().alias("fp"))
+
+    def bit_set(h):
+        word = F.element_at(mask, (h / 64).cast("int") + 1)
+        shifted = F.call_function(
+            "shiftright", word, (h % 64).cast("int")
+        )
+        return shifted.bitwiseAND(F.lit(1)) == 1
+
+    maybe = None
+    for i in range(K):
+        h = F.pmod(F.xxhash64(F.col("fp"), F.lit(i)), F.lit(B))
+        b = bit_set(h)
+        maybe = b if maybe is None else (maybe & b)
+
+    gated = stream.withColumn("__maybe", maybe)
+    clean = gated.where(~F.col("__maybe")).select(
+        "doc_id", F.lit(False).alias("is_dup")
+    )
+    cand = (
+        gated.where(F.col("__maybe"))
+        .join(
+            ledger.withColumn("__hit", F.lit(True)), "fp", "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__hit"), F.lit(False)).alias("is_dup"),
+        )
+    )
+    return run_to_distributed_batch(clean.unionByName(cand))
