@@ -193,3 +193,54 @@ def test_available_now_honors_rate_limit(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == src.count()
     assert back.select("event_id").distinct().count() == src.count()
+
+
+def test_staged_source_dir_is_reused_per_process():
+    """Repeated sweeps must not leak one mkdtemp per stream build: the
+    staging dir (a symlink to the read-only source parquet) is cached
+    per source path (ADVICE r03: the unbounded temp-dir leak class)."""
+    from big_data_projects_spark.streaming.core import _staged_source
+
+    a = _staged_source(f"{SF}/events.parquet", "bdp_test_stage_")
+    b = _staged_source(f"{SF}/events.parquet", "bdp_test_stage_")
+    assert a == b
+    import os
+
+    assert os.path.islink(os.path.join(a, "events.parquet")) or os.path.isfile(
+        os.path.join(a, "events.parquet")
+    )
+
+
+def test_distributed_drain_handles_empty_stream(spark):
+    """run_to_distributed_batch on a stream that emits zero rows must
+    return an empty DataFrame with the stream's schema rather than
+    failing on an empty parquet sink dir."""
+    from big_data_projects_spark.streaming.core import (
+        documents_stream,
+        run_to_distributed_batch,
+    )
+    from pyspark.sql import functions as F
+
+    stream = documents_stream(spark, SF).where(F.col("doc_id") < 0).select(
+        "doc_id", "text"
+    )
+    out = run_to_distributed_batch(stream)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_id", "text"]
+
+
+def test_distributed_drain_never_collects_candidates(spark):
+    """The drained candidate relation must be backed by files (a scan),
+    not a driver-side LocalTableScan — the no-driver-collect contract
+    for candidate-scale streams."""
+    from big_data_projects_spark.streaming.core import (
+        documents_stream,
+        run_to_distributed_batch,
+    )
+
+    stream = documents_stream(spark, SF).select("doc_id")
+    out = run_to_distributed_batch(stream)
+    assert out.count() > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan
+    assert "FileScan" in plan or "Scan parquet" in plan
