@@ -230,7 +230,7 @@ _ROUND5_WINDOW = [
 # q_knn_ivf r02).  Anything registered in round 5 joins this list.
 _ROUND6_QUEUE = [
     "q_kn_bigram_ppl", "q_pipeline_ccnet", "q_bpe_train",
-    "q_preference_pairs", "q_stream_bloom_dedup",
+    "q_preference_pairs", "q_stream_bloom_dedup", "q_ann_recall",
     "q_pandas_udaf_trimmed", "q_pagerank_sim_graph", "q_knn_batch",
     "q_knn_ivf",
 ]

@@ -3451,3 +3451,142 @@ def q_preference_pairs(spark, sf_dir):
         )
         .where(F.col("chosen_doc") != F.col("rejected_doc"))
     )
+
+
+@register(
+    "q_ann_recall",
+    oracle="""
+    WITH qv AS (
+        SELECT vec_id,
+               greatest(list_max(list_transform(embedding::DOUBLE[],
+                                                x -> abs(x))) / 127.0,
+                        1e-300) AS s,
+               list_transform(embedding::DOUBLE[],
+                   x -> floor(x / greatest(list_max(list_transform(
+                            embedding::DOUBLE[], y -> abs(y))) / 127.0,
+                            1e-300) + 0.5)) AS q
+        FROM embeddings
+    ),
+    raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    panel AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % 25 = 0),
+    i8 AS (
+        SELECT p.qid, a.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+                   (list_dot_product(a.q, b.q) * a.s * b.s) /
+                   (sqrt(list_dot_product(a.q, a.q)) * a.s *
+                    sqrt(list_dot_product(b.q, b.q)) * b.s)
+                   DESC, a.vec_id) AS r
+        FROM qv a JOIN panel p ON a.vec_id <> p.qid
+                  JOIN qv b ON b.vec_id = p.qid
+    ),
+    ex AS (
+        SELECT p.qid, a.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+                   list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) *
+                    sqrt(list_dot_product(b.v, b.v)))
+                   DESC, a.vec_id) AS r
+        FROM raw a JOIN panel p ON a.vec_id <> p.qid
+                   JOIN raw b ON b.vec_id = p.qid
+    )
+    SELECT e.qid,
+           CAST(COUNT(i.vec_id) AS BIGINT) AS n_overlap,
+           COUNT(i.vec_id) / 10.0 AS recall_at_10
+    FROM ex e LEFT JOIN i8 i
+      ON i.qid = e.qid AND i.vec_id = e.vec_id AND i.r <= 10
+    WHERE e.r <= 10
+    GROUP BY e.qid
+    """,
+)
+def q_ann_recall(spark, sf_dir):
+    """ANN index-quality evaluation: recall@10 of the int8-quantized
+    similarity index against exact cosine, over a fixed 20-query panel
+    (vec_id % 25 = 0) — the monitoring job that tells you when a
+    quantized/approximate serving index has degraded enough to
+    rebuild. Per-query overlap of the two top-10 sets; both ranks use
+    bit-identical sims (the q_knn_cosine / q_knn_int8 parity) with
+    vec_id tie-breaks, so the recall fractions hash-match.
+
+    Scale shape: the query panel is FIXED-SIZE and broadcasts; both
+    scoring passes are one corpus scan each (BNL against the ≤20-row
+    panel — the q_hard_negatives exact-path precedent); the rank
+    windows partition by query id over the evaluation candidate set —
+    at 100 TB the eval runs over a corpus SAMPLE (recall estimates
+    need only a bounded candidate pool), keeping each window
+    partition sample-sized."""
+    emb = _t(spark, sf_dir, "embeddings")
+    panel_ids = F.col("vec_id") % 25 == 0
+
+    def ranked_top(scored, sim_col):
+        w = Window.partitionBy("qid").orderBy(
+            F.desc(sim_col), F.col("vec_id")
+        )
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") <= 10)
+            .select("qid", "vec_id")
+        )
+
+    # int8 path (same expression shape as S.quantized_topk_cosine)
+    qemb = S.quantize_int8(emb)
+    qpanel = qemb.where(panel_ids).select(
+        F.col("vec_id").alias("qid"),
+        F.col("q_vec").alias("__qv"),
+        F.col("q_scale").alias("__qs"),
+    )
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    i8_scored = (
+        qemb.crossJoin(F.broadcast(qpanel))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id",
+            (
+                (idot(F.col("q_vec"), F.col("__qv")).cast("double")
+                 * F.col("q_scale") * F.col("__qs"))
+                / (
+                    F.sqrt(
+                        idot(F.col("q_vec"), F.col("q_vec")).cast("double")
+                    )
+                    * F.col("q_scale")
+                    * F.sqrt(
+                        idot(F.col("__qv"), F.col("__qv")).cast("double")
+                    )
+                    * F.col("__qs")
+                )
+            ).alias("sim_q"),
+        )
+    )
+    i8_top = ranked_top(i8_scored, "sim_q")
+
+    # exact path
+    rpanel = emb.where(panel_ids).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("__qe")
+    )
+    ex_scored = (
+        emb.crossJoin(F.broadcast(rpanel))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id",
+            S.cosine_sim(F.col("embedding"), F.col("__qe")).alias("sim"),
+        )
+    )
+    ex_top = ranked_top(ex_scored, "sim")
+
+    return (
+        ex_top.join(
+            i8_top.withColumn("__hit", F.lit(1)), ["qid", "vec_id"], "left"
+        )
+        .groupBy("qid")
+        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_overlap"))
+        .select(
+            "qid", "n_overlap",
+            (F.col("n_overlap") / F.lit(10.0)).alias("recall_at_10"),
+        )
+    )
