@@ -233,3 +233,43 @@ def q_sql_udf(spark, sf_dir):
         FROM documents_udf_v
         """
     )
+
+
+@register(
+    "q_sql_pipe",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM events
+    WHERE value > 0.0
+    GROUP BY event_type
+    HAVING COUNT(*) >= 10
+    ORDER BY n DESC, event_type
+    """,
+)
+def q_sql_pipe(spark, sf_dir):
+    """Spark 4 SQL pipe syntax (|> operators — SIGMOD'24 'SQL Has
+    Problems' composable-query design): the linear FROM → WHERE →
+    AGGREGATE → WHERE → ORDER BY pipeline form. Pipe operators
+    desugar to the identical logical plan as nested ANSI SQL (the
+    oracle states the same relation in classic form), so adopting the
+    readable syntax costs nothing at any scale — this query pins that
+    the entry point parses, binds, and optimizes like the classic
+    one."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_pipe_v")
+    return spark.sql(
+        """
+        FROM events_pipe_v
+        |> WHERE value > 0.0
+        |> AGGREGATE COUNT(*) AS n,
+                     COUNT(DISTINCT user_id) AS n_users,
+                     CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                       AS total
+           GROUP BY event_type
+        |> WHERE n >= 10
+        |> ORDER BY n DESC, event_type
+        """
+    )
