@@ -836,3 +836,64 @@ def q_stream_bloom_dedup(spark, sf_dir):
         )
     )
     return run_to_distributed_batch(clean.unionByName(cand))
+
+
+@register(
+    "q_stream_cdc_apply",
+    oracle="""
+    WITH log AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ), counts AS (
+        SELECT user_id, COUNT(*) AS n_changes FROM log GROUP BY user_id
+    )
+    SELECT l.user_id, epoch_ms(l.ts) AS updated_ms,
+           l.value AS last_value,
+           CAST(c.n_changes AS BIGINT) AS n_changes
+    FROM log l JOIN counts c USING (user_id)
+    WHERE l.rn = 1 AND l.op <> 'D'
+    """,
+)
+def q_stream_cdc_apply(spark, sf_dir):
+    """CDC changelog materialization as a STREAMING job — the
+    continuously-maintained twin of the batch q_cdc_apply (same
+    oracle): the change stream ('error' = delete tombstone, everything
+    else upsert) folds into per-key last-writer-wins state via a
+    streaming max-of-struct aggregate — lexicographic max over
+    (ts, event_id, op, value) IS the rank-1-by-recency row, carried
+    with a per-key change counter. Micro-batch arrival order cannot
+    change the result (max and count are order-independent), so the
+    drained state hash-matches the batch materialization. State is
+    one row per live key — exactly the table being maintained, the
+    honest memory floor for any CDC sink; the drained relation is
+    key-count-sized (aggregate-shaped memory sink), and the tombstone
+    filter is applied to the materialized state exactly as a
+    downstream reader would."""
+    from big_data_projects_spark.streaming.core import (
+        events_stream,
+        run_to_completion,
+    )
+
+    ensure_runtime_conf(spark)
+    stream = events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "value",
+        F.when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+    )
+    agg = stream.groupBy("user_id").agg(
+        F.max(
+            F.struct("ts", "event_id", "op", "value")
+        ).alias("last"),
+        F.count(F.lit(1)).alias("n_changes"),
+    )
+    state = run_to_completion(agg, "complete")
+    return state.where(F.col("last.op") != "D").select(
+        "user_id",
+        F.unix_millis("last.ts").alias("updated_ms"),
+        F.col("last.value").alias("last_value"),
+        F.col("n_changes").cast("long").alias("n_changes"),
+    )
