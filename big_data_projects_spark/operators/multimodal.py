@@ -337,3 +337,73 @@ def sample_frames(binary_df: DataFrame, n_frames: int = 3, fps: float = 1.0) -> 
             yield pd.DataFrame(rows)
 
     return binary_df.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+def dhash_raster(payload: bytes) -> str:
+    """Perceptual difference hash (dHash, Krawetz 2013) of a P6 image:
+    nearest-resample to 9x8, integer grayscale (r+g+b)//3 per pixel,
+    then 64 bits of gray[r][c] < gray[r][c+1] — returned as a 64-char
+    '0'/'1' string. Small photometric noise flips few bits (hamming
+    distance stays low), which is what makes it a NEAR-dup signature
+    where md5 is an exact one. Python path for decoded rasters; the
+    byte-level twin (operators/multimodal.dhash64) runs the identical
+    comparison math JVM-side over raw payload bytes."""
+    small = resize_ppm(payload, 9, 8)
+    _, _, _, raster = decode_ppm(small)
+    gray = [
+        (raster[i] + raster[i + 1] + raster[i + 2]) // 3
+        for i in range(0, len(raster), 3)
+    ]
+    bits = []
+    for r in range(8):
+        for c in range(8):
+            bits.append("1" if gray[r * 9 + c] < gray[r * 9 + c + 1] else "0")
+    return "".join(bits)
+
+
+def with_dhash64(
+    df: DataFrame, payload_col: str = "payload", out: str = "phash"
+) -> DataFrame:
+    """Byte-level dHash signature over ANY binary payload (JVM
+    codegen, zero Python): the first 72 bytes (zero-padded) are read
+    as a 9x8 single-channel raster and hashed with the identical
+    adjacent-comparison math as dhash_raster — 64 bits of
+    byte[r][c] < byte[r][c+1] as a '0'/'1' string. For non-image
+    payloads this is a locality-sensitive byte signature (neighbouring
+    bytes compare); for pre-rasterized single-channel 9x8 thumbnails
+    it IS the perceptual dHash. Hex rendering is uppercase in both
+    Spark and DuckDB, so the expression is oracle-portable. Staged as
+    real columns so the 72-byte decode runs once per row, not once per
+    output bit."""
+    hx = F.substring(
+        F.concat(F.hex(F.col(payload_col)), F.lit("00" * 72)), 1, 144
+    )
+    staged = df.withColumn("__dh_hx", hx).withColumn(
+        "__dh_g",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(72)),
+            lambda i: F.conv(
+                F.col("__dh_hx").substr(
+                    (i - F.lit(1)) * F.lit(2) + F.lit(1), F.lit(2)
+                ),
+                16,
+                10,
+            ).cast("int"),
+        ),
+    )
+    bit = lambda k: F.when(  # noqa: E731
+        F.element_at(F.col("__dh_g"), (k / F.lit(8)).cast("int") * 9
+                     + (k % F.lit(8)) + F.lit(1))
+        < F.element_at(F.col("__dh_g"), (k / F.lit(8)).cast("int") * 9
+                       + (k % F.lit(8)) + F.lit(2)),
+        F.lit("1"),
+    ).otherwise(F.lit("0"))
+    return (
+        staged.withColumn(
+            out,
+            F.array_join(
+                F.transform(F.sequence(F.lit(0), F.lit(63)), bit), ""
+            ),
+        )
+        .drop("__dh_hx", "__dh_g")
+    )

@@ -3590,3 +3590,57 @@ def q_ann_recall(spark, sf_dir):
             (F.col("n_overlap") / F.lit(10.0)).alias("recall_at_10"),
         )
     )
+
+
+@register(
+    "q_multimodal_dhash",
+    oracle="""
+    WITH hx AS (
+        SELECT doc_id,
+               substr(hex(encode(text)) || repeat('00', 72), 1, 144) AS h
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, 72),
+                   i -> CAST(('0x' || substr(h, (i-1)*2+1, 2)) AS INT))
+                 AS g
+        FROM hx
+    ),
+    p AS (
+        SELECT doc_id,
+               array_to_string(list_transform(generate_series(0, 63),
+                   k -> CASE WHEN g[(k//8)*9 + (k%8) + 1] <
+                              g[(k//8)*9 + (k%8) + 2]
+                        THEN '1' ELSE '0' END), '') AS phash
+        FROM g
+    )
+    SELECT a.doc_id, a.phash, CAST(c.n AS BIGINT) AS n_bucket
+    FROM p a JOIN (SELECT phash, COUNT(*) AS n FROM p GROUP BY 1) c
+      USING (phash)
+    """,
+)
+def q_multimodal_dhash(spark, sf_dir):
+    """Perceptual difference-hash (dHash) signatures over binary
+    payloads — the NEAR-dup signature for the multimodal column family
+    (md5 is the exact one): 64 bits of adjacent-byte comparison over a
+    9x8 raster view, bucketed for duplicate detection. The registry
+    path runs the byte-level JVM expression (zero Python, hash-matched
+    against the oracle's identical reconstruction); the REAL image
+    path — P6 decode → nearest resize to 9x8 → integer grayscale →
+    the same comparison math — is dhash_raster, pinned by unit test
+    (noise ⇒ low hamming distance, different image ⇒ high), the same
+    real-path/registry-path split as q_multimodal_resize. Plan: one
+    codegen projection + one phash-keyed count shuffle; at 100 TB
+    near-dup candidates come from hamming-ball banding over the same
+    signature (the q_simhash_pairs pigeonhole machinery applies
+    unchanged)."""
+    docs = _t(spark, sf_dir, "documents")
+    binary = M.with_binary_payload(docs)
+    hashed = M.with_dhash64(binary).select("doc_id", "phash")
+    counts = hashed.groupBy("phash").agg(
+        F.count(F.lit(1)).alias("n_bucket")
+    )
+    return hashed.join(counts, "phash").select(
+        "doc_id", "phash", "n_bucket"
+    )

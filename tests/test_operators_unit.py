@@ -1289,3 +1289,62 @@ def test_ewma_fold_single_and_two_element_groups(spark):
     )
     got = {r["user_id"]: r["e"] for r in g.select("user_id", ew.alias("e")).collect()}
     assert got == {1: 5.0, 2: 0.25 * 8.0 + 0.75 * 4.0}
+
+
+def test_dhash_raster_is_noise_tolerant_and_discriminative():
+    """The perceptual path of q_multimodal_dhash: small photometric
+    noise flips few bits (low hamming distance); a structurally
+    different image is far away. Also pins the registry/real-path
+    split: the byte-level JVM twin and the raster path share the same
+    comparison math."""
+    from big_data_projects_spark.operators.multimodal import dhash_raster
+
+    w, h = 20, 16
+
+    def p6(pix):
+        return b"P6\n%d %d\n255\n" % (w, h) + bytes(pix)
+
+    grad_h = p6(
+        [v for y in range(h) for x in range(w) for v in [x * 255 // w] * 3]
+    )
+    noisy_pix = [
+        v for y in range(h) for x in range(w)
+        for v in [min(255, x * 255 // w + (2 if (x * 7 + y) % 13 == 0 else 0))] * 3
+    ]
+    grad_h_noisy = p6(noisy_pix)
+    grad_v = p6(
+        [v for y in range(h) for x in range(w) for v in [y * 255 // h] * 3]
+    )
+
+    a = dhash_raster(grad_h)
+    b = dhash_raster(grad_h_noisy)
+    c = dhash_raster(grad_v)
+    assert len(a) == 64 and set(a) <= {"0", "1"}
+    ham_ab = sum(x != y for x, y in zip(a, b))
+    ham_ac = sum(x != y for x, y in zip(a, c))
+    assert ham_ab <= 10, f"noise moved the hash too far: {ham_ab}"
+    assert ham_ac >= 20, f"different structure too close: {ham_ac}"
+
+
+def test_byte_dhash_matches_python_reference(spark):
+    """with_dhash64's JVM expression equals a direct Python
+    reimplementation of the byte-level comparison math."""
+    from big_data_projects_spark.operators.multimodal import with_dhash64
+
+    payloads = [b"hello world, here are some bytes!", b"\x00" * 5, b"abc"]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "id long, payload binary",
+    )
+    got = {
+        r["id"]: r["phash"]
+        for r in with_dhash64(df).select("id", "phash").collect()
+    }
+    for i, p in enumerate(payloads):
+        g = list(p[:72]) + [0] * (72 - min(72, len(p)))
+        want = "".join(
+            "1" if g[r * 9 + c] < g[r * 9 + c + 1] else "0"
+            for r in range(8)
+            for c in range(8)
+        )
+        assert got[i] == want, (i, got[i], want)
