@@ -80,6 +80,19 @@ HEADLINE = [
     "q_interpolate_linear",
 ]
 
+# Round-4 additions measure under a separate "incoming" key until they
+# have two rounds of history (keeps the 41-query headline total
+# like-for-like across rounds); they graduate into HEADLINE after that.
+INCOMING = [
+    "q_kn_bigram_ppl",
+    "q_bpe_train",
+    "q_pipeline_ccnet",
+    "q_preference_pairs",
+    "q_ann_recall",
+    "q_multimodal_dhash",
+    "q_stream_bloom_dedup",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -119,16 +132,22 @@ def main() -> None:
         ensure_runtime_conf(spark)
         return dt
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t = run_once(name)
-        if t > 1.0:  # non-trivial query: median-of-3 to pin GC/JIT
-            # variance AND per-plan first-run codegen inflation (the
-            # round-3 q_flagship_star_rollup "regression" was a 1.95 s
-            # first run just under the old 2.0 threshold over a 0.85 s
-            # steady state — see BASELINE.md round-4 idle re-measure)
-            t = sorted([t, run_once(name), run_once(name)])[1]
-        timings[name] = round(t, 3)
+    def run_set(names: list[str]) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in names:
+            t = run_once(name)
+            if t > 1.0:  # non-trivial query: median-of-3 to pin GC/JIT
+                # variance AND per-plan first-run codegen inflation (the
+                # round-3 q_flagship_star_rollup "regression" was a
+                # 1.95 s first run just under the old 2.0 threshold over
+                # a 0.85 s steady state — see BASELINE.md round-4 idle
+                # re-measure)
+                t = sorted([t, run_once(name), run_once(name)])[1]
+            timings[name] = round(t, 3)
+        return timings
+
+    timings = run_set(HEADLINE)
+    incoming = run_set([n for n in INCOMING if n in REGISTRY])
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -140,6 +159,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "incoming": incoming,
+        "incoming_total": round(sum(incoming.values()), 3),
         "sf": sf_val,
     }
     print(json.dumps(out))

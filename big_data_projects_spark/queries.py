@@ -223,11 +223,12 @@ _ROUND5_WINDOW = [
 
 
 # Round-6 queue (front of the round-6 window when CORRECTNESS_r05.json
-# lands): the operators registered during round 4 (q_kn_bigram_ppl,
-# q_pipeline_ccnet) plus the four remaining stale rows-only driver rows
-# whose queries have since gained hash-match oracles
-# (q_pandas_udaf_trimmed r01, q_pagerank_sim_graph / q_knn_batch /
-# q_knn_ivf r02).  Anything registered in round 5 joins this list.
+# lands): the nine operators registered during round 4 — all
+# oracle-backed, all pre-verified through the vanilla driver-sim — plus
+# the four remaining stale rows-only driver rows whose queries have
+# since gained hash-match oracles (q_pandas_udaf_trimmed r01,
+# q_pagerank_sim_graph / q_knn_batch / q_knn_ivf r02).  Anything
+# registered in round 5 joins this list.
 _ROUND6_QUEUE = [
     "q_kn_bigram_ppl", "q_pipeline_ccnet", "q_bpe_train",
     "q_preference_pairs", "q_stream_bloom_dedup", "q_ann_recall",

@@ -3542,8 +3542,21 @@ def q_ann_recall(spark, sf_dir):
             lambda acc, v: acc + v,
         )
 
+    # Per-side norms precompute ONCE per row (same float expression →
+    # bit-identical values, ~3x less arithmetic than per-pair norms —
+    # the topk_cosine precompute precedent).
+    i8_norm = F.sqrt(
+        idot(F.col("q_vec"), F.col("q_vec")).cast("double")
+    )
+    qemb_n = qemb.withColumn("__nn", i8_norm)
+    qpanel_n = qemb_n.where(panel_ids).select(
+        F.col("vec_id").alias("qid"),
+        F.col("q_vec").alias("__qv"),
+        F.col("q_scale").alias("__qs"),
+        F.col("__nn").alias("__qn"),
+    )
     i8_scored = (
-        qemb.crossJoin(F.broadcast(qpanel))
+        qemb_n.crossJoin(F.broadcast(qpanel_n))
         .where(F.col("vec_id") != F.col("qid"))
         .select(
             "qid", "vec_id",
@@ -3551,30 +3564,48 @@ def q_ann_recall(spark, sf_dir):
                 (idot(F.col("q_vec"), F.col("__qv")).cast("double")
                  * F.col("q_scale") * F.col("__qs"))
                 / (
-                    F.sqrt(
-                        idot(F.col("q_vec"), F.col("q_vec")).cast("double")
-                    )
-                    * F.col("q_scale")
-                    * F.sqrt(
-                        idot(F.col("__qv"), F.col("__qv")).cast("double")
-                    )
-                    * F.col("__qs")
+                    F.col("__nn") * F.col("q_scale")
+                    * F.col("__qn") * F.col("__qs")
                 )
             ).alias("sim_q"),
         )
     )
     i8_top = ranked_top(i8_scored, "sim_q")
 
-    # exact path
-    rpanel = emb.where(panel_ids).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("__qe")
+    # exact path (same precompute; S.cosine_sim's norm fold and this
+    # one produce identical doubles for identical inputs)
+    ex_norm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col("embedding"),
+                lambda x: x.cast("double") * x.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    emb_n = emb.withColumn("__nn", ex_norm)
+    rpanel = emb_n.where(panel_ids).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("__qe"),
+        F.col("__nn").alias("__qn"),
     )
     ex_scored = (
-        emb.crossJoin(F.broadcast(rpanel))
+        emb_n.crossJoin(F.broadcast(rpanel))
         .where(F.col("vec_id") != F.col("qid"))
         .select(
             "qid", "vec_id",
-            S.cosine_sim(F.col("embedding"), F.col("__qe")).alias("sim"),
+            (
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"), F.col("__qe"),
+                        lambda x, y: x.cast("double") * y.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("__nn") * F.col("__qn"))
+            ).alias("sim"),
         )
     )
     ex_top = ranked_top(ex_scored, "sim")
@@ -3637,7 +3668,11 @@ def q_multimodal_dhash(spark, sf_dir):
     unchanged)."""
     docs = _t(spark, sf_dir, "documents")
     binary = M.with_binary_payload(docs)
-    hashed = M.with_dhash64(binary).select("doc_id", "phash")
+    hashed = (
+        M.with_dhash64(binary)
+        .select("doc_id", "phash")
+        .persist()  # consumed by the bucket count AND the join-back
+    )
     counts = hashed.groupBy("phash").agg(
         F.count(F.lit(1)).alias("n_bucket")
     )
