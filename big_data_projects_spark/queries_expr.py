@@ -980,3 +980,62 @@ def q_map_in_arrow(spark, sf_dir):
         F.sum("cents").alias("total_cents"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q_apply_in_arrow",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS min_cents,
+           CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS max_cents,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def q_apply_in_arrow(spark, sf_dir):
+    """Grouped applyInArrow (SURVEY.md §2.10): the GROUPED-map Arrow
+    boundary — one pyarrow Table per key, below applyInPandas (no
+    pandas conversion), for per-group logic that wants columnar Arrow
+    buffers (tensor assembly, FFI feature libraries). Completes the
+    Python-boundary matrix: scalar (pandas_udf) / iterator
+    (q_scalar_iter_udf) / per-batch RecordBatch (q_map_in_arrow) /
+    per-group Table (this). Same exactness discipline as
+    q_map_in_arrow: values become exact integer cents inside Arrow
+    with half_towards_infinity rounding (pyarrow's half_to_even
+    default would diverge from the oracle on .5 ties), so every
+    aggregate is integer arithmetic and hash-matches. The grouped
+    shuffle is the plan's only exchange; each group's Table is
+    per-user-sized."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def per_user(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(t.column("value"), pa.scalar(100.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.Table.from_pylist(
+            [
+                {
+                    "user_id": t.column("user_id")[0].as_py(),
+                    "n": t.num_rows,
+                    "min_cents": pc.min(cents).as_py(),
+                    "max_cents": pc.max(cents).as_py(),
+                    "total_cents": pc.sum(cents).as_py(),
+                }
+            ]
+        )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    return ev.groupBy("user_id").applyInArrow(
+        per_user,
+        "user_id long, n long, min_cents long, max_cents long,"
+        " total_cents long",
+    )

@@ -76,6 +76,9 @@ PYTHON_OK = {
     # level mapInArrow hop — both exist to pin Python-boundary APIs;
     # their built-ins twins are the hot paths.
     "q_scalar_iter_udf", "q_map_in_arrow",
+    # grouped-map Arrow boundary (one pyarrow Table per key) — completes
+    # the Python-boundary matrix; built-ins twin is the plain groupBy.
+    "q_apply_in_arrow",
 }
 
 LINTABLE = sorted(
