@@ -3679,3 +3679,135 @@ def q_multimodal_dhash(spark, sf_dir):
     return hashed.join(counts, "phash").select(
         "doc_id", "phash", "n_bucket"
     )
+
+
+@register(
+    "q_dataset_report",
+    oracle=r"""
+    WITH f AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                    AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(lower(text), '[.,;:!?]'))
+                    AS BIGINT) AS n_punct,
+               CAST(len(regexp_extract_all(lower(text),
+                    '\b(the|a|is|and|of|to|in|that|it|for)\b'))
+                    AS BIGINT) AS n_stopwords,
+               md5(text) AS fp
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, source, n_tokens, fp,
+               least(1.0, n_tokens / 50.0)
+                 * (1.0 - n_punct / n_tokens)
+                 * (0.5 + 0.5 * (n_stopwords / n_tokens)) AS quality
+        FROM f
+    ),
+    dups AS (
+        SELECT doc_id,
+               (COUNT(*) OVER (PARTITION BY fp) > 1) AS is_dup
+        FROM f
+    ),
+    langs AS (
+        SELECT doc_id,
+            CASE WHEN en=0 AND de=0 AND fr=0 AND es=0 AND zh=0
+                      THEN 'unknown'
+                 WHEN en>=de AND en>=fr AND en>=es AND en>=zh THEN 'en'
+                 WHEN de>=fr AND de>=es AND de>=zh THEN 'de'
+                 WHEN fr>=es AND fr>=zh THEN 'fr'
+                 WHEN es>=zh THEN 'es'
+                 ELSE 'zh' END AS pred_lang
+        FROM (
+            SELECT doc_id,
+                len(regexp_extract_all(lower(text), '\b(the|a|is|and|of)\b')) AS en,
+                len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS de,
+                len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS fr,
+                len(regexp_extract_all(lower(text), '\b(el|los|las|y|es)\b')) AS es,
+                len(regexp_extract_all(lower(text), '[\x{4e00}-\x{9fff}]')) AS zh
+            FROM documents)
+    ),
+    lang_mode AS (
+        SELECT source, pred_lang AS top_lang
+        FROM (
+            SELECT q.source, l.pred_lang,
+                   ROW_NUMBER() OVER (PARTITION BY q.source
+                       ORDER BY COUNT(*) DESC, l.pred_lang) AS r
+            FROM q JOIN langs l USING (doc_id)
+            GROUP BY q.source, l.pred_lang
+        ) WHERE r = 1
+    )
+    SELECT q.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN d.is_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_dups,
+           round(CAST(SUM(CAST(quality AS DECIMAL(38,14))) AS DOUBLE)
+                 / COUNT(*), 8) AS mean_quality,
+           ANY_VALUE(m.top_lang) AS top_lang
+    FROM q JOIN dups d USING (doc_id) JOIN lang_mode m USING (source)
+    GROUP BY q.source
+    """,
+)
+def q_dataset_report(spark, sf_dir):
+    """Dataset-card report — the per-source accounting table every
+    corpus release ships with, composed from this repo's operators in
+    one pass: doc and token counts, exact-duplicate membership (global
+    md5 groups counted per source), mean heuristic quality
+    (decimal-summed, round-8), and the dominant language (count-mode
+    with lexicographic tie-break).
+
+    Scale shape: everything is keyed aggregation — the dup flag is a
+    window over the high-cardinality fingerprint, language mode is a
+    (source, lang) count then a min-of-struct argmax per source
+    (low-cardinality groups stay AGGREGATES, never windows — the
+    q_preference_pairs rule), and the final rollup is one source-keyed
+    shuffle with map-side combine."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = T.quality_features(docs).select(
+        "doc_id", "source", "n_tokens", "quality_score",
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+    )
+    dup = feats.select(
+        "doc_id",
+        (
+            F.count(F.lit(1)).over(Window.partitionBy("fp")) > 1
+        ).alias("is_dup"),
+    )
+    langs = docs.select(
+        "doc_id", T.predict_lang("text").alias("pred_lang")
+    )
+    lang_mode = (
+        feats.join(langs, "doc_id")
+        .groupBy("source", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("source")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n")).alias("neg_n"),
+                    F.col("pred_lang").alias("lang"),
+                )
+            ).alias("m")
+        )
+        .select("source", F.col("m.lang").alias("top_lang"))
+    )
+    return (
+        feats.join(dup, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_exact_dups"),
+            F.round(
+                F.sum(F.col("quality_score").cast("decimal(38,14)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                8,
+            ).alias("mean_quality"),
+        )
+        .join(F.broadcast(lang_mode), "source")
+        .select(
+            "source", "n_docs", "n_tokens", "n_exact_dups",
+            "mean_quality", "top_lang",
+        )
+    )
