@@ -91,6 +91,10 @@ INCOMING = [
     "q_ann_recall",
     "q_multimodal_dhash",
     "q_stream_bloom_dedup",
+    "q_sql_pipe",
+    "q_stream_cdc_apply",
+    "q_apply_in_arrow",
+    "q_dataset_report",
 ]
 
 
