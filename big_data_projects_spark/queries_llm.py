@@ -3335,7 +3335,7 @@ def q_bpe_train(spark, sf_dir):
         .persist()
     )
     merges: list[tuple[int, str, str, int]] = []
-    cur = words
+    cur, prev = words, None
     for step in range(1, 9):
         syms = cur.select(
             "cnt", F.split(F.trim(F.col("word")), " ").alias("s")
@@ -3354,8 +3354,13 @@ def q_bpe_train(spark, sf_dir):
             .groupBy("p.a", "p.b")
             .agg(F.sum("cnt").alias("c"))
         )
+        # This collect materializes cur's cache (the pair scan reads
+        # it), so the PREVIOUS round's state can drop now — one action
+        # per round instead of a separate count() materialization.
         best = pairs.orderBy(F.desc("c"), "a", "b").limit(1).collect()[0]
         merges.append((step, best["a"], best["b"], best["c"]))
+        if prev is not None:
+            prev.unpersist()
         nxt = cur.select(
             "cnt",
             F.replace(
@@ -3364,10 +3369,10 @@ def q_bpe_train(spark, sf_dir):
                 F.lit(f" {best['a']}{best['b']} "),
             ).alias("word"),
         ).persist()
-        nxt.count()  # materialize before dropping the parent state
-        cur.unpersist()
-        cur = nxt
-    cur.unpersist()
+        cur, prev = nxt, cur
+    for df in (cur, prev):
+        if df is not None:
+            df.unpersist()
     return spark.createDataFrame(
         merges, "step int, pair_a string, pair_b string, freq long"
     )
