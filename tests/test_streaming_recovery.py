@@ -244,3 +244,78 @@ def test_distributed_drain_never_collects_candidates(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "LocalTableScan" not in plan
     assert "FileScan" in plan or "Scan parquet" in plan
+
+
+def test_cdc_state_survives_restart(spark, tmp_path):
+    """STATEFUL recovery for the CDC materialization shape
+    (q_stream_cdc_apply): the per-key max-of-struct last-writer-wins
+    state survives a checkpointed restart — after the second half of
+    the changelog arrives, the materialized table equals the batch
+    materialization over the WHOLE log. A fresh query without the old
+    state would miss keys whose only changes were in the first half
+    and mis-resolve keys whose latest change was."""
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "user_id", "ts", "value", "event_type"
+    )
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+
+    op = (
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op")
+    )
+
+    def drain(schema):
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = stream.select(
+            "user_id", "ts", "event_id", "value", op
+        ).groupBy("user_id").agg(
+            F.max(F.struct("ts", "event_id", "op", "value")).alias("last"),
+            F.count(F.lit(1)).alias("n_changes"),
+        )
+
+        def write_batch(batch_df, batch_id):
+            batch_df.write.mode("overwrite").parquet(out)
+
+        q = (
+            agg.writeStream.outputMode("complete")
+            .option("checkpointLocation", ck)
+            .foreachBatch(write_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    half_a.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    drain(schema)
+    half_b.coalesce(1).write.mode("append").parquet(src)
+    drain(schema)  # fresh query object, same checkpoint + state
+
+    got = sorted(
+        (r["user_id"], r["last"]["event_id"], r["n_changes"])
+        for r in spark.read.parquet(out)
+        .where(F.col("last.op") != "D")
+        .collect()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    batch = (
+        ev.select("user_id", "ts", "event_id", "value", op)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_changes",
+            F.count(F.lit(1)).over(Window.partitionBy("user_id")),
+        )
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+    )
+    want = sorted(
+        (r["user_id"], r["event_id"], r["n_changes"])
+        for r in batch.collect()
+    )
+    assert got == want, "CDC state lost or mis-resolved across restart"
