@@ -3254,6 +3254,71 @@ def q_pipeline_ccnet(spark, sf_dir):
     )
 
 
+
+
+def _bpe_fit(docs, n_steps: int = 8):
+    """Shared BPE trainer (q_bpe_train / q_bpe_encode): collapse the
+    corpus to the word-TYPE table, run ``n_steps`` greedy merge rounds
+    (pair-count shuffle + 1-row argmax collect + engine-portable
+    space-delimited replace per round; each round's argmax collect
+    materializes the current cached state, so the previous round's
+    cache drops right after it — one action per round). Returns
+    (merges, final_words, live_persist_handles): the merge trajectory,
+    the final (term, cnt, word) state with every merge applied, and
+    the still-persisted DataFrames the caller must unpersist."""
+    words = (
+        docs.select(F.explode(T.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            "term",
+            "cnt",
+            F.concat(
+                F.lit(" "),
+                F.regexp_replace(F.col("term"), "(.)", "$1 "),
+            ).alias("word"),
+        )
+        .persist()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    cur, prev = words, None
+    for step in range(1, n_steps + 1):
+        syms = cur.select(
+            "cnt", F.split(F.trim(F.col("word")), " ").alias("s")
+        )
+        pairs = (
+            syms.filter(F.size("s") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(s) - 2),"
+                        " i -> struct(s[i] AS a, s[i+1] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        best = pairs.orderBy(F.desc("c"), "a", "b").limit(1).collect()[0]
+        merges.append((step, best["a"], best["b"], best["c"]))
+        if prev is not None:
+            prev.unpersist()
+        nxt = cur.select(
+            "term",
+            "cnt",
+            F.replace(
+                F.col("word"),
+                F.lit(f" {best['a']} {best['b']} "),
+                F.lit(f" {best['a']}{best['b']} "),
+            ).alias("word"),
+        ).persist()
+        cur, prev = nxt, cur
+    return merges, cur, [df for df in (cur, prev) if df is not None]
+
+
+
+
 def _bpe_train_oracle(n_steps: int = 8) -> str:
     """Unrolled n-step BPE-training oracle (the q_mmr_diversity
     unrolled-CTE precedent): level i counts weighted adjacent symbol
@@ -3321,58 +3386,9 @@ def q_bpe_train(spark, sf_dir):
     left-to-right non-overlapping replace scan in both engines, so
     the full 8-step trajectory hash-matches the unrolled oracle."""
     docs = _t(spark, sf_dir, "documents")
-    words = (
-        docs.select(F.explode(T.tokens("text")).alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .select(
-            "cnt",
-            F.concat(
-                F.lit(" "),
-                F.regexp_replace(F.col("term"), "(.)", "$1 "),
-            ).alias("word"),
-        )
-        .persist()
-    )
-    merges: list[tuple[int, str, str, int]] = []
-    cur, prev = words, None
-    for step in range(1, 9):
-        syms = cur.select(
-            "cnt", F.split(F.trim(F.col("word")), " ").alias("s")
-        )
-        pairs = (
-            syms.filter(F.size("s") >= 2)
-            .select(
-                "cnt",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(0, size(s) - 2),"
-                        " i -> struct(s[i] AS a, s[i+1] AS b))"
-                    )
-                ).alias("p"),
-            )
-            .groupBy("p.a", "p.b")
-            .agg(F.sum("cnt").alias("c"))
-        )
-        # This collect materializes cur's cache (the pair scan reads
-        # it), so the PREVIOUS round's state can drop now — one action
-        # per round instead of a separate count() materialization.
-        best = pairs.orderBy(F.desc("c"), "a", "b").limit(1).collect()[0]
-        merges.append((step, best["a"], best["b"], best["c"]))
-        if prev is not None:
-            prev.unpersist()
-        nxt = cur.select(
-            "cnt",
-            F.replace(
-                F.col("word"),
-                F.lit(f" {best['a']} {best['b']} "),
-                F.lit(f" {best['a']}{best['b']} "),
-            ).alias("word"),
-        ).persist()
-        cur, prev = nxt, cur
-    for df in (cur, prev):
-        if df is not None:
-            df.unpersist()
+    merges, final_words, handles = _bpe_fit(docs)
+    for df in handles:
+        df.unpersist()
     return spark.createDataFrame(
         merges, "step int, pair_a string, pair_b string, freq long"
     )
@@ -3815,4 +3831,90 @@ def q_dataset_report(spark, sf_dir):
             "source", "n_docs", "n_tokens", "n_exact_dups",
             "mean_quality", "top_lang",
         )
+    )
+
+
+def _bpe_encode_oracle(n_steps: int = 8) -> str:
+    """Unrolled train-then-encode oracle: the same n-step merge CTE
+    chain as _bpe_train_oracle but carrying the term key, then the
+    final word states give per-term symbol counts joined back onto
+    every document's token stream."""
+    ctes = [r"""
+    base AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt,
+               ' ' || regexp_replace(term, '(.)', '\1 ', 'g') AS word
+        FROM (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                     AS term
+            FROM documents
+        )
+        GROUP BY term
+    ), w0 AS (SELECT term, cnt, word FROM base)"""]
+    for i in range(n_steps):
+        ctes.append(f"""
+    p{i} AS (
+        SELECT s[i] AS a, s[i+1] AS b, SUM(cnt) AS c
+        FROM (SELECT cnt, regexp_split_to_array(trim(word), ' ') AS s
+              FROM w{i}),
+             UNNEST(generate_series(1, len(s)-1)) AS u(i)
+        GROUP BY 1, 2
+    ),
+    b{i} AS (SELECT a, b, c FROM p{i} ORDER BY c DESC, a, b LIMIT 1),
+    w{i + 1} AS (
+        SELECT term, cnt,
+               replace(word, ' ' || b{i}.a || ' ' || b{i}.b || ' ',
+                       ' ' || b{i}.a || b{i}.b || ' ') AS word
+        FROM w{i} CROSS JOIN b{i}
+    )""")
+    return (
+        "WITH" + ",".join(ctes) + f""",
+    enc AS (
+        SELECT term,
+               len(regexp_split_to_array(trim(word), ' ')) AS n_sym
+        FROM w{n_steps}
+    ),
+    toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                 AS term
+        FROM documents
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(e.n_sym) AS BIGINT) AS n_bpe_tokens
+    FROM toks t JOIN enc e USING (term)
+    GROUP BY t.doc_id"""
+    )
+
+
+@register("q_bpe_encode", oracle=_bpe_encode_oracle())
+def q_bpe_encode(spark, sf_dir):
+    """BPE tokenizer ENCODING with the trained merges — the serving
+    half of the tokenizer lifecycle (q_bpe_train fits; this applies):
+    after the 8 greedy merge rounds, each word type's final symbol
+    count is joined back onto every document's token stream, yielding
+    per-doc whitespace-word and BPE-token counts (the sequence-length
+    signal packing and batching key on).
+
+    Scale shape: encoding never touches documents during training —
+    the merge application happened once on the vocab-sized TYPE table
+    inside _bpe_fit, so serving is ONE term-keyed equi-join (AQE
+    broadcasts the type table when it fits) plus a doc_id aggregate.
+    The whole train-then-encode trajectory hash-matches the unrolled
+    oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    merges, final_words, handles = _bpe_fit(docs)
+    for df in handles:
+        if df is not final_words:
+            df.unpersist()
+    enc = final_words.select(
+        "term",
+        F.size(F.split(F.trim(F.col("word")), " ")).alias("n_sym"),
+    )
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens("text")).alias("term")
+    )
+    return toks.join(enc, "term").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
     )
