@@ -95,6 +95,7 @@ INCOMING = [
     "q_stream_cdc_apply",
     "q_apply_in_arrow",
     "q_dataset_report",
+    "q_bpe_encode",
 ]
 
 
