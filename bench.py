@@ -96,6 +96,7 @@ INCOMING = [
     "q_apply_in_arrow",
     "q_dataset_report",
     "q_bpe_encode",
+    "q_matryoshka_recall",
 ]
 
 

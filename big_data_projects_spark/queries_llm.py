@@ -3918,3 +3918,123 @@ def q_bpe_encode(spark, sf_dir):
         F.count(F.lit(1)).alias("n_words"),
         F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
     )
+
+
+@register(
+    "q_matryoshka_recall",
+    oracle="""
+    WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cut AS (SELECT vec_id, list_slice(embedding::DOUBLE[], 1, 16) AS v
+            FROM embeddings),
+    panel AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % 25 = 0),
+    trunc AS (
+        SELECT p.qid, a.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+                   list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) *
+                    sqrt(list_dot_product(b.v, b.v)))
+                   DESC, a.vec_id) AS r
+        FROM cut a JOIN panel p ON a.vec_id <> p.qid
+                   JOIN cut b ON b.vec_id = p.qid
+    ),
+    ex AS (
+        SELECT p.qid, a.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+                   list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) *
+                    sqrt(list_dot_product(b.v, b.v)))
+                   DESC, a.vec_id) AS r
+        FROM raw a JOIN panel p ON a.vec_id <> p.qid
+                   JOIN raw b ON b.vec_id = p.qid
+    )
+    SELECT e.qid,
+           CAST(COUNT(t.vec_id) AS BIGINT) AS n_overlap,
+           COUNT(t.vec_id) / 10.0 AS recall_at_10
+    FROM ex e LEFT JOIN trunc t
+      ON t.qid = e.qid AND t.vec_id = e.vec_id AND t.r <= 10
+    WHERE e.r <= 10
+    GROUP BY e.qid
+    """,
+)
+def q_matryoshka_recall(spark, sf_dir):
+    """Matryoshka-truncation evaluation (Kusupati et al. 2022): recall
+    @10 of cosine search over the FIRST 16 of 64 embedding dimensions
+    vs the full vectors — the dimensionality-vs-recall trade every
+    MRL-style serving stack measures before shipping a truncated
+    index (4x memory/bandwidth saved; this query reports what it
+    costs on YOUR corpus). Same harness shape as q_ann_recall: fixed
+    broadcast 20-query panel, one corpus scan per path, qid-
+    partitioned ranks over the evaluation candidate pool, bit-exact
+    sims with id tie-breaks — the per-query recall fractions
+    hash-match. (The synthetic test embeddings are NOT
+    importance-ordered, so measured recall is the pessimistic
+    untrained-truncation floor; a trained MRL model reorders mass
+    into the prefix and this same query measures the gain.)"""
+    emb = _t(spark, sf_dir, "embeddings")
+    panel_ids = F.col("vec_id") % 25 == 0
+
+    def ranked_top(scored, sim_col):
+        w = Window.partitionBy("qid").orderBy(
+            F.desc(sim_col), F.col("vec_id")
+        )
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") <= 10)
+            .select("qid", "vec_id")
+        )
+
+    def path_top(vec_expr_name, df):
+        norm = F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.col(vec_expr_name),
+                    lambda x: x.cast("double") * x.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        dn = df.withColumn("__nn", norm)
+        pan = dn.where(panel_ids).select(
+            F.col("vec_id").alias("qid"),
+            F.col(vec_expr_name).alias("__qe"),
+            F.col("__nn").alias("__qn"),
+        )
+        scored = (
+            dn.crossJoin(F.broadcast(pan))
+            .where(F.col("vec_id") != F.col("qid"))
+            .select(
+                "qid", "vec_id",
+                (
+                    F.aggregate(
+                        F.zip_with(
+                            F.col(vec_expr_name), F.col("__qe"),
+                            lambda x, y: x.cast("double")
+                            * y.cast("double"),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    / (F.col("__nn") * F.col("__qn"))
+                ).alias("sim"),
+            )
+        )
+        return ranked_top(scored, "sim")
+
+    ex_top = path_top("embedding", emb)
+    cut = emb.select(
+        "vec_id", F.slice(F.col("embedding"), 1, 16).alias("emb16")
+    )
+    tr_top = path_top("emb16", cut)
+
+    return (
+        ex_top.join(
+            tr_top.withColumn("__hit", F.lit(1)), ["qid", "vec_id"], "left"
+        )
+        .groupBy("qid")
+        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_overlap"))
+        .select(
+            "qid", "n_overlap",
+            (F.col("n_overlap") / F.lit(10.0)).alias("recall_at_10"),
+        )
+    )
