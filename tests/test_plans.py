@@ -396,3 +396,37 @@ def test_dup_span_joins_are_keyed(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_round4_operator_plan_shapes(spark):
+    """Round-4 additions keep their scale contracts:
+
+    - q_kn_bigram_ppl generates bigrams IN-ROW (a Generate over the
+      computed pair array — never a position self-join) and stays
+      JVM-side;
+    - q_preference_pairs' per-group argmax/argmin are AGGREGATES, not
+      per-source windows (low-cardinality partitions would serialize);
+    - q_dataset_report's language mode is likewise window-free on the
+      source key (its only window partitions by the high-cardinality
+      md5 fingerprint);
+    - q_multimodal_dhash's signature is pure codegen (no Python)."""
+    kn = plan_of(spark, "q_kn_bigram_ppl")
+    assert "Generate" in kn, "bigrams must generate in-row"
+    assert "EvalPython" not in kn
+    assert "CartesianProduct" not in kn
+
+    pref = plan_of(spark, "q_preference_pairs")
+    assert "Window" not in pref, (
+        "per-group argmax regressed to a window — must stay an aggregate"
+    )
+    assert "EvalPython" not in pref
+
+    rep = plan_of(spark, "q_dataset_report")
+    assert "partitionBy=[source" not in rep.replace(" ", ""), (
+        "dataset report grew a per-source window"
+    )
+    assert "EvalPython" not in rep
+
+    dh = plan_of(spark, "q_multimodal_dhash")
+    assert "EvalPython" not in dh
+    assert "CartesianProduct" not in dh
