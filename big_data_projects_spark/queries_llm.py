@@ -4038,3 +4038,54 @@ def q_matryoshka_recall(spark, sf_dir):
             (F.col("n_overlap") / F.lit(10.0)).alias("recall_at_10"),
         )
     )
+
+
+@register(
+    "q_negative_sampling",
+    oracle=r"""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 AS term
+        FROM documents
+    ),
+    cf AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+        WHERE term <> '' GROUP BY term
+    ),
+    w AS (SELECT term, c, round(pow(c, 0.75), 8) AS w FROM cf),
+    tot AS (
+        SELECT CAST(SUM(CAST(w AS DECIMAL(38,14))) AS DOUBLE) AS z FROM w
+    )
+    SELECT term, c, w, round(w / z, 12) AS p_neg
+    FROM w CROSS JOIN tot
+    """,
+)
+def q_negative_sampling(spark, sf_dir):
+    """word2vec negative-sampling distribution (Mikolov et al. 2013):
+    the unigram-count^0.75 table that q_skipgram_pairs' training pairs
+    draw negatives from — the 3/4 power damps head tokens and lifts
+    the tail, the empirically standard negative-sampling unigram
+    smoothing. One token groupBy builds the exact count table; the
+    damped weight rounds to 8 (absorbing libm pow ulp differences),
+    the normalizer is a decimal sum (shuffle-order-independent), and
+    each probability rounds to 12 — so the whole distribution
+    hash-matches. At 100 TB the output is the vocab-sized table a
+    trainer broadcasts (or alias-samples from) — construction is one
+    shuffle and a 1-row broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.tokens("text")).alias("term"))
+    cf = (
+        toks.where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = cf.select(
+        "term", "c", F.round(F.pow(F.col("c"), F.lit(0.75)), 8).alias("w")
+    )
+    tot = w.agg(
+        F.sum(F.col("w").cast("decimal(38,14)")).cast("double").alias("z")
+    )
+    return w.join(F.broadcast(tot)).select(
+        "term", "c", "w",
+        F.round(F.col("w") / F.col("z"), 12).alias("p_neg"),
+    )
