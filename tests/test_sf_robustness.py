@@ -1,0 +1,43 @@
+"""Scale-factor robustness: the oracle suite runs at sf0.01 (the
+driver's scale); this sweep re-checks one representative per family at
+sf0.001 so an oracle or builder that silently bakes in a row count,
+panel size, shard constant, or data-dependent literal fails here
+instead of surviving until the data changes."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.oracle_utils import compare_query
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+# One representative per family — chosen for having internal constants
+# that COULD have been tuned to sf0.01 (panels, shards, caps, buckets).
+REPRESENTATIVES = [
+    "q_tpch_q1",                # reference OLAP
+    "q_flagship_star_rollup",   # composed star pipeline
+    "q_quality_percentile",     # sharded prefix-sum (32-shard constant)
+    "q_dedup_minhash_lsh",      # banded LSH (64 perms, 32 bands)
+    "q_knn_pq",                 # PQ training (PQ_K seeds, ADC cut)
+    "q_ann_recall",             # fixed query panel (vec_id % 25)
+    "q_matryoshka_recall",      # truncation panel
+    "q_kn_bigram_ppl",          # count-table LM
+    "q_bpe_train",              # 8-round iterative trainer
+    "q_bpe_encode",             # trained-merge application
+    "q_pipeline_ccnet",         # per-lang terciles (lang min-rank bases)
+    "q_dataset_report",         # per-source rollup
+    "q_preference_pairs",       # per-group argmax/argmin
+    "q_negative_sampling",      # damped-unigram distribution
+    "q_multimodal_dhash",       # byte-signature buckets
+    "q_stream_bloom_dedup",     # bitmask gate (B=4096 positions)
+    "q_stream_cdc_apply",       # streaming max-of-struct state
+    "q_semdedup",               # k = max(8, n//64) sizing rule
+    "q_hll_uniques",            # sketch error-bound boolean
+    "q_interpolate_linear",     # per-group spine generation
+]
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVES)
+def test_oracle_match_at_small_sf(spark, name):
+    assert compare_query(spark, name, sf_dir=SF_SMALL) >= 0
