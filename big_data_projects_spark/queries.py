@@ -234,7 +234,7 @@ _ROUND6_QUEUE = [
     "q_preference_pairs", "q_stream_bloom_dedup", "q_ann_recall",
     "q_sql_pipe", "q_stream_cdc_apply", "q_multimodal_dhash",
     "q_apply_in_arrow", "q_dataset_report", "q_bpe_encode",
-    "q_matryoshka_recall", "q_negative_sampling",
+    "q_matryoshka_recall", "q_negative_sampling", "q_cluster_purity",
     "q_pandas_udaf_trimmed", "q_pagerank_sim_graph", "q_knn_batch",
     "q_knn_ivf",
 ]
