@@ -97,6 +97,8 @@ INCOMING = [
     "q_dataset_report",
     "q_bpe_encode",
     "q_matryoshka_recall",
+    "q_negative_sampling",
+    "q_cluster_purity",
 ]
 
 
