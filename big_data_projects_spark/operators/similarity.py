@@ -310,13 +310,25 @@ def kmeans_assign(
       anywhere (hash buckets + deterministic argmax with id tiebreak) —
       retried stages reproduce identical seeds, and the seed phase is
       O(1) full-corpus scans where farthest-first traversal was O(k).
-    - assign: cross join against the k-row broadcast centroid table,
-      per-row argmin of squared L2 distance (JVM fold, no UDF).
-    - update: per-(cluster, position) decimal means via posexplode →
-      groupBy — the same merge-exact pattern as q_embed_outliers.
-    - n_iter is fixed (no convergence probe): each iteration is one
-      broadcast join + one shuffle keyed by (cluster, pos); at 100 TB
-      the assign scan dominates and iterations are strictly bounded.
+    - distances are computed IN-ROW against the candidate/centroid set
+      embedded as an array<struct> literal (the set is driver-small and
+      bounded by construction: ≤ 8k+1 candidates, exactly ≤ k
+      centroids): ``array_min(transform(lit_set, c → struct(d, id)))``
+      — the per-row argmin never leaves the scan task, so there is NO
+      corpus×k crossJoin, no groupBy keyed on the vector column, and
+      no per-id window shuffle anywhere in the operator. Lexicographic
+      struct ordering reproduces the old (distance, id) tie-break
+      exactly, and the same zip_with/aggregate double fold keeps the
+      arithmetic bit-identical.
+    - update: per-cluster per-position decimal means as ``dim``
+      map-side-combined aggregate columns over element_at — one narrow
+      k-row shuffle per iteration (the posexplode version shuffled
+      n×dim rows).
+    - n_iter is fixed (no convergence probe). Each iteration collects
+      the ≤k×dim centroid table to the driver (the PQ-training bounded-
+      actions pattern, similarity.py pq_topk): ~n_iter+4 collects of
+      ≤(8k+1) rows total, independent of corpus size. The per-row
+      assign scan dominates at 100 TB and is a pure map stage.
 
     Returns (id, cluster) assignments.
     """
@@ -333,7 +345,17 @@ def kmeans_assign(
     vecs = emb.select(
         F.col(id_col).alias("__id"),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__v"),
-    ).persist()
+    )
+    # The distance argmin is a higher-order-function fold — interpreted,
+    # not codegen'd — so its wall scales with rows-per-task. A small
+    # single-file scan (the sf0.1 bench: one parquet row-group, ONE
+    # partition) would run the whole corpus single-threaded; spread it
+    # once before the persist. Gated: a 100 TB scan already has
+    # thousands of partitions, so this never adds a shuffle at scale.
+    target = emb.sparkSession.sparkContext.defaultParallelism
+    if vecs.rdd.getNumPartitions() < target:
+        vecs = vecs.repartition(target)
+    vecs = vecs.persist()
 
     spark = vecs.sparkSession
     n_buckets = 4 * k
@@ -347,50 +369,81 @@ def kmeans_assign(
         .select("__id", "__v")
         .collect()
     )
+    def _with_set(df, vec_lists, ids, ids_type="bigint"):
+        # Attach the candidate/centroid set — driver-small by
+        # construction (≤ 8k+1 rows) — to every row as TWO array
+        # columns via a one-row broadcast crossJoin. This keeps the
+        # argmin fully in-row (no corpus×k join rows, no per-id
+        # shuffle) while the set itself ships as broadcast DATA:
+        # building it as a literal expression tree (array(lit(x)…),
+        # which is also what classic lit(list) expands to) put ~4k
+        # nodes through py4j + Catalyst per scan and measurably walled
+        # the driver (~6 s/query at sf0.1, independent of corpus size).
+        one = df.sparkSession.createDataFrame(
+            [(
+                [[float(x) for x in v] for v in vec_lists],
+                [int(i) for i in ids],
+            )],
+            f"__cv array<array<double>>, __cids array<{ids_type}>",
+        )
+        return df.crossJoin(F.broadcast(one))
+
     # Oversampling rounds: per hash-bucket farthest point from the
     # current candidate set — one scan per round, candidates stay
-    # driver-small (≤ n_buckets per round) by construction.
+    # driver-small (≤ n_buckets per round) by construction. The
+    # per-row min-distance is in-row (array_min over the candidate
+    # literal); the bucket argmax is a map-side-combined max_by on
+    # (dmin, -id) — max distance, smallest id on ties, identical to
+    # the former row_number(dmin DESC, id) window without its shuffle.
     for rnd in range(1, seed_rounds + 1):
-        cand_df = spark.createDataFrame(cands, schema="__id long, __v array<double>")
-        dmin = (
-            vecs.crossJoin(F.broadcast(cand_df.select(F.col("__v").alias("__c"))))
-            .groupBy("__id", "__v")
-            .agg(F.min(_sq_dist(F.col("__v"), F.col("__c"))).alias("__dmin"))
+        dmin_col = F.array_min(
+            F.transform(F.col("__cv"), lambda c: _sq_dist(F.col("__v"), c))
+        )
+        picked = (
+            _with_set(
+                vecs, [r["__v"] for r in cands], [r["__id"] for r in cands]
+            )
+            .select("__id", "__v", dmin_col.alias("__dmin"))
             .filter(F.col("__dmin") > 0)
             .withColumn(
                 "__bkt", F.pmod(F.xxhash64(F.col("__id"), F.lit(rnd)), F.lit(n_buckets))
             )
-        )
-        wb = Window.partitionBy("__bkt").orderBy(F.col("__dmin").desc(), "__id")
-        picked = (
-            dmin.withColumn("__rk", F.row_number().over(wb))
-            .filter(F.col("__rk") == 1)
-            .select("__id", "__v")
+            .groupBy("__bkt")
+            .agg(
+                F.max_by(
+                    F.struct("__id", "__v"),
+                    F.struct(
+                        F.col("__dmin").alias("d"), (-F.col("__id")).alias("ni")
+                    ),
+                ).alias("p")
+            )
+            .select("p.__id", "p.__v")
             .collect()
         )
         seen = {r["__id"] for r in cands}
         cands.extend(r for r in picked if r["__id"] not in seen)
     # Weight candidates by attraction (points nearest to each) — one
-    # scan — then reduce to k seeds with a driver-side weighted greedy
-    # k-center pass over the tiny candidate table.
-    cand_df = spark.createDataFrame(cands, schema="__id long, __v array<double>")
-    wa = Window.partitionBy("__pid").orderBy(F.col("__d"), F.col("__cid"))
+    # scan, nearest-candidate argmin in-row via lexicographic
+    # array_min on struct(d, cid) (min distance, smallest cid on ties
+    # — the former per-point window's exact ordering) — then reduce to
+    # k seeds with a driver-side weighted greedy k-center pass over
+    # the tiny candidate table.
+    nearest = F.array_min(
+        F.zip_with(
+            F.col("__cv"),
+            F.col("__cids"),
+            lambda c, i: F.struct(
+                _sq_dist(F.col("__v"), c).alias("d"), i.alias("cid")
+            ),
+        )
+    )
     weights = {
         r["__cid"]: r["w"]
         for r in (
-            vecs.select(F.col("__id").alias("__pid"), "__v")
-            .crossJoin(
-                F.broadcast(
-                    cand_df.select(
-                        F.col("__id").alias("__cid"), F.col("__v").alias("__c")
-                    )
-                )
+            _with_set(
+                vecs, [r["__v"] for r in cands], [r["__id"] for r in cands]
             )
-            .select(
-                "__pid", "__cid", _sq_dist(F.col("__v"), F.col("__c")).alias("__d")
-            )
-            .withColumn("__rk", F.row_number().over(wa))
-            .filter(F.col("__rk") == 1)
+            .select(nearest["cid"].alias("__cid"))
             .groupBy("__cid")
             .agg(F.count(F.lit(1)).alias("w"))
             .collect()
@@ -427,49 +480,58 @@ def kmeans_assign(
         chosen_idx.add(best_j)
         dmin = np.minimum(dmin, ((cmat - cmat[best_j]) ** 2).sum(axis=1))
     chosen = [cands[j] for j in order]
-    centroids = spark.createDataFrame(
-        [(i + 1, r["__v"]) for i, r in enumerate(chosen)],
-        schema="cluster int, __c array<double>",
-    )
+    cent = [(i + 1, [float(x) for x in r["__v"]]) for i, r in enumerate(chosen)]
+    dim = len(cent[0][1]) if cent else 0
+
+    def _assigned(df, cent_rows):
+        # Per-row argmin over the ≤k centroid set: lexicographic
+        # array_min on struct(d, cluster) = min distance, smallest
+        # cluster on ties — the former per-id window's exact ordering,
+        # computed entirely inside the scan task (no shuffle). The int
+        # ids_type keeps the cluster column's former createDataFrame
+        # schema (`cluster int`) for every downstream consumer.
+        best = F.array_min(
+            F.zip_with(
+                F.col("__cv"),
+                F.col("__cids"),
+                lambda c, i: F.struct(
+                    _sq_dist(F.col("__v"), c).alias("d"),
+                    i.alias("cluster"),
+                ),
+            )
+        )
+        return _with_set(
+            df, [v for _, v in cent_rows], [c for c, _ in cent_rows], "int"
+        ).select("__id", "__v", best["cluster"].alias("cluster"))
+
+    # Lloyd: assign in-row, update as dim map-side-combined decimal
+    # means (same sum(decimal)/count arithmetic as the former
+    # posexplode shape — decimal accumulation is order-independent, so
+    # the collected centroids are bit-identical), collect the ≤k×dim
+    # table, iterate. Empty clusters drop out of the groupBy exactly
+    # as they dropped out of the posexplode version.
+    mean_aggs = [
+        (
+            F.sum(
+                F.element_at(F.col("__v"), i + 1).cast("decimal(38,10)")
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias(f"m{i}")
+        for i in range(dim)
+    ]
     for _ in range(n_iter):
-        scored = (
-            vecs.crossJoin(F.broadcast(centroids))
-            .select("__id", "__v", "cluster", _sq_dist(F.col("__v"), F.col("__c")).alias("__d"))
-        )
-        w = Window.partitionBy("__id").orderBy(F.col("__d"), F.col("cluster"))
-        assigned = (
-            scored.withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") == 1)
-            .select("__id", "__v", "cluster")
-        )
-        centroids = (
-            assigned.select(
-                "cluster", F.posexplode("__v").alias("pos", "x")
-            )
-            .groupBy("cluster", "pos")
-            .agg(
-                (
-                    F.sum(F.col("x").cast("decimal(38,10)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("m")
-            )
+        rows = (
+            _assigned(vecs, cent)
             .groupBy("cluster")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "m"))
-                ).alias("pm")
-            )
-            .select("cluster", F.expr("transform(pm, s -> s.m)").alias("__c"))
+            .agg(*mean_aggs)
+            .collect()
         )
-    final = (
-        vecs.crossJoin(F.broadcast(centroids))
-        .select("__id", "cluster", _sq_dist(F.col("__v"), F.col("__c")).alias("__d"))
-    )
-    w = Window.partitionBy("__id").orderBy(F.col("__d"), F.col("cluster"))
-    return (
-        final.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .select(F.col("__id").alias(id_col), "cluster")
+        cent = sorted(
+            (int(r["cluster"]), [float(r[f"m{i}"]) for i in range(dim)])
+            for r in rows
+        )
+    return _assigned(vecs, cent).select(
+        F.col("__id").alias(id_col), "cluster"
     )
 
 

@@ -4118,10 +4118,18 @@ def q_cluster_purity(spark, sf_dir):
     real label information vs the trivial one-cluster assignment
     (0.164 vs 0.118 on this corpus, deterministic). All aggregates;
     the purity numerator is one (cluster, label) count plus a per-
-    cluster max."""
+    cluster max. The (vec_id, label, cluster) relation is persisted
+    before the aggregate fan-out: the assignment's lazy Lloyd-iteration
+    lineage would otherwise be replayed once per consuming branch
+    (pure + stats), and only the two narrow columns ride the join —
+    never the embedding array."""
     emb = _t(spark, sf_dir, "embeddings")
     asg = S.kmeans_assign(emb, k=8, n_iter=2)
-    j = emb.join(asg, "vec_id")
+    j = (
+        emb.select("vec_id", "label")
+        .join(asg, "vec_id")
+        .persist()  # consumed by per-(cluster,label) counts AND stats
+    )
     per = j.groupBy("cluster", "label").agg(
         F.count(F.lit(1)).alias("n")
     )
