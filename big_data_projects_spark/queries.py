@@ -237,6 +237,13 @@ _ROUND6_QUEUE = [
     "q_matryoshka_recall", "q_negative_sampling", "q_cluster_purity",
     "q_pandas_udaf_trimmed", "q_pagerank_sim_graph", "q_knn_batch",
     "q_knn_ivf",
+    # The last five stale rows-only driver rows (q_approx_agg r01; the
+    # rest r02 `no_oracle`): each has since gained a hash-match oracle
+    # and passes the local sweep, but its LATEST driver row still
+    # reads rows-only — refresh so no query's newest signal is weaker
+    # than its current oracle (VERDICT r4 item #2).
+    "q_approx_agg", "q_dedup_minhash_lsh", "q_simhash_pairs",
+    "q_embed_lsh_neardup", "q_knn_int8",
 ]
 
 
