@@ -110,6 +110,17 @@ QUERIES = [
     # sublinearly with the corpus — this measures both claims.
     "q_kn_bigram_ppl",
     "q_bpe_train",
+    # round-5 additions — the evaluation family (VERDICT r4 item #6):
+    # recall@10 and matryoshka truncation score a FIXED query panel
+    # against a growing corpus (risk: the panel×corpus scoring join);
+    # purity is kmeans_assign + invariant aggregates (risk: the
+    # seeding/Lloyd job chain growing with data); BPE encode re-fits
+    # on the word-TYPE table then joins tokens term-keyed (risk: the
+    # type table or the encode join going superlinear).
+    "q_ann_recall",
+    "q_matryoshka_recall",
+    "q_cluster_purity",
+    "q_bpe_encode",
 ]
 # Near-linear tolerance: shuffles and within-bucket verify grow a bit
 # superlinearly even in healthy plans; 3x headroom over proportional
