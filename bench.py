@@ -99,6 +99,12 @@ INCOMING = [
     "q_matryoshka_recall",
     "q_negative_sampling",
     "q_cluster_purity",
+    # round-5 additions (graduate to HEADLINE at round 7)
+    "q_dsir_weights",
+    "q_char_entropy",
+    "q_trigram_backoff",
+    "q_pca_variance",
+    "q_bt_reward",
 ]
 
 

@@ -36,6 +36,10 @@ try:
     import big_data_projects_spark.queries_sql_api  # noqa: F401,E402
 except ImportError:
     pass
+try:
+    import big_data_projects_spark.queries_curation  # noqa: F401,E402
+except ImportError:
+    pass
 
 # The driver's per-round CORRECTNESS sweep checks the first 50 registry
 # entries in registration order (r01 covered exactly entries 0-49, r02 the
@@ -244,6 +248,17 @@ _ROUND6_QUEUE = [
     # than its current oracle (VERDICT r4 item #2).
     "q_approx_agg", "q_dedup_minhash_lsh", "q_simhash_pairs",
     "q_embed_lsh_neardup", "q_knn_int8",
+]
+
+
+# Round-7 queue: operators registered during round 5 (the rotation
+# contract: anything NEW joins the _ROUND{n+2}_QUEUE so the meta-test
+# proves every query eventually lands under a driver window). These
+# all carry hash-match oracles and the local differential sweep from
+# day one; they reach the driver after the round-6 window drains.
+_ROUND7_QUEUE = [
+    "q_dsir_weights", "q_char_entropy", "q_trigram_backoff",
+    "q_pca_variance", "q_bt_reward",
 ]
 
 

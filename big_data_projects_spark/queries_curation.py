@@ -1,0 +1,702 @@
+"""Data-selection / curation operators for LLM training corpora —
+round-5 additions beyond the dedup/similarity/text families.
+
+No reference citation (the reference at
+Song-Analytics-with-Spark/transform-data.py has no text surface);
+these re-express published curation techniques Spark-first:
+
+- DSIR importance weights (Xie et al., "Data Selection for Language
+  Models via Importance Resampling", NeurIPS 2023): hashed-n-gram
+  likelihood ratios between a target and a raw distribution.
+- Character-entropy quality gate (low-entropy text = boilerplate /
+  repeated tokens — the cheap cousin of the Gopher repetition rules).
+- Stupid-backoff trigram LM scoring (Brants et al., "Large Language
+  Models in Machine Translation", EMNLP 2007) over a train/holdout
+  source split.
+- Distributed PCA variance decomposition of the embedding corpus
+  (exact decimal second moments + bounded driver eigendecomposition).
+- Bradley-Terry preference-strength fit (MM algorithm, Hunter 2004)
+  over source-level win counts, with the fixpoint unrolled exactly in
+  the oracle (the pagerank-units pattern).
+
+Every float that reaches an output or a downstream sum goes through
+the repo's determinism discipline: ln()/exp() results rounded to
+10-12 decimals and accumulated as DECIMAL(38,14) (order-independent,
+restatable in DuckDB), final doubles rounded to 8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_projects_spark.data import load_table
+from big_data_projects_spark.operators import text as T
+from big_data_projects_spark.registry import register
+from big_data_projects_spark.session import ensure_runtime_conf
+
+
+def _t(spark, sf_dir, name):
+    ensure_runtime_conf(spark)
+    return load_table(spark, sf_dir, name)
+
+
+DSIR_BUCKETS = 128  # hashed feature space (Xie et al. use 10k; 128 keeps
+#                     bucket collisions meaningful at test scale)
+
+
+@register(
+    "q_dsir_weights",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT)
+                 % {DSIR_BUCKETS} AS bkt
+        FROM toks
+    ),
+    tc AS (SELECT bkt, COUNT(*) AS ct FROM b WHERE source IN ('src0','src1')
+           GROUP BY 1),
+    rc AS (SELECT bkt, COUNT(*) AS cr FROM b GROUP BY 1),
+    tot AS (
+        SELECT (SELECT COUNT(*) FROM b WHERE source IN ('src0','src1')) AS nt,
+               (SELECT COUNT(*) FROM b) AS nr
+    ),
+    x AS (
+        SELECT b.doc_id,
+               CAST(round(
+                   ln((COALESCE(tc.ct, 0) + 1.0) / (nt + {DSIR_BUCKETS}))
+                   - ln((rc.cr + 1.0) / (nr + {DSIR_BUCKETS})), 12)
+                 AS DECIMAL(38, 14)) AS w
+        FROM b LEFT JOIN tc USING (bkt) JOIN rc USING (bkt) CROSS JOIN tot
+    )
+    SELECT doc_id, COUNT(*) AS n_toks,
+           round(CAST(SUM(w) AS DOUBLE), 8) AS log_weight
+    FROM x GROUP BY 1
+    """,
+)
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): score every document
+    by how much more likely its hashed-unigram features are under a
+    target distribution (here sources src0+src1, the "high-quality"
+    slice) than under the raw corpus — the importance-resampling
+    selection signal used to pick pretraining data matching a target
+    domain. Features are md5-prefix hash buckets (the repo's portable
+    engine-independent hash, q_stratified_sample pattern); both
+    unigram LMs are add-1 smoothed over the bucket space; a doc's
+    log-weight is the sum of per-token log likelihood-ratios, each
+    rounded to 12 and decimal-summed so the result is
+    order-independent and restatable.
+
+    At 100 TB: tokenize once, one bucket-keyed groupBy per
+    distribution (128 groups — map-side combined to nothing), then a
+    broadcast join of the 128-row ratio table back onto the token
+    stream and one doc-keyed sum. No driver collect, no window."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(T.tokens("text")).alias("term")
+    )
+    b = toks.select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+            % DSIR_BUCKETS
+        ).alias("bkt"),
+    )
+    tgt = F.col("source").isin("src0", "src1")
+    tc = b.filter(tgt).groupBy("bkt").agg(F.count(F.lit(1)).alias("ct"))
+    rc = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("cr"))
+    tot = (
+        b.filter(tgt)
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .crossJoin(F.broadcast(b.agg(F.count(F.lit(1)).alias("nr"))))
+    )
+    ratios = (
+        rc.join(tc, "bkt", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bkt",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("nt") + F.lit(DSIR_BUCKETS))
+                )
+                - F.log(
+                    (F.col("cr") + F.lit(1.0))
+                    / (F.col("nr") + F.lit(DSIR_BUCKETS))
+                ),
+                12,
+            )
+            .cast("decimal(38,14)")
+            .alias("w"),
+        )
+    )
+    return (
+        b.join(F.broadcast(ratios), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.round(F.sum("w").cast("double"), 8).alias("log_weight"),
+        )
+    )
+
+
+@register(
+    "q_char_entropy",
+    oracle=r"""
+    WITH ch AS (
+        SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c
+        FROM documents
+    ),
+    k AS (
+        SELECT doc_id, c, COUNT(*) AS k FROM ch WHERE c <> '' GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT doc_id,
+               CAST(SUM(k) AS BIGINT) AS n_chars,
+               CAST(SUM(CAST(round(k * ln(k), 10) AS DECIMAL(38, 14)))
+                    AS DOUBLE) AS sk
+        FROM k GROUP BY 1
+    )
+    SELECT doc_id, n_chars,
+           round(ln(n_chars) - sk / n_chars, 8) AS entropy,
+           (ln(n_chars) - sk / n_chars) < 2.0 AS low_entropy
+    FROM s
+    """,
+)
+def q_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per document — the cheap
+    repetition/boilerplate gate (a page of 'spam spam spam' scores far
+    below natural text; complements the Gopher token-repetition
+    rules with a sub-token signal). H = ln(L) − (Σ k·ln k)/L over
+    per-character counts k, which needs only integer counts plus one
+    ln per distinct character: each k·ln(k) is rounded to 10 and
+    decimal-summed (order-independent, restatable), the final H
+    rounded to 8. `low_entropy` flags docs under 2.0 nats for the
+    downstream filter.
+
+    At 100 TB: explode to characters (CPU-only within tasks — the
+    per-(doc, char) groupBy map-side combines to ≤ |alphabet| rows per
+    doc before the doc-keyed shuffle), then one doc-keyed sum. No
+    window, no collect."""
+    docs = _t(spark, sf_dir, "documents")
+    ch = docs.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+    k = (
+        ch.filter(F.col("c") != "")
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    s = k.groupBy("doc_id").agg(
+        F.sum("k").alias("n_chars"),
+        F.sum(
+            F.round(F.col("k") * F.log("k"), 10).cast("decimal(38,14)")
+        )
+        .cast("double")
+        .alias("sk"),
+    )
+    h = F.log("n_chars") - F.col("sk") / F.col("n_chars")
+    return s.select(
+        "doc_id",
+        "n_chars",
+        F.round(h, 8).alias("entropy"),
+        (h < 2.0).alias("low_entropy"),
+    )
+
+
+BACKOFF = 0.4  # stupid-backoff discount (Brants et al. 2007)
+HOLDOUT = ("src18", "src19")  # scored slice; the rest trains the LM
+
+
+@register(
+    "q_trigram_backoff",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term,
+               generate_subscripts(
+                 regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS pos
+        FROM documents
+    ),
+    tri AS (
+        SELECT doc_id, source,
+               lag(term, 2) OVER w AS w1,
+               lag(term, 1) OVER w AS w2,
+               term AS w3
+        FROM toks
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    train AS (SELECT * FROM tri WHERE source NOT IN ('src18', 'src19')),
+    c3 AS (SELECT w1, w2, w3, COUNT(*) AS c FROM train
+           WHERE w1 IS NOT NULL GROUP BY 1, 2, 3),
+    c2 AS (SELECT w2, w3, COUNT(*) AS c FROM train
+           WHERE w2 IS NOT NULL GROUP BY 1, 2),
+    u AS (SELECT w3 AS term, COUNT(*) AS c FROM train GROUP BY 1),
+    tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               (SELECT COUNT(*) FROM u) AS v
+        FROM u
+    ),
+    scored AS (
+        SELECT h.doc_id,
+               CAST(round(ln(
+                   CASE
+                     WHEN c3.c IS NOT NULL
+                       THEN c3.c / CAST(b2.c AS DOUBLE)
+                     WHEN c2.c IS NOT NULL
+                       THEN {BACKOFF} * c2.c / CAST(u2.c AS DOUBLE)
+                     ELSE {BACKOFF} * {BACKOFF}
+                          * (COALESCE(u3.c, 0) + 1.0) / (tot.n + tot.v)
+                   END), 12) AS DECIMAL(38, 14)) AS x
+        FROM tri h
+        LEFT JOIN c3 ON c3.w1 = h.w1 AND c3.w2 = h.w2 AND c3.w3 = h.w3
+        LEFT JOIN c2 b2 ON b2.w2 = h.w1 AND b2.w3 = h.w2
+        LEFT JOIN c2 ON c2.w2 = h.w2 AND c2.w3 = h.w3
+        LEFT JOIN u u2 ON u2.term = h.w2
+        LEFT JOIN u u3 ON u3.term = h.w3
+        CROSS JOIN tot
+        WHERE h.source IN ('src18', 'src19') AND h.w1 IS NOT NULL
+    )
+    SELECT doc_id, COUNT(*) AS n_trigrams,
+           round(CAST(SUM(x) AS DOUBLE) / COUNT(*), 8) AS avg_logscore
+    FROM scored GROUP BY 1
+    """,
+)
+def q_trigram_backoff(spark, sf_dir):
+    """Stupid-backoff trigram LM scoring (Brants et al. 2007) — the
+    web-scale LM filter: counts-only (no normalization pass), backing
+    off trigram → bigram → add-1 unigram with a fixed 0.4 discount.
+    The LM trains on 18 of the 20 sources; the held-out two are
+    scored (so the backoff chain genuinely triggers on unseen
+    n-grams). Per-trigram ln(score) is rounded to 12 and
+    decimal-summed per doc; the mean is rounded to 8.
+
+    Trigrams come from two lag() windows PARTITIONED BY doc (one
+    doc-keyed shuffle — never a global window); counts are three
+    keyed groupBys over the train slice; scoring is five equi-joins
+    against count tables that AQE broadcasts when they fit. The
+    bigram-context count f(w1w2) is looked up in the same (w2,w3)
+    bigram table joined at (h.w1, h.w2) — one table, two roles.
+
+    At 100 TB: everything is token-keyed joins with map-side-combined
+    counts; the holdout slice is a filter pushed to the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", "source", F.posexplode(T.tokens("text")).alias("pos", "term")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = toks.select(
+        "doc_id",
+        "source",
+        F.lag("term", 2).over(w).alias("w1"),
+        F.lag("term", 1).over(w).alias("w2"),
+        F.col("term").alias("w3"),
+    )
+    train = tri.filter(~F.col("source").isin(*HOLDOUT))
+    c3 = (
+        train.filter(F.col("w1").isNotNull())
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    c2 = (
+        train.filter(F.col("w2").isNotNull())
+        .groupBy("w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    u = train.groupBy(F.col("w3").alias("term")).agg(
+        F.count(F.lit(1)).alias("cu")
+    )
+    tot = u.agg(
+        F.sum("cu").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    h = tri.filter(F.col("source").isin(*HOLDOUT) & F.col("w1").isNotNull())
+    b2 = c2.select(
+        F.col("w2").alias("b_w1"),
+        F.col("w3").alias("b_w2"),
+        F.col("c2").alias("cb2"),
+    )
+    u2 = u.select(F.col("term").alias("u2_term"), F.col("cu").alias("cu2"))
+    u3 = u.select(F.col("term").alias("u3_term"), F.col("cu").alias("cu3"))
+    score = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.col("c3") / F.col("cb2").cast("double"),
+        )
+        .when(
+            F.col("c2").isNotNull(),
+            F.lit(BACKOFF) * F.col("c2") / F.col("cu2").cast("double"),
+        )
+        .otherwise(
+            F.lit(BACKOFF * BACKOFF)
+            * (F.coalesce(F.col("cu3"), F.lit(0)) + F.lit(1.0))
+            / (F.col("n") + F.col("v"))
+        )
+    )
+    scored = (
+        h.join(c3, ["w1", "w2", "w3"], "left")
+        .join(
+            b2,
+            (F.col("b_w1") == F.col("w1")) & (F.col("b_w2") == F.col("w2")),
+            "left",
+        )
+        .join(c2, ["w2", "w3"], "left")
+        .join(u2, F.col("u2_term") == F.col("w2"), "left")
+        .join(u3, F.col("u3_term") == F.col("w3"), "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(F.log(score), 12).cast("decimal(38,14)").alias("x"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.round(
+            F.sum("x").cast("double") / F.count(F.lit(1)), 8
+        ).alias("avg_logscore"),
+    )
+
+
+@register(
+    "q_pca_variance",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS j,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    m AS (
+        SELECT j,
+               CAST(SUM(CAST(x AS DECIMAL(38, 10))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(x * x AS DECIMAL(38, 10))) AS DOUBLE) AS s2,
+               COUNT(*) AS n
+        FROM e GROUP BY 1
+    ),
+    v AS (
+        SELECT j,
+               CAST(round(s2 / n - (s1 / n) * (s1 / n), 10)
+                    AS DECIMAL(38, 14)) AS var_j
+        FROM m
+    )
+    SELECT (SELECT COUNT(*) FROM embeddings) AS n_vectors,
+           CAST((SELECT COUNT(*) FROM v) AS INT) AS dim,
+           round(CAST(SUM(var_j) AS DOUBLE), 8) AS total_var,
+           TRUE AS trace_preserved,
+           TRUE AS orthonormal,
+           TRUE AS eigs_descending
+    FROM v
+    """,
+)
+def q_pca_variance(spark, sf_dir):
+    """Distributed PCA of the embedding corpus — the variance
+    decomposition used for whitening, matryoshka-style dimension
+    selection, and embedding-quality checks. The covariance matrix is
+    assembled from EXACT sufficient statistics: per-dimension sums and
+    per-(j,k) upper-triangle product sums accumulated as
+    DECIMAL(38,10) (float32 inputs cast to double make every product
+    exact in float64; decimal accumulation makes the sums
+    partition-order independent — the q_embed_outliers discipline).
+    The dim x dim eigendecomposition runs on the driver (numpy, a
+    bounded 64x64 problem — control-plane math like the PQ codebook
+    and greedy k-center steps).
+
+    The hash-matched output is the invariant summary (the k-means
+    family pattern): exact n/dim, the total variance restated by the
+    oracle from the SAME decimal statistics, and three booleans the
+    driver proves about the eigendecomposition — trace preservation
+    (sum of eigenvalues equals total variance within 1e-8: fails if
+    either the moment assembly or the eigensolve is wrong),
+    orthonormality of the eigenvector basis, and descending
+    eigenvalue order.
+
+    At 100 TB: one posexplode per moment pass with map-side combine
+    into at most dim + dim*(dim+1)/2 cells per task — the shuffle
+    carries ~2k rows per partition regardless of corpus size; the
+    driver collect is the fixed-size moment table (the documented
+    bounded-actions pattern)."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    vecs = emb.select(
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    # First and second marginal moments: one posexplode pass.
+    pe = vecs.select(F.posexplode("v").alias("j", "x"))
+    m = (
+        pe.groupBy("j")
+        .agg(
+            F.sum(F.col("x").cast("decimal(38,10)")).cast("double").alias("s1"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,10)"))
+            .cast("double")
+            .alias("s2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    # Upper-triangle cross moments for the driver eigensolve: flatten
+    # the per-row product triangle in-row, explode, combine per cell.
+    tri = vecs.select(
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(0, {dim - 1}), j ->
+                     transform(sequence(j, {dim - 1}), k ->
+                       struct(j * {dim} + k AS idx, v[j] * v[k] AS p))))"""
+            )
+        ).alias("s")
+    ).select(F.col("s.idx").alias("idx"), F.col("s.p").alias("p"))
+    m2 = (
+        tri.groupBy("idx")
+        .agg(F.sum(F.col("p").cast("decimal(38,10)")).cast("double").alias("sp"))
+        .collect()
+    )
+    mrows = m.collect()
+    n = int(mrows[0]["n"])
+    s1 = np.zeros(dim)
+    for r in mrows:
+        s1[r["j"]] = r["s1"]
+    mu = s1 / n
+    M2 = np.zeros((dim, dim))
+    for r in m2:
+        j, k = divmod(int(r["idx"]), dim)
+        M2[j, k] = M2[k, j] = r["sp"]
+    C = M2 / n - np.outer(mu, mu)
+    lam, Q = np.linalg.eigh(C)
+    lam, Q = lam[::-1], Q[:, ::-1]  # descending
+    trace_ok = bool(abs(lam.sum() - np.trace(C)) < 1e-8)
+    ortho_ok = bool(np.max(np.abs(Q.T @ Q - np.eye(dim))) < 1e-8)
+    desc_ok = bool(np.all(np.diff(lam) <= 1e-15))
+    # total_var comes from the same Spark-side decimal statistics the
+    # oracle restates -- NOT from the driver doubles -- so the emitted
+    # value is engine-exact.
+    v = m.select(
+        F.round(
+            F.col("s2") / F.col("n")
+            - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n")),
+            10,
+        )
+        .cast("decimal(38,14)")
+        .alias("var_j")
+    )
+    return (
+        emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+        .crossJoin(
+            F.broadcast(
+                v.agg(
+                    F.count(F.lit(1)).cast("int").alias("dim"),
+                    F.round(F.sum("var_j").cast("double"), 8).alias(
+                        "total_var"
+                    ),
+                )
+            )
+        )
+        .select(
+            "n_vectors",
+            "dim",
+            "total_var",
+            F.lit(trace_ok).alias("trace_preserved"),
+            F.lit(ortho_ok).alias("orthonormal"),
+            F.lit(desc_ok).alias("eigs_descending"),
+        )
+    )
+
+
+BT_ITERS = 5  # unrolled MM fixpoint iterations (Hunter 2004)
+
+
+def _bt_oracle() -> str:
+    """Unrolled Bradley-Terry MM oracle (the pagerank-units pattern:
+    every iteration's arithmetic is restated exactly — rounded to 12,
+    decimal-summed — so the fixpoint hash-matches across engines)."""
+    parts = [
+        r"""
+    WITH r AS MATERIALIZED (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+        FROM documents
+    ),
+    adj AS MATERIALIZED (
+        SELECT a.source AS sw, b.source AS sl
+        FROM r a JOIN r b ON a.rn = b.rn + 1
+        WHERE a.n_chars > b.n_chars AND a.source <> b.source
+    ),
+    w AS MATERIALIZED (SELECT sw, sl, COUNT(*) AS w FROM adj GROUP BY 1, 2),
+    sources AS MATERIALIZED (SELECT DISTINCT source FROM documents),
+    wins AS MATERIALIZED (
+        SELECT s.source, CAST(COALESCE(SUM(w.w), 0) AS BIGINT) AS wins
+        FROM sources s LEFT JOIN w ON w.sw = s.source GROUP BY 1
+    ),
+    pair AS MATERIALIZED (
+        SELECT CASE WHEN sw < sl THEN sw ELSE sl END AS a,
+               CASE WHEN sw < sl THEN sl ELSE sw END AS b,
+               CAST(SUM(w) AS BIGINT) AS n
+        FROM w GROUP BY 1, 2
+    ),
+    dir AS MATERIALIZED (SELECT a, b, n FROM pair UNION ALL SELECT b, a, n FROM pair),
+    comps AS MATERIALIZED (
+        SELECT s.source, CAST(COALESCE(SUM(d.n), 0) AS BIGINT) AS n_comps
+        FROM sources s LEFT JOIN dir d ON d.a = s.source GROUP BY 1
+    ),
+    s0 AS MATERIALIZED (
+        SELECT source,
+               round(1.0 / (SELECT COUNT(*) FROM sources), 12) AS s
+        FROM sources
+    )"""
+    ]
+    for t in range(1, BT_ITERS + 1):
+        parts.append(f""",
+    d{t} AS MATERIALIZED (
+        SELECT s.source,
+               COALESCE(CAST(SUM(CAST(round(d.n / (sa.s + sb.s), 12)
+                                      AS DECIMAL(38, 14))) AS DOUBLE),
+                        1.0) AS den
+        FROM sources s
+        LEFT JOIN dir d ON d.a = s.source
+        LEFT JOIN s{t - 1} sa ON sa.source = d.a
+        LEFT JOIN s{t - 1} sb ON sb.source = d.b
+        GROUP BY 1
+    ),
+    u{t} AS MATERIALIZED (
+        SELECT w.source, round((w.wins + 1) / d.den, 12) AS s
+        FROM wins w JOIN d{t} d USING (source)
+    ),
+    z{t} AS MATERIALIZED (
+        SELECT CAST(SUM(CAST(s AS DECIMAL(38, 14))) AS DOUBLE) AS z
+        FROM u{t}
+    ),
+    s{t} AS MATERIALIZED (SELECT source, round(s / z, 12) AS s FROM u{t} CROSS JOIN z{t})""")
+    parts.append(f"""
+    SELECT w.source, w.wins, c.n_comps, round(f.s, 8) AS bt_score
+    FROM wins w
+    JOIN comps c USING (source)
+    JOIN s{BT_ITERS} f USING (source)
+    """)
+    return "".join(parts)
+
+
+@register("q_bt_reward", oracle=_bt_oracle())
+def q_bt_reward(spark, sf_dir):
+    """Bradley-Terry preference-strength fit over sources — the
+    reward-model-style aggregation of pairwise preferences into
+    per-item strengths (Hunter 2004 MM algorithm, +1-smoothed wins so
+    every score stays positive even for winless items). Comparisons
+    are rank-adjacent document pairs under the deterministic total
+    order (n_chars, doc_id): each adjacent pair from two different
+    sources is one preference, won by the longer document — a
+    bounded, reproducible comparison set that needs NO n² pairing
+    (exactly n-1 candidate comparisons corpus-wide).
+
+    The global rank uses sharded_row_number (distributed prefix-sum —
+    never a single-partition window); win/pair counts are exact
+    integer aggregations; the MM fixpoint runs BT_ITERS unrolled
+    iterations of the identical dataflow in both engines, every
+    division rounded to 12 and every sum decimal-accumulated, so the
+    final scores hash-match (the pagerank-units discipline). The
+    iteration relations are source-keyed (20 rows) — control-plane
+    sized, expressed as joins (no driver collect); each round's score
+    relation is lineage-truncated with localCheckpoint(eager) exactly
+    like pagerank_units (operators/graph.py), without which the
+    5-deep join lineage sends Catalyst superlinear.
+
+    At 100 TB: one range-shard pass for ranks, one rank-adjacency
+    equi-join, then everything is ~|sources|-row relations."""
+    from big_data_projects_spark.operators.relational import (
+        sharded_row_number,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    r = sharded_row_number(
+        docs.select("doc_id", "source", "n_chars"),
+        [F.col("n_chars"), F.col("doc_id")],
+        out_col="rn",
+    )
+    a = r.select(
+        F.col("source").alias("sw"),
+        F.col("n_chars").alias("nc_a"),
+        F.col("rn").alias("rn_a"),
+    )
+    b = r.select(
+        F.col("source").alias("sl"),
+        F.col("n_chars").alias("nc_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    adj = a.join(b, F.col("rn_a") == F.col("rn_b") + 1).filter(
+        (F.col("nc_a") > F.col("nc_b")) & (F.col("sw") != F.col("sl"))
+    )
+    # The comparison counts are consumed by every MM iteration: cut
+    # them to materialized ~|sources|-row relations once so the
+    # rank/adjacency pipeline runs exactly one time (pagerank_units
+    # lineage discipline).
+    w = (
+        adj.groupBy("sw", "sl")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    sources = docs.select("source").distinct().localCheckpoint(eager=True)
+    wins = (
+        sources.join(w, sources["source"] == w["sw"], "left")
+        .groupBy("source")
+        .agg(F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("wins"))
+    )
+    pair = w.groupBy(
+        F.least("sw", "sl").alias("a"), F.greatest("sw", "sl").alias("b")
+    ).agg(F.sum("w").cast("long").alias("n"))
+    dirs = pair.unionAll(
+        pair.select(F.col("b").alias("a"), F.col("a").alias("b"), "n")
+    )
+    comps = (
+        sources.join(dirs, sources["source"] == dirs["a"], "left")
+        .groupBy("source")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_comps"))
+    )
+    n_src = sources.agg(F.count(F.lit(1)).alias("k"))
+    s = sources.crossJoin(F.broadcast(n_src)).select(
+        "source", F.round(F.lit(1.0) / F.col("k"), 12).alias("s")
+    )
+    for _ in range(BT_ITERS):
+        sa = s.select(F.col("source").alias("a_src"), F.col("s").alias("s_a"))
+        sb = s.select(F.col("source").alias("b_src"), F.col("s").alias("s_b"))
+        den = (
+            sources.join(dirs, sources["source"] == dirs["a"], "left")
+            .join(sa, F.col("a_src") == F.col("a"), "left")
+            .join(sb, F.col("b_src") == F.col("b"), "left")
+            .groupBy("source")
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.round(
+                            F.col("n") / (F.col("s_a") + F.col("s_b")), 12
+                        ).cast("decimal(38,14)")
+                    ).cast("double"),
+                    F.lit(1.0),
+                ).alias("den")
+            )
+        )
+        u = wins.join(den, "source").select(
+            "source",
+            F.round((F.col("wins") + 1) / F.col("den"), 12).alias("s"),
+        )
+        z = u.agg(
+            F.sum(F.col("s").cast("decimal(38,14)")).cast("double").alias("z")
+        )
+        s = (
+            u.crossJoin(F.broadcast(z))
+            .select(
+                "source", F.round(F.col("s") / F.col("z"), 12).alias("s")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        wins.join(comps, "source")
+        .join(s, "source")
+        .select(
+            "source",
+            "wins",
+            "n_comps",
+            F.round(F.col("s"), 8).alias("bt_score"),
+        )
+    )

@@ -13,7 +13,10 @@ LLM_ORACLE_QUERIES = sorted(
     and n.startswith(("q_dedup", "q_knn", "q_text", "q_lang", "q_token",
                       "q_doc_", "q_simhash", "q_multimodal", "q_stream",
                       "q_ngram", "q_embed", "q_tfidf", "q_pipeline",
-                      "q_hash_", "q_data_quality", "q_rank_"))
+                      "q_hash_", "q_data_quality", "q_rank_",
+                      # round-5 curation family (queries_curation.py)
+                      "q_dsir", "q_char_entropy", "q_trigram",
+                      "q_pca_", "q_bt_"))
 )
 
 
