@@ -3489,7 +3489,8 @@ def q_preference_pairs(spark, sf_dir):
         FROM embeddings
     ),
     raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    panel AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % 25 = 0),
+    panel AS (SELECT vec_id AS qid FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 20),
     i8 AS (
         SELECT p.qid, a.vec_id,
                ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
@@ -3522,21 +3523,31 @@ def q_preference_pairs(spark, sf_dir):
 def q_ann_recall(spark, sf_dir):
     """ANN index-quality evaluation: recall@10 of the int8-quantized
     similarity index against exact cosine, over a fixed 20-query panel
-    (vec_id % 25 = 0) — the monitoring job that tells you when a
-    quantized/approximate serving index has degraded enough to
-    rebuild. Per-query overlap of the two top-10 sets; both ranks use
-    bit-identical sims (the q_knn_cosine / q_knn_int8 parity) with
-    vec_id tie-breaks, so the recall fractions hash-match.
+    (the 20 smallest md5(vec_id) — deterministic, engine-portable, and
+    CONSTANT-SIZE regardless of corpus growth; the former
+    `vec_id % 25` panel grew with the corpus, making panel x corpus
+    scoring quadratic — caught SUPERLINEAR at 125x wall for 30x data
+    by tools/scale_smoke.py in round 5) — the monitoring job that
+    tells you when a quantized/approximate serving index has degraded
+    enough to rebuild. Per-query overlap of the two top-10 sets; both
+    ranks use bit-identical sims (the q_knn_cosine / q_knn_int8
+    parity) with vec_id tie-breaks, so the recall fractions
+    hash-match.
 
-    Scale shape: the query panel is FIXED-SIZE and broadcasts; both
-    scoring passes are one corpus scan each (BNL against the ≤20-row
-    panel — the q_hard_negatives exact-path precedent); the rank
-    windows partition by query id over the evaluation candidate set —
-    at 100 TB the eval runs over a corpus SAMPLE (recall estimates
-    need only a bounded candidate pool), keeping each window
-    partition sample-sized."""
+    Scale shape: the panel is a TakeOrdered top-20 (no global sort
+    materialization) and broadcasts; both scoring passes are one
+    corpus scan each (BNL against the 20-row panel — the
+    q_hard_negatives exact-path precedent); the rank windows partition
+    by query id over the evaluation candidate set — at 100 TB the
+    eval runs over a corpus SAMPLE (recall estimates need only a
+    bounded candidate pool), keeping each window partition
+    sample-sized."""
     emb = _t(spark, sf_dir, "embeddings")
-    panel_ids = F.col("vec_id") % 25 == 0
+    panel = (
+        emb.select(F.col("vec_id").alias("__pid"))
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(20)
+    )
 
     def ranked_top(scored, sim_col):
         w = Window.partitionBy("qid").orderBy(
@@ -3550,11 +3561,6 @@ def q_ann_recall(spark, sf_dir):
 
     # int8 path (same expression shape as S.quantized_topk_cosine)
     qemb = S.quantize_int8(emb)
-    qpanel = qemb.where(panel_ids).select(
-        F.col("vec_id").alias("qid"),
-        F.col("q_vec").alias("__qv"),
-        F.col("q_scale").alias("__qs"),
-    )
 
     def idot(a, b):
         return F.aggregate(
@@ -3570,11 +3576,16 @@ def q_ann_recall(spark, sf_dir):
         idot(F.col("q_vec"), F.col("q_vec")).cast("double")
     )
     qemb_n = qemb.withColumn("__nn", i8_norm)
-    qpanel_n = qemb_n.where(panel_ids).select(
-        F.col("vec_id").alias("qid"),
-        F.col("q_vec").alias("__qv"),
-        F.col("q_scale").alias("__qs"),
-        F.col("__nn").alias("__qn"),
+    qpanel_n = (
+        qemb_n.join(
+            F.broadcast(panel), F.col("vec_id") == F.col("__pid")
+        )
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("q_vec").alias("__qv"),
+            F.col("q_scale").alias("__qs"),
+            F.col("__nn").alias("__qn"),
+        )
     )
     i8_scored = (
         qemb_n.crossJoin(F.broadcast(qpanel_n))
@@ -3606,10 +3617,15 @@ def q_ann_recall(spark, sf_dir):
         )
     )
     emb_n = emb.withColumn("__nn", ex_norm)
-    rpanel = emb_n.where(panel_ids).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("__qe"),
-        F.col("__nn").alias("__qn"),
+    rpanel = (
+        emb_n.join(
+            F.broadcast(panel), F.col("vec_id") == F.col("__pid")
+        )
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("__qe"),
+            F.col("__nn").alias("__qn"),
+        )
     )
     ex_scored = (
         emb_n.crossJoin(F.broadcast(rpanel))
@@ -3926,7 +3942,8 @@ def q_bpe_encode(spark, sf_dir):
     WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     cut AS (SELECT vec_id, list_slice(embedding::DOUBLE[], 1, 16) AS v
             FROM embeddings),
-    panel AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % 25 = 0),
+    panel AS (SELECT vec_id AS qid FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 20),
     trunc AS (
         SELECT p.qid, a.vec_id,
                ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
@@ -3963,15 +3980,21 @@ def q_matryoshka_recall(spark, sf_dir):
     MRL-style serving stack measures before shipping a truncated
     index (4x memory/bandwidth saved; this query reports what it
     costs on YOUR corpus). Same harness shape as q_ann_recall: fixed
-    broadcast 20-query panel, one corpus scan per path, qid-
-    partitioned ranks over the evaluation candidate pool, bit-exact
-    sims with id tie-breaks — the per-query recall fractions
-    hash-match. (The synthetic test embeddings are NOT
-    importance-ordered, so measured recall is the pessimistic
+    broadcast 20-query panel (20 smallest md5(vec_id) — constant-size
+    under corpus growth; the former corpus-proportional `% 25` panel
+    was caught SUPERLINEAR by the round-5 scale smoke), one corpus
+    scan per path, qid-partitioned ranks over the evaluation
+    candidate pool, bit-exact sims with id tie-breaks — the per-query
+    recall fractions hash-match. (The synthetic test embeddings are
+    NOT importance-ordered, so measured recall is the pessimistic
     untrained-truncation floor; a trained MRL model reorders mass
     into the prefix and this same query measures the gain.)"""
     emb = _t(spark, sf_dir, "embeddings")
-    panel_ids = F.col("vec_id") % 25 == 0
+    panel = (
+        emb.select(F.col("vec_id").alias("__pid"))
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(20)
+    )
 
     def ranked_top(scored, sim_col):
         w = Window.partitionBy("qid").orderBy(
@@ -3995,10 +4018,15 @@ def q_matryoshka_recall(spark, sf_dir):
             )
         )
         dn = df.withColumn("__nn", norm)
-        pan = dn.where(panel_ids).select(
-            F.col("vec_id").alias("qid"),
-            F.col(vec_expr_name).alias("__qe"),
-            F.col("__nn").alias("__qn"),
+        pan = (
+            dn.join(
+                F.broadcast(panel), F.col("vec_id") == F.col("__pid")
+            )
+            .select(
+                F.col("vec_id").alias("qid"),
+                F.col(vec_expr_name).alias("__qe"),
+                F.col("__nn").alias("__qn"),
+            )
         )
         scored = (
             dn.crossJoin(F.broadcast(pan))
