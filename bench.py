@@ -105,6 +105,9 @@ INCOMING = [
     "q_trigram_backoff",
     "q_pca_variance",
     "q_bt_reward",
+    "q_rouge_overlap",
+    "q_span_corruption",
+    "q_ngram_novelty",
 ]
 
 

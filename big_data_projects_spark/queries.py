@@ -258,7 +258,8 @@ _ROUND6_QUEUE = [
 # day one; they reach the driver after the round-6 window drains.
 _ROUND7_QUEUE = [
     "q_dsir_weights", "q_char_entropy", "q_trigram_backoff",
-    "q_pca_variance", "q_bt_reward",
+    "q_pca_variance", "q_bt_reward", "q_rouge_overlap",
+    "q_span_corruption", "q_ngram_novelty",
 ]
 
 

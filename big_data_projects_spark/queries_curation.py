@@ -700,3 +700,305 @@ def q_bt_reward(spark, sf_dir):
             F.round(F.col("s"), 8).alias("bt_score"),
         )
     )
+
+
+@register(
+    "q_rouge_overlap",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, source, n_chars,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    c AS (
+        SELECT source, doc_id AS chosen_doc,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id DESC) AS r
+        FROM t
+    ),
+    rj AS (
+        SELECT source, doc_id AS rejected_doc,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars ASC, doc_id ASC) AS r
+        FROM t
+    ),
+    pick AS (
+        SELECT c.source, c.chosen_doc, rj.rejected_doc
+        FROM c JOIN rj ON rj.source = c.source AND rj.r = 1
+        WHERE c.r = 1
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i + 1]))) AS b
+        FROM t
+    ),
+    ref AS (
+        SELECT p.source, COUNT(*) AS n_ref
+        FROM pick p JOIN bg r ON r.doc_id = p.rejected_doc GROUP BY 1
+    ),
+    hit AS (
+        SELECT p.source, COUNT(*) AS n_overlap
+        FROM pick p
+        JOIN bg r ON r.doc_id = p.rejected_doc
+        JOIN bg c ON c.doc_id = p.chosen_doc AND c.b = r.b
+        GROUP BY 1
+    )
+    SELECT p.source, p.chosen_doc, p.rejected_doc,
+           CAST(ref.n_ref AS BIGINT) AS n_ref_bigrams,
+           CAST(COALESCE(hit.n_overlap, 0) AS BIGINT) AS n_overlap,
+           round(COALESCE(hit.n_overlap, 0) / CAST(ref.n_ref AS DOUBLE), 8)
+             AS rouge2_recall
+    FROM pick p
+    JOIN ref ON ref.source = p.source
+    LEFT JOIN hit ON hit.source = p.source
+    WHERE p.chosen_doc <> p.rejected_doc
+    """,
+)
+def q_rouge_overlap(spark, sf_dir):
+    """ROUGE-2 recall between each source's preference pair — the
+    n-gram-overlap evaluation used to sanity-check summarization /
+    preference data (a chosen response that shares almost no bigrams
+    with its rejected sibling is a different TOPIC, not a quality
+    judgment; near-1.0 overlap means near-duplicates leaked into the
+    pair). Pairs follow the q_preference_pairs shape: per source,
+    chosen = argmax (n_chars, doc_id), rejected = argmin — min/max-of-
+    struct aggregates, never a window. Overlap is DISTINCT-bigram
+    (set) recall against the rejected doc, all exact integer counts;
+    the single division is rounded to 8.
+
+    Bigrams are built in-row (zip of two array slices — no
+    lag window), exploded only for the per-pair equi-join; at 100 TB
+    the join keys are (doc, bigram) for exactly 2·|sources| docs —
+    the candidate set is bounded by the pair table, and AQE broadcasts
+    the picked-pair relation."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", "n_chars", T.tokens("text").alias("t")
+    )
+    pick = t.groupBy("source").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("n_chars"), F.col("doc_id"))
+        ).alias("chosen_doc"),
+        F.min_by(
+            "doc_id", F.struct(F.col("n_chars"), F.col("doc_id"))
+        ).alias("rejected_doc"),
+    )
+    bigrams = F.array_distinct(
+        F.zip_with(
+            F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+            F.expr("slice(t, 2, greatest(size(t) - 1, 0))"),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    )
+    bg = t.select("doc_id", F.explode(bigrams).alias("b"))
+    ref_bg = bg.select(F.col("doc_id").alias("r_doc"), F.col("b"))
+    ch_bg = bg.select(
+        F.col("doc_id").alias("c_doc"), F.col("b").alias("cb")
+    )
+    ref = (
+        pick.join(ref_bg, F.col("r_doc") == F.col("rejected_doc"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+    )
+    hit = (
+        pick.join(ref_bg, F.col("r_doc") == F.col("rejected_doc"))
+        .join(
+            ch_bg,
+            (F.col("c_doc") == F.col("chosen_doc"))
+            & (F.col("cb") == F.col("b")),
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        pick.join(ref, "source")
+        .join(hit, "source", "left")
+        .where(F.col("chosen_doc") != F.col("rejected_doc"))
+        .select(
+            "source",
+            "chosen_doc",
+            "rejected_doc",
+            F.col("n_ref").cast("long").alias("n_ref_bigrams"),
+            F.coalesce(F.col("n_overlap"), F.lit(0))
+            .cast("long")
+            .alias("n_overlap"),
+            F.round(
+                F.coalesce(F.col("n_overlap"), F.lit(0))
+                / F.col("n_ref").cast("double"),
+                8,
+            ).alias("rouge2_recall"),
+        )
+    )
+
+
+SPAN_LEN = 3  # tokens per corruption block (T5 mean span length)
+SPAN_MOD = 5  # 1-in-5 blocks masked (~20% corruption rate)
+
+
+@register(
+    "q_span_corruption",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n
+        FROM documents
+    ),
+    blocks AS (
+        SELECT doc_id, n,
+               unnest(generate_series(0, (n - 1) // {SPAN_LEN})) AS blk
+        FROM t
+    ),
+    m AS (
+        SELECT doc_id, n, blk,
+               least({SPAN_LEN}, n - blk * {SPAN_LEN}) AS blk_tokens,
+               CAST(('0x' || substr(md5(doc_id || '_' || blk), 1, 8))
+                    AS BIGINT) % {SPAN_MOD} = 0 AS masked
+        FROM blocks
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(COALESCE(SUM(CASE WHEN masked THEN 1 END), 0) AS BIGINT)
+             AS n_masked_spans,
+           CAST(COALESCE(SUM(CASE WHEN masked THEN blk_tokens END), 0)
+                AS BIGINT) AS n_masked_tokens,
+           round(COALESCE(SUM(CASE WHEN masked THEN blk_tokens END), 0)
+                 / CAST(MAX(n) AS DOUBLE), 8) AS mask_rate
+    FROM m GROUP BY 1
+    """,
+)
+def q_span_corruption(spark, sf_dir):
+    """T5-style span-corruption PLAN (Raffel et al. 2020): partition
+    every document's token stream into fixed 3-token blocks and mask
+    a deterministic 1-in-5 of them (md5(doc_id, block) — the portable
+    hash, so the corruption schedule is reproducible across runs,
+    engines, and resharding — a property random masking loses and
+    checkpoint-resumed training needs). Emits the per-doc masking
+    summary (span count, masked-token count, realized rate) that a
+    pretraining pipeline materializes alongside the packed batches.
+
+    In-row everything: the block table comes from an exploded
+    sequence bounded by the doc's own length (explode amplifies by
+    n/3, combined map-side), the mask bit is a hash expression, the
+    summary one doc-keyed groupBy. No joins, no windows, no
+    collect."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(T.tokens("text")).alias("n")
+    )
+    blocks = t.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.expr(f"(n - 1) div {SPAN_LEN}"))
+        ).alias("blk"),
+    )
+    masked = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.col("doc_id"), F.col("blk"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % SPAN_MOD
+        == 0
+    )
+    m = blocks.select(
+        "doc_id",
+        "n",
+        F.least(
+            F.lit(SPAN_LEN), F.col("n") - F.col("blk") * F.lit(SPAN_LEN)
+        ).alias("blk_tokens"),
+        masked.alias("masked"),
+    )
+    return m.groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.coalesce(
+            F.sum(F.when(F.col("masked"), 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_masked_spans"),
+        F.coalesce(
+            F.sum(F.when(F.col("masked"), F.col("blk_tokens"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_masked_tokens"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("masked"), F.col("blk_tokens"))),
+                F.lit(0),
+            )
+            / F.max("n").cast("double"),
+            8,
+        ).alias("mask_rate"),
+    )
+
+
+@register(
+    "q_ngram_novelty",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i + 1])) AS b
+        FROM t
+    ),
+    df AS (SELECT b, COUNT(DISTINCT doc_id) AS df FROM bg GROUP BY 1)
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(SUM(CASE WHEN df.df = 1 THEN 1 END), 0) AS BIGINT)
+             AS n_novel,
+           round(COALESCE(SUM(CASE WHEN df.df = 1 THEN 1 END), 0)
+                 / CAST(COUNT(*) AS DOUBLE), 8) AS novelty
+    FROM bg JOIN df USING (b)
+    GROUP BY 1
+    """,
+)
+def q_ngram_novelty(spark, sf_dir):
+    """Per-document bigram novelty (the RAVEN-style memorization /
+    originality signal, McCoy et al. 2023): the fraction of a doc's
+    bigram OCCURRENCES whose bigram appears in no other document
+    (document frequency 1). Low novelty = the doc is assembled from
+    corpus-common word pairs (template/boilerplate); high = original
+    phrasing. Exact integer counts; one rounded division.
+
+    Pipeline: in-row bigrams (zip of two slices), one bigram-keyed
+    approx-free COUNT(DISTINCT doc) groupBy, one join-back, one
+    doc-keyed sum. The df table is bigram-keyed and AQE-broadcast when
+    it fits; at 100 TB this is the same df-capped shingle-join shape
+    as q_ngram_jaccard — the join fans out only by each doc's own
+    bigram count."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("doc_id", T.tokens("text").alias("t"))
+    bigrams = F.zip_with(
+        F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+        F.expr("slice(t, 2, greatest(size(t) - 1, 0))"),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = t.select("doc_id", F.explode(bigrams).alias("b"))
+    dfreq = bg.groupBy("b").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    return (
+        bg.join(dfreq, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.sum(F.when(F.col("df") == 1, 1)), F.lit(0))
+            .cast("long")
+            .alias("n_novel"),
+            F.round(
+                F.coalesce(F.sum(F.when(F.col("df") == 1, 1)), F.lit(0))
+                / F.count(F.lit(1)).cast("double"),
+                8,
+            ).alias("novelty"),
+        )
+    )
