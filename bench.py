@@ -108,6 +108,7 @@ INCOMING = [
     "q_rouge_overlap",
     "q_span_corruption",
     "q_ngram_novelty",
+    "q_stream_dsir_gate",
 ]
 
 

@@ -259,7 +259,7 @@ _ROUND6_QUEUE = [
 _ROUND7_QUEUE = [
     "q_dsir_weights", "q_char_entropy", "q_trigram_backoff",
     "q_pca_variance", "q_bt_reward", "q_rouge_overlap",
-    "q_span_corruption", "q_ngram_novelty",
+    "q_span_corruption", "q_ngram_novelty", "q_stream_dsir_gate",
 ]
 
 

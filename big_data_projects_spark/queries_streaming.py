@@ -897,3 +897,167 @@ def q_stream_cdc_apply(spark, sf_dir):
         F.col("last.value").alias("last_value"),
         F.col("n_changes").cast("long").alias("n_changes"),
     )
+
+
+def _stream_dsir_oracle() -> str:
+    from big_data_projects_spark.queries_curation import DSIR_BUCKETS
+
+    return rf"""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 3 != 0),
+    toks AS MATERIALIZED (
+        SELECT doc_id, source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM corpus
+    ),
+    b AS MATERIALIZED (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT)
+                 % {DSIR_BUCKETS} AS bkt
+        FROM toks
+    ),
+    tc AS (SELECT bkt, COUNT(*) AS ct FROM b WHERE source IN ('src0','src1')
+           GROUP BY 1),
+    rc AS (SELECT bkt, COUNT(*) AS cr FROM b GROUP BY 1),
+    tot AS (
+        SELECT (SELECT COUNT(*) FROM b WHERE source IN ('src0','src1')) AS nt,
+               (SELECT COUNT(*) FROM b) AS nr
+    ),
+    ratio AS MATERIALIZED (
+        SELECT g.bkt,
+               CAST(round(
+                   ln((COALESCE(tc.ct, 0) + 1.0) / (nt + {DSIR_BUCKETS}))
+                   - ln((COALESCE(rc.cr, 0) + 1.0) / (nr + {DSIR_BUCKETS})),
+                   12) AS DECIMAL(38, 14)) AS w
+        FROM (SELECT unnest(range(0, {DSIR_BUCKETS})) AS bkt) g
+        LEFT JOIN tc ON tc.bkt = g.bkt
+        LEFT JOIN rc ON rc.bkt = g.bkt
+        CROSS JOIN tot
+    ),
+    stream_toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    scored AS (
+        SELECT s.doc_id, r.w
+        FROM stream_toks s
+        JOIN ratio r
+          ON r.bkt = CAST(('0x' || substr(md5(s.term), 1, 8)) AS BIGINT)
+                     % {DSIR_BUCKETS}
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_toks,
+           round(CAST(SUM(w) AS DOUBLE), 8) AS log_weight,
+           CAST(SUM(w) AS DOUBLE) > 0 AS keep
+    FROM scored GROUP BY 1
+    """
+
+
+@register("q_stream_dsir_gate", oracle=_stream_dsir_oracle())
+def q_stream_dsir_gate(spark, sf_dir):
+    """Streaming DSIR quality gate — the incremental deployment of
+    q_dsir_weights: the bucket likelihood-ratio table trains BATCH-side
+    on the existing corpus (doc_id % 3 != 0, target = src0/src1) and is
+    packed into a SINGLE static row (a 128-slot decimal array indexed
+    by bucket); incoming documents (doc_id % 3 = 0) score themselves
+    ENTIRELY IN-ROW — tokens → md5 buckets → element_at into the
+    broadcast array → one decimal fold — so the stream needs NO
+    explode, NO groupBy, and NO state: each micro-batch is a stateless
+    projection + stream-static join on a literal key. Decimal addition
+    is exact and associative, so the in-row fold equals the oracle's
+    per-doc SUM bit-for-bit; the gate bit (log_weight > 0 = "more
+    target-like than raw") rides the row.
+
+    Drains through the distributed foreachBatch parquet sink
+    (run_to_distributed_batch — per-doc output scales with the stream,
+    so it never collects to the driver). At 100 TB the ratio table is
+    KB-sized forever (bucket-count rows), the training pass is the
+    batch DSIR plan, and the serving cost per document is O(tokens) in
+    the scan task — the shape of a production streaming filter."""
+    from big_data_projects_spark.data import load_table
+    from big_data_projects_spark.queries_curation import DSIR_BUCKETS
+    from big_data_projects_spark.streaming.core import (
+        documents_stream,
+        run_to_distributed_batch,
+    )
+
+    ensure_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    toks = corpus.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+    )
+    b = toks.select(
+        "source",
+        (
+            F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+            % DSIR_BUCKETS
+        ).alias("bkt"),
+    )
+    tgt = F.col("source").isin("src0", "src1")
+    tc = b.filter(tgt).groupBy("bkt").agg(F.count(F.lit(1)).alias("ct"))
+    rc = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("cr"))
+    tot = (
+        b.filter(tgt)
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .crossJoin(F.broadcast(b.agg(F.count(F.lit(1)).alias("nr"))))
+    )
+    grid = spark.range(DSIR_BUCKETS).select(F.col("id").alias("bkt"))
+    ratio = (
+        grid.join(tc, "bkt", "left")
+        .join(rc, "bkt", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bkt",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("nt") + F.lit(DSIR_BUCKETS))
+                )
+                - F.log(
+                    (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("nr") + F.lit(DSIR_BUCKETS))
+                ),
+                12,
+            )
+            .cast("decimal(38,14)")
+            .alias("w"),
+        )
+    )
+    packed = (
+        ratio.agg(
+            F.array_sort(F.collect_list(F.struct("bkt", "w"))).alias("a")
+        )
+        .select(F.expr("transform(a, s -> s.w)").alias("__warr"))
+        .withColumn("__one", F.lit(1))
+    )
+
+    stream = (
+        documents_stream(spark, sf_dir)
+        .where(F.col("doc_id") % 3 == 0)
+        .select(
+            "doc_id",
+            F.split(F.trim(F.lower("text")), r"\s+").alias("__toks"),
+        )
+        .withColumn("__one", F.lit(1))
+    )
+    joined = stream.join(F.broadcast(packed), "__one")
+    bkts = F.expr(
+        "transform(__toks, t -> CAST(conv(substring(md5(t), 1, 8), 16, 10)"
+        f" AS BIGINT) % {DSIR_BUCKETS})"
+    )
+    wsum = F.aggregate(
+        F.transform(
+            bkts, lambda bk: F.element_at(F.col("__warr"), (bk + 1).cast("int"))
+        ),
+        F.lit(0).cast("decimal(38,14)"),
+        lambda acc, x: (acc + x).cast("decimal(38,14)"),
+    )
+    scored = joined.select(
+        "doc_id",
+        F.size("__toks").cast("long").alias("n_toks"),
+        F.round(wsum.cast("double"), 8).alias("log_weight"),
+        (wsum.cast("double") > 0).alias("keep"),
+    )
+    return run_to_distributed_batch(scored)
