@@ -109,6 +109,7 @@ INCOMING = [
     "q_span_corruption",
     "q_ngram_novelty",
     "q_stream_dsir_gate",
+    "q_zipf_fit",
 ]
 
 

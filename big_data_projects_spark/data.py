@@ -81,3 +81,32 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
     """
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a DataFrame to the session's default
+    parallelism — ONLY when it currently has fewer partitions.
+
+    Why: the testdata tables are single-row-group parquet files, so a
+    scan is ONE input partition no matter what maxPartitionBytes says
+    (parquet cannot split below row-group granularity), and every
+    scan-stage expression pipeline — shingle/minhash folds, tokenizer
+    explosions, per-row quantization — runs single-threaded until the
+    first exchange. Spreading the rows first parallelizes that work
+    32x locally (measured 9s → 5.5s on q_cluster_purity's kmeans).
+
+    Why it is safe at 100 TB: a real corpus scan has thousands of
+    partitions, so the gate never fires and NO shuffle is ever added
+    at scale. Callers place it AFTER filters (so pushdown still
+    reaches the scan) and BEFORE the heavy projection.
+
+    Consumers must be partition-layout independent (the repo-wide
+    determinism discipline: decimal sums, keyed windows, min/max_by) —
+    every oracle-backed operator already is, since the driver runs an
+    arbitrary-core session.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -74,11 +74,16 @@ def shingles(
     "xxh64" (bigint, hashed straight from the token tuple — fastest;
     for the rows-only LSH path where no SQL twin recomputes it).
     """
+    from big_data_projects_spark.data import spread_small_scan
+
     toks = tokens(text_col)
     slots = ", ".join(f"__toks[i + {j}]" for j in range(n))
-    base = df.select(F.col(id_col), toks.alias("__toks")).filter(
-        F.size("__toks") >= n
-    )
+    # Shingle hashing is the scan-stage hot loop (an md5/xxhash per
+    # n-gram per doc); spread a single-row-group scan across cores
+    # first — no-op at real scale (see spread_small_scan).
+    base = spread_small_scan(
+        df.select(F.col(id_col), toks.alias("__toks"))
+    ).filter(F.size("__toks") >= n)
     if hasher == "md5":
         grams = F.expr(
             f"transform(sequence(0, size(__toks) - {n}), "

@@ -1002,3 +1002,90 @@ def q_ngram_novelty(spark, sf_dir):
             ).alias("novelty"),
         )
     )
+
+
+ZIPF_TOP = 1000  # frequency ranks entering the log-log fit
+
+
+@register(
+    "q_zipf_fit",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    ),
+    cf AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1),
+    top AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS r
+        FROM cf ORDER BY c DESC, term LIMIT {ZIPF_TOP}
+    ),
+    xy AS (
+        SELECT round(ln(r), 12) AS x, round(ln(c), 12) AS y FROM top
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(round(x, 12) AS DECIMAL(38, 14))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(round(y, 12) AS DECIMAL(38, 14))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(round(x * y, 12) AS DECIMAL(38, 14))) AS DOUBLE)
+                 AS sxy,
+               CAST(SUM(CAST(round(x * x, 12) AS DECIMAL(38, 14))) AS DOUBLE)
+                 AS sxx
+        FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 8)
+             AS intercept,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) < -0.5 AS zipf_like
+    FROM s
+    """,
+)
+def q_zipf_fit(spark, sf_dir):
+    """Zipf-law fit of the corpus frequency spectrum: OLS slope of
+    ln(count) against ln(rank) over the top-1000 terms — the
+    corpus-health diagnostic (natural language sits near slope −1;
+    a flat slope flags template/spam corpora, a cliff flags
+    truncation). The rank comes from a TakeOrdered top-1000 (never a
+    global sort); the regression runs on that ≤1000-row control-plane
+    relation. Determinism: ln values rounded to 12, every moment
+    (Σx, Σy, Σxy, Σx²) accumulated as rounded DECIMAL(38,14) — both
+    engines state the identical closed-form slope/intercept, rounded
+    to 8.
+
+    At 100 TB the term-count groupBy is the only corpus-scale stage
+    (map-side combined); everything after the top-1000 cut is
+    constant work."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = docs.select(F.explode(T.tokens("text")).alias("term"))
+    cf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    top = cf.orderBy(F.desc("c"), "term").limit(ZIPF_TOP)
+    w = Window.orderBy(F.desc("c"), "term")
+    xy = (
+        top.withColumn("r", F.row_number().over(w))
+        .select(
+            F.round(F.log("r"), 12).alias("x"),
+            F.round(F.log("c"), 12).alias("y"),
+        )
+    )
+    def dsum(col):
+        return F.sum(F.round(col, 12).cast("decimal(38,14)")).cast("double")
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 8).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 8).alias(
+            "intercept"
+        ),
+        (slope < -0.5).alias("zipf_like"),
+    )

@@ -16,7 +16,8 @@ LLM_ORACLE_QUERIES = sorted(
                       "q_hash_", "q_data_quality", "q_rank_",
                       # round-5 curation family (queries_curation.py)
                       "q_dsir", "q_char_entropy", "q_trigram",
-                      "q_pca_", "q_bt_", "q_rouge", "q_span_corruption"))
+                      "q_pca_", "q_bt_", "q_rouge", "q_span_corruption",
+                      "q_zipf"))
 )
 
 
