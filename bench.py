@@ -110,6 +110,7 @@ INCOMING = [
     "q_ngram_novelty",
     "q_stream_dsir_gate",
     "q_zipf_fit",
+    "q_lsh_quality",
 ]
 
 

@@ -1089,3 +1089,154 @@ def q_zipf_fit(spark, sf_dir):
         ),
         (slope < -0.5).alias("zipf_like"),
     )
+
+
+LSH_TRUTH_TAU = 0.3  # ground-truth Jaccard threshold for the eval
+
+
+def _lsh_quality_oracle() -> str:
+    """Restates BOTH pipelines — exact df-capped Jaccard truth and the
+    md5-portable MinHash-LSH candidate generation — then the
+    precision/recall summary (adapted from _minhash_lsh_oracle,
+    queries_llm.py; MATERIALIZED because cand/truth are each consumed
+    twice and DuckDB re-inlines CTEs otherwise)."""
+    from big_data_projects_spark.operators.dedup import (
+        LSH_BANDS, LSH_ROWS, _MERSENNE31, _PERMS,
+    )
+
+    M = _MERSENNE31
+    mins = ",\n               ".join(
+        f"MIN((b * {a} + {bb}) % {M}) AS h{i}"
+        for i, (a, bb) in enumerate(_PERMS)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, CAST(('0x' || substr(md5("
+        + " || ':' || ".join(
+            f"CAST(h{i} AS VARCHAR)"
+            for i in range(b * LSH_ROWS, (b + 1) * LSH_ROWS)
+        )
+        + "), 1, 15)) AS BIGINT) AS bucket FROM sigs"
+        for b in range(LSH_BANDS)
+    )
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))
+                    AS BIGINT) AS shingle
+        FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
+        WHERE len(t) >= 3
+    ),
+    hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) > 1000),
+    capped AS MATERIALIZED (
+        SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM capped GROUP BY 1),
+    truth AS MATERIALIZED (
+        SELECT c.doc_a, c.doc_b
+        FROM (
+            SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM capped s1
+            JOIN capped s2 ON s2.shingle = s1.shingle
+                          AND s1.doc_id < s2.doc_id
+            GROUP BY 1, 2
+        ) c
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+        WHERE c.n_common / (sa.n_sh + sb.n_sh - c.n_common)
+              >= {LSH_TRUTH_TAU}
+    ),
+    based AS (SELECT doc_id, shingle % {M} AS b FROM sh),
+    sigs AS MATERIALIZED (
+        SELECT doc_id,
+               {mins}
+        FROM based GROUP BY doc_id
+    ),
+    bands AS MATERIALIZED (
+        {band_selects}
+    ),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                    AND a.doc_id < b.doc_id
+    ),
+    hits AS MATERIALIZED (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_hits,
+           round((SELECT COUNT(*) FROM hits)
+                 / CAST((SELECT COUNT(*) FROM cand) AS DOUBLE), 8)
+             AS precision,
+           round((SELECT COUNT(*) FROM hits)
+                 / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE), 8)
+             AS recall
+    """
+
+
+@register("q_lsh_quality", oracle=_lsh_quality_oracle())
+def q_lsh_quality(spark, sf_dir):
+    """LSH index-quality evaluation — the dedup-family counterpart of
+    q_ann_recall: precision and recall of the MinHash-LSH candidate
+    generator against exact ground truth (df-capped n-gram Jaccard ≥
+    0.3), answering "how many true near-dups does the banded index
+    surface, and how much of what it surfaces is real?" — the
+    monitoring job that tells you when band/row parameters need
+    retuning for YOUR corpus's similarity profile.
+
+    One shared persisted shingle scan feeds both pipelines: the exact
+    side is the proven q_ngram_jaccard machinery (hot-shingle df cap
+    before the self-join), the candidate side the proven
+    q_dedup_minhash_lsh machinery (md5-portable 64-perm signatures,
+    32x2 banding) — so this evaluation is joins + counts over two
+    already-hash-matched relations, and every number is an exact
+    integer except the two rounded ratios.
+
+    At 100 TB both sides are the documented scale shapes (df-capped
+    equi-join; band-bucket equi-join, never all-pairs); the summary
+    is three counts."""
+    from big_data_projects_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.shingles(docs, "doc_id", "text", hasher="md5").persist()
+    truth = D.ngram_jaccard_pairs(
+        docs, threshold=LSH_TRUTH_TAU, shingle_df=sh
+    ).select("doc_a", "doc_b")
+    bands = D.band_buckets(
+        D.minhash_signatures(docs, shingle_df=sh), hasher="md5"
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .persist()  # consumed by the count AND the hit join
+    )
+    truth = truth.persist()  # consumed by the count AND the hit join
+    hits = cand.join(truth, ["doc_a", "doc_b"])
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nh = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(
+                F.col("n_hits") / F.col("n_candidates").cast("double"), 8
+            ).alias("precision"),
+            F.round(
+                F.col("n_hits") / F.col("n_truth").cast("double"), 8
+            ).alias("recall"),
+        )
+    )
