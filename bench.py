@@ -111,6 +111,7 @@ INCOMING = [
     "q_stream_dsir_gate",
     "q_zipf_fit",
     "q_lsh_quality",
+    "q_minhash_est",
 ]
 
 

@@ -262,6 +262,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold: float = 0.1,
     hasher: str = "xxh64",
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate generation + exact-Jaccard verification.
 
@@ -279,8 +280,13 @@ def minhash_lsh_pairs(
     """
     # One shingle materialization shared by signatures + exact verify —
     # bigint shingle ids either way: every join/distinct/min-agg here
-    # keys on the shingle.
-    sh_shared = shingles(df, id_col, text_col, n, hasher=hasher).persist()
+    # keys on the shingle. Callers composing several minhash relations
+    # (q_minhash_est) pass their own persisted shingle relation in.
+    sh_shared = (
+        shingle_df
+        if shingle_df is not None
+        else shingles(df, id_col, text_col, n, hasher=hasher).persist()
+    )
     # sig is one narrow row per doc but sits under BOTH sides of the
     # band self-join and would be recomputed per branch — persist it.
     sig = minhash_signatures(

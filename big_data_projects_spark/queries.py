@@ -260,7 +260,7 @@ _ROUND7_QUEUE = [
     "q_dsir_weights", "q_char_entropy", "q_trigram_backoff",
     "q_pca_variance", "q_bt_reward", "q_rouge_overlap",
     "q_span_corruption", "q_ngram_novelty", "q_stream_dsir_gate",
-    "q_zipf_fit", "q_lsh_quality",
+    "q_zipf_fit", "q_lsh_quality", "q_minhash_est",
 ]
 
 

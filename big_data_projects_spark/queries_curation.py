@@ -1240,3 +1240,130 @@ def q_lsh_quality(spark, sf_dir):
             ).alias("recall"),
         )
     )
+
+
+def _minhash_est_oracle() -> str:
+    """Signature/verify CTEs shared with _minhash_lsh_oracle
+    (queries_llm.py); adds the per-pair 64-slot signature agreement —
+    the MinHash Jaccard ESTIMATE — next to the exact value."""
+    from big_data_projects_spark.operators.dedup import (
+        LSH_BANDS, LSH_ROWS, _MERSENNE31, _PERMS, NUM_PERM,
+    )
+
+    M = _MERSENNE31
+    mins = ",\n               ".join(
+        f"MIN((b * {a} + {bb}) % {M}) AS h{i}"
+        for i, (a, bb) in enumerate(_PERMS)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, CAST(('0x' || substr(md5("
+        + " || ':' || ".join(
+            f"CAST(h{i} AS VARCHAR)"
+            for i in range(b * LSH_ROWS, (b + 1) * LSH_ROWS)
+        )
+        + "), 1, 15)) AS BIGINT) AS bucket FROM sigs"
+        for b in range(LSH_BANDS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+        for i in range(NUM_PERM)
+    )
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))
+                    AS BIGINT) AS shingle
+        FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
+        WHERE len(t) >= 3
+    ),
+    based AS (SELECT doc_id, shingle % {M} AS b FROM sh),
+    sigs AS MATERIALIZED (
+        SELECT doc_id,
+               {mins}
+        FROM based GROUP BY doc_id
+    ),
+    bands AS MATERIALIZED (
+        {band_selects}
+    ),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                    AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    ex AS MATERIALIZED (
+        SELECT c.doc_a, c.doc_b,
+               m.n_common / (sa.n_sh + sb.n_sh - m.n_common) AS jac
+        FROM cand c
+        JOIN (
+            SELECT c2.doc_a, c2.doc_b, COUNT(*) AS n_common
+            FROM cand c2
+            JOIN sh s1 ON s1.doc_id = c2.doc_a
+            JOIN sh s2 ON s2.doc_id = c2.doc_b AND s2.shingle = s1.shingle
+            GROUP BY 1, 2
+        ) m ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+        WHERE m.n_common / (sa.n_sh + sb.n_sh - m.n_common) >= 0.1
+    )
+    SELECT e.doc_a, e.doc_b,
+           round(e.jac, 8) AS jaccard,
+           round(({agree}) / {NUM_PERM}.0, 8) AS minhash_est,
+           round(abs(e.jac - ({agree}) / {NUM_PERM}.0), 8) AS abs_err
+    FROM ex e
+    JOIN sigs sa ON sa.doc_id = e.doc_a
+    JOIN sigs sb ON sb.doc_id = e.doc_b
+    """
+
+
+@register("q_minhash_est", oracle=_minhash_est_oracle())
+def q_minhash_est(spark, sf_dir):
+    """MinHash estimator calibration — the third leg of the
+    index-evaluation family (q_ann_recall for ANN, q_lsh_quality for
+    candidate generation, this for the SIGNATURES themselves): for
+    every LSH-verified near-dup pair, the 64-permutation signature
+    agreement fraction (the unbiased MinHash Jaccard estimate,
+    E[agree/64] = J) next to the exact Jaccard and the absolute
+    error — the number that tells you whether 64 permutations are
+    enough for your dedup threshold or you're burning band slots on
+    noise. All integer counts; three rounded divisions per pair.
+
+    One shared persisted shingle scan feeds signatures, banding, and
+    the exact verify (the proven q_dedup_minhash_lsh machinery); the
+    signature agreement is one in-row zip_with fold over the two
+    64-slot arrays after an id-keyed join of the pair table to the
+    signature table — two broadcast-able joins at 100 TB, candidates
+    only ever from band buckets."""
+    from big_data_projects_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.shingles(docs, "doc_id", "text", hasher="md5").persist()
+    pairs = D.minhash_lsh_pairs(
+        docs, threshold=0.1, hasher="md5", shingle_df=sh
+    )
+    sigs = D.minhash_signatures(docs, shingle_df=sh)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("__sa"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("__sb"))
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("__sa"), F.col("__sb"), lambda x, y: x == y),
+            lambda b: b,
+        )
+    )
+    est = agree / F.lit(float(D.NUM_PERM))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("jaccard"), 8).alias("jaccard"),
+            F.round(est, 8).alias("minhash_est"),
+            F.round(F.abs(F.col("jaccard") - est), 8).alias("abs_err"),
+        )
+    )
