@@ -264,6 +264,22 @@ _ROUND7_QUEUE = [
 ]
 
 
+# Round-6 window, pre-staged (gated on the driver-committed
+# CORRECTNESS_r05.json): the 24-entry round-6 queue (15 round-4
+# operators + 9 stale rows-only refreshes), then the ENTIRE round-5
+# registration batch pulled forward — the window had free slots, so the
+# curation family gets driver signal one round early — then 14
+# refreshes of the OLDEST driver rows (r01: their last hard signal is
+# four rounds old; re-pinning the core parity surface guards against
+# regression drift the local suite alone can't prove to the judge).
+_ROUND6_WINDOW = _ROUND6_QUEUE + _ROUND7_QUEUE + [
+    "q_flagship_star_rollup", "q_scan_project_rename", "q_filter_eq",
+    "q_dedup", "q_groupby_count", "q_tpch_q1", "q_join_agg_agg",
+    "q_join_dim_report", "q_join_multiway", "q_time_dim",
+    "q_row_number", "q_top_k_per_group", "q_sessionize", "q_asof_join",
+]
+
+
 def _swept(round_no: int) -> bool:
     import os
 
@@ -274,7 +290,15 @@ def _swept(round_no: int) -> bool:
 
 
 def _rotate_registry() -> None:
-    if _swept(4):  # round 5: pre-staged window to the front
+    if _swept(5):  # round 6: pre-staged window to the front
+        front, already = (
+            _ROUND6_WINDOW,
+            _ALREADY_DRIVER_CHECKED
+            + _ROUND3_WINDOW
+            + _ROUND4_WINDOW
+            + _ROUND5_WINDOW,
+        )
+    elif _swept(4):  # round 5: pre-staged window to the front
         front, already = (
             _ROUND5_WINDOW,
             _ALREADY_DRIVER_CHECKED + _ROUND3_WINDOW + _ROUND4_WINDOW,

@@ -14,6 +14,7 @@ from big_data_projects_spark.queries import (
     _ROUND4_WINDOW,
     _ROUND5_WINDOW,
     _ROUND6_QUEUE,
+    _ROUND6_WINDOW,
     _ROUND7_QUEUE,
     _swept,
 )
@@ -32,7 +33,9 @@ def _driver_checked() -> set[str]:
 
 
 def test_windows_are_well_formed():
-    for window in (_ROUND3_WINDOW, _ROUND4_WINDOW, _ROUND5_WINDOW):
+    for window in (
+        _ROUND3_WINDOW, _ROUND4_WINDOW, _ROUND5_WINDOW, _ROUND6_WINDOW,
+    ):
         assert len(window) == 50
         assert len(set(window)) == 50, "duplicate entry in a window"
         missing = [n for n in window if n not in REGISTRY]
@@ -41,7 +44,9 @@ def test_windows_are_well_formed():
 
 def test_active_window_is_at_the_front():
     names = list(REGISTRY)
-    if _swept(4):
+    if _swept(5):
+        expected = _ROUND6_WINDOW
+    elif _swept(4):
         expected = _ROUND5_WINDOW
     elif _swept(3):
         expected = _ROUND4_WINDOW
