@@ -423,9 +423,18 @@ def q_pca_variance(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
-    vecs = emb.select(
-        F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
+    from big_data_projects_spark.data import spread_small_scan
+
+    # The O(dim²)-per-row product triangle is interpreted
+    # higher-order-function work — spread a single-row-group scan
+    # across cores first (no-op at real scale; see spread_small_scan),
+    # and persist: the relation feeds the marginal-moment pass, the
+    # cross-moment pass, AND the count.
+    vecs = spread_small_scan(
+        emb.select(
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+        )
+    ).persist()
     # First and second marginal moments: one posexplode pass.
     pe = vecs.select(F.posexplode("v").alias("j", "x"))
     m = (
