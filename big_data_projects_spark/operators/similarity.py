@@ -1090,16 +1090,24 @@ def pq_topk(
     """
     import math
 
+    from big_data_projects_spark.data import spread_small_scan
+
     spark = emb.sparkSession
-    ints = emb.select(
-        F.col(id_col).alias("__id"),
-        F.expr(
-            f"transform({vec_col}, "
-            "x -> CAST(FLOOR(CAST(x AS DOUBLE) / "
-            f"greatest(sqrt(aggregate({vec_col}, 0.0D, "
-            "(acc, y) -> acc + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))), "
-            "1e-300) * 1e6 + 0.5) AS BIGINT))"
-        ).alias("__v"),
+    # The quantize fold and every per-round codebook-distance fold are
+    # interpreted higher-order-function work over corpus × codebook
+    # rows; spread a single-row-group scan across cores before the
+    # persist (no-op at real scale — see spread_small_scan).
+    ints = spread_small_scan(
+        emb.select(
+            F.col(id_col).alias("__id"),
+            F.expr(
+                f"transform({vec_col}, "
+                "x -> CAST(FLOOR(CAST(x AS DOUBLE) / "
+                f"greatest(sqrt(aggregate({vec_col}, 0.0D, "
+                "(acc, y) -> acc + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))), "
+                "1e-300) * 1e6 + 0.5) AS BIGINT))"
+            ).alias("__v"),
+        )
     ).persist()
 
     # Init: subvectors of the PQ_K lowest-md5 vectors (control-plane
