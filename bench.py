@@ -112,6 +112,7 @@ INCOMING = [
     "q_zipf_fit",
     "q_lsh_quality",
     "q_minhash_est",
+    "q_length_kl",
 ]
 
 

@@ -256,11 +256,19 @@ _ROUND6_QUEUE = [
 # proves every query eventually lands under a driver window). These
 # all carry hash-match oracles and the local differential sweep from
 # day one; they reach the driver after the round-6 window drains.
-_ROUND7_QUEUE = [
+# The twelve round-5 registrations pulled forward into the round-6
+# window (they'd normally wait for round 7).
+_ROUND5_BATCH = [
     "q_dsir_weights", "q_char_entropy", "q_trigram_backoff",
     "q_pca_variance", "q_bt_reward", "q_rouge_overlap",
     "q_span_corruption", "q_ngram_novelty", "q_stream_dsir_gate",
     "q_zipf_fit", "q_lsh_quality", "q_minhash_est",
+]
+
+# Registrations AFTER the round-6 window froze: front of the round-7
+# window when CORRECTNESS_r06.json lands.
+_ROUND7_QUEUE = [
+    "q_length_kl",
 ]
 
 
@@ -272,7 +280,7 @@ _ROUND7_QUEUE = [
 # refreshes of the OLDEST driver rows (r01: their last hard signal is
 # four rounds old; re-pinning the core parity surface guards against
 # regression drift the local suite alone can't prove to the judge).
-_ROUND6_WINDOW = _ROUND6_QUEUE + _ROUND7_QUEUE + [
+_ROUND6_WINDOW = _ROUND6_QUEUE + _ROUND5_BATCH + [
     "q_flagship_star_rollup", "q_scan_project_rename", "q_filter_eq",
     "q_dedup", "q_groupby_count", "q_tpch_q1", "q_join_agg_agg",
     "q_join_dim_report", "q_join_multiway", "q_time_dim",

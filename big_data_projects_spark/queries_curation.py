@@ -1376,3 +1376,104 @@ def q_minhash_est(spark, sf_dir):
             F.round(F.abs(F.col("jaccard") - est), 8).alias("abs_err"),
         )
     )
+
+
+KL_BINS = 8  # power-of-two token-length bins
+
+
+@register(
+    "q_length_kl",
+    oracle=rf"""
+    WITH t AS (
+        SELECT source,
+               least({KL_BINS} - 1, CAST(floor(ln(
+                   len(regexp_split_to_array(trim(lower(text)), '\s+'))
+               ) / ln(2)) AS INT)) AS bin
+        FROM documents
+    ),
+    sc AS (SELECT source, bin, COUNT(*) AS k FROM t GROUP BY 1, 2),
+    st AS (SELECT source, CAST(SUM(k) AS BIGINT) AS n FROM sc GROUP BY 1),
+    cc AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS ck FROM t GROUP BY 1),
+    ct AS (SELECT CAST(COUNT(*) AS BIGINT) AS cn FROM t),
+    grid AS (
+        SELECT s.source, g.bin
+        FROM (SELECT DISTINCT source FROM t) s,
+             (SELECT unnest(range(0, {KL_BINS})) AS bin) g
+    ),
+    terms AS (
+        SELECT g.source,
+               CAST(round(
+                   ((COALESCE(sc.k, 0) + 0.5) / (st.n + {KL_BINS} * 0.5))
+                   * ln(((COALESCE(sc.k, 0) + 0.5) / (st.n + {KL_BINS} * 0.5))
+                        / ((COALESCE(cc.ck, 0) + 0.5)
+                           / (ct.cn + {KL_BINS} * 0.5))), 12)
+                 AS DECIMAL(38, 14)) AS x
+        FROM grid g
+        LEFT JOIN sc ON sc.source = g.source AND sc.bin = g.bin
+        LEFT JOIN cc ON cc.bin = g.bin
+        JOIN st ON st.source = g.source
+        CROSS JOIN ct
+    )
+    SELECT source, round(CAST(SUM(x) AS DOUBLE), 8) AS kl_bits
+    FROM terms GROUP BY 1
+    """,
+)
+def q_length_kl(spark, sf_dir):
+    """Per-source length-distribution drift: KL divergence of each
+    source's power-of-two token-length histogram from the corpus-wide
+    one — the mixture diagnostic that flags a source whose documents
+    are structurally unlike the rest (truncated scrapes, log spam,
+    header-only pages) before it skews sequence packing and batch
+    shaping. Add-half (Jeffreys) smoothing over the fixed 8-bin grid
+    keeps every term finite; each p·ln(p/q) term is rounded to 12 and
+    decimal-summed (order-independent, restatable), the final KL
+    rounded to 8.
+
+    One corpus scan → two keyed count aggregates (per-(source,bin),
+    per-bin) — both map-side combined to ≤ |sources|×8 cells — then
+    control-plane-sized grid joins. No window, no collect."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        F.least(
+            F.lit(KL_BINS - 1),
+            F.floor(
+                F.log(F.size(T.tokens("text")).cast("double"))
+                / F.log(F.lit(2.0))
+            ).cast("int"),
+        ).alias("bin"),
+    )
+    sc = t.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("k"))
+    st = sc.groupBy("source").agg(F.sum("k").cast("long").alias("n"))
+    cc = t.groupBy("bin").agg(F.count(F.lit(1)).cast("long").alias("ck"))
+    ct = t.agg(F.count(F.lit(1)).cast("long").alias("cn"))
+    grid = (
+        docs.select("source")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(KL_BINS).select(F.col("id").cast("int").alias("bin"))
+            )
+        )
+    )
+    p = (F.coalesce(F.col("k"), F.lit(0)) + F.lit(0.5)) / (
+        F.col("n") + F.lit(KL_BINS * 0.5)
+    )
+    qq = (F.coalesce(F.col("ck"), F.lit(0)) + F.lit(0.5)) / (
+        F.col("cn") + F.lit(KL_BINS * 0.5)
+    )
+    terms = (
+        grid.join(sc, ["source", "bin"], "left")
+        .join(cc, "bin", "left")
+        .join(st, "source")
+        .crossJoin(F.broadcast(ct))
+        .select(
+            "source",
+            F.round(p * F.log(p / qq), 12)
+            .cast("decimal(38,14)")
+            .alias("x"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.round(F.sum("x").cast("double"), 8).alias("kl_bits")
+    )

@@ -15,6 +15,7 @@ from big_data_projects_spark.queries import (
     _ROUND5_WINDOW,
     _ROUND6_QUEUE,
     _ROUND6_WINDOW,
+    _ROUND5_BATCH,
     _ROUND7_QUEUE,
     _swept,
 )
@@ -67,6 +68,7 @@ def test_every_query_lands_under_a_driver_window():
         | set(_ROUND4_WINDOW)
         | set(_ROUND5_WINDOW)
         | set(_ROUND6_QUEUE)
+        | set(_ROUND5_BATCH)
         | set(_ROUND7_QUEUE)
     )
     uncovered = [n for n in REGISTRY if n not in covered]
