@@ -1,0 +1,143 @@
+"""Unit/invariant tests for the round-5 curation family
+(queries_curation.py) — properties the differential oracle can't state
+directly: determinism under repartitioning, mathematical invariants of
+the driver-side eigensolve, and boundary behavior of the masking /
+scoring expressions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_projects_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name):
+    return REGISTRY[name].raw(spark, SF)
+
+
+def test_kmeans_assignment_partition_layout_independent(spark):
+    """The in-row argmin rewrite (round 5) must give identical
+    assignments no matter how the input is partitioned — decimal
+    centroid sums and lexicographic struct tie-breaks are the
+    load-bearing properties."""
+    from big_data_projects_spark.data import load_table
+    from big_data_projects_spark.operators.similarity import kmeans_assign
+
+    emb = load_table(spark, SF, "embeddings")
+    a = {
+        (r["vec_id"], r["cluster"])
+        for r in kmeans_assign(emb, k=8, n_iter=2).collect()
+    }
+    b = {
+        (r["vec_id"], r["cluster"])
+        for r in kmeans_assign(emb.repartition(7), k=8, n_iter=2).collect()
+    }
+    assert a == b
+    n = emb.count()
+    assert len(a) == n  # every vector assigned exactly once
+    assert {c for _, c in a} <= set(range(1, 9))
+
+
+def test_bt_reward_scores_normalized_and_positive(spark):
+    rows = _run(spark, "q_bt_reward").collect()
+    assert all(r["bt_score"] > 0 for r in rows)  # +1 smoothing
+    assert abs(sum(r["bt_score"] for r in rows) - 1.0) < 1e-6
+    # wins are a subset of comparisons
+    assert all(r["wins"] <= r["n_comps"] for r in rows)
+
+
+def test_pca_variance_invariants_hold(spark):
+    r = _run(spark, "q_pca_variance").collect()[0]
+    assert r["trace_preserved"] and r["orthonormal"] and r["eigs_descending"]
+    assert r["dim"] == 64 and r["total_var"] > 0
+
+
+def test_span_corruption_bounds(spark):
+    rows = _run(spark, "q_span_corruption").collect()
+    for r in rows:
+        assert 0 <= r["n_masked_tokens"] <= r["n_tokens"]
+        assert r["n_masked_spans"] <= r["n_blocks"]
+        assert 0.0 <= r["mask_rate"] <= 1.0
+    # the 1-in-5 hash gate should land near 20% of blocks corpus-wide
+    tot_b = sum(r["n_blocks"] for r in rows)
+    tot_m = sum(r["n_masked_spans"] for r in rows)
+    assert 0.10 < tot_m / tot_b < 0.35
+
+
+def test_dsir_separates_target_sources(spark):
+    """Target-slice documents must score higher on average than the
+    corpus at large — the defining property of an importance weight
+    (deterministic on the fixed testdata)."""
+    w = _run(spark, "q_dsir_weights")
+    from big_data_projects_spark.data import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "source")
+    j = w.join(docs, "doc_id")
+    tgt = j.filter(F.col("source").isin("src0", "src1")).agg(
+        F.avg(F.col("log_weight") / F.col("n_toks"))
+    ).collect()[0][0]
+    rest = j.filter(~F.col("source").isin("src0", "src1")).agg(
+        F.avg(F.col("log_weight") / F.col("n_toks"))
+    ).collect()[0][0]
+    assert tgt > rest
+
+
+def test_char_entropy_detects_repetition(spark):
+    """A degenerate one-character document must score (near) zero
+    entropy; natural text well above the 2.0-nat gate."""
+    df = spark.createDataFrame(
+        [(1, "aaaaaaaaaaaaaaaa"), (2, "the quick brown fox jumps")],
+        "doc_id long, text string",
+    )
+    from big_data_projects_spark.queries_curation import q_char_entropy
+
+    # drive the same expressions over an inline relation via a temp SF
+    # substitute: compute directly with the module's building blocks
+    ch = df.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+    k = (
+        ch.filter(F.col("c") != "")
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    s = k.groupBy("doc_id").agg(
+        F.sum("k").alias("n"),
+        F.sum(
+            F.round(F.col("k") * F.log("k"), 10).cast("decimal(38,14)")
+        ).cast("double").alias("sk"),
+    )
+    h = {
+        r["doc_id"]: float(r["h"])
+        for r in s.select(
+            "doc_id", (F.log("n") - F.col("sk") / F.col("n")).alias("h")
+        ).collect()
+    }
+    assert h[1] < 1e-9
+    assert h[2] > 2.0
+
+
+def test_lsh_quality_recall_bounds(spark):
+    r = _run(spark, "q_lsh_quality").collect()[0]
+    assert 0 <= r["n_hits"] <= min(r["n_truth"], r["n_candidates"])
+    assert 0.0 <= r["precision"] <= 1.0 and 0.0 <= r["recall"] <= 1.0
+    # 32 bands x 2 rows at tau=0.3 should catch essentially everything
+    assert r["recall"] >= 0.9
+
+
+def test_minhash_estimator_is_calibrated(spark):
+    """Mean |estimate - exact| over verified pairs should be well
+    inside the 1/sqrt(64) = 0.125 standard error for 64 permutations
+    (deterministic on the fixed testdata)."""
+    rows = _run(spark, "q_minhash_est").collect()
+    assert rows
+    mean_err = sum(r["abs_err"] for r in rows) / len(rows)
+    assert mean_err < 0.125
+
+
+def test_trigram_backoff_scores_are_logprobs(spark):
+    rows = _run(spark, "q_trigram_backoff").collect()
+    assert rows
+    assert all(r["avg_logscore"] < 0 for r in rows)  # scores < 1 ⇒ ln < 0
+    assert all(r["n_trigrams"] > 0 for r in rows)

@@ -121,6 +121,21 @@ QUERIES = [
     "q_matryoshka_recall",
     "q_cluster_purity",
     "q_bpe_encode",
+    # round-5 curation family: DSIR is bucket-keyed (risk: none —
+    # the control); trigram backoff joins five corpus count tables
+    # (risk: hot-bigram context fanout); novelty joins the bigram df
+    # table per occurrence (risk: same shape as ngram_jaccard's cap,
+    # but UNCAPPED here — this measures whether it needs one);
+    # lsh_quality and minhash_est each run two full proven pipelines;
+    # bt_reward's comparison set is rank-adjacent (provably n-1) but
+    # its 5 MM iterations each re-join the pair tables.
+    "q_dsir_weights",
+    "q_trigram_backoff",
+    "q_ngram_novelty",
+    "q_char_entropy",
+    "q_lsh_quality",
+    "q_minhash_est",
+    "q_bt_reward",
 ]
 # Near-linear tolerance: shuffles and within-bucket verify grow a bit
 # superlinearly even in healthy plans; 3x headroom over proportional
