@@ -217,6 +217,23 @@ SHOWCASE = [
         "every PSI term computes on control-plane-sized rows "
         "afterwards.",
     ),
+    (
+        "q_dsir_weights",
+        "DSIR importance scoring (round 5): the two unigram LMs "
+        "collapse to a 128-row bucket-ratio table (map-side-combined "
+        "bucket counts, nothing corpus-sized crosses an exchange) that "
+        "BROADCASTS back onto the token stream; the only data-scale "
+        "shuffles are the bucket count and the final doc-keyed sum.",
+    ),
+    (
+        "q_trigram_backoff",
+        "Stupid-backoff LM scoring (round 5): trigrams from two lag "
+        "windows PARTITIONED BY doc (one doc-keyed exchange, no global "
+        "window), count tables from map-side-combined groupBys, and "
+        "the five scoring joins keyed on n-gram columns — AQE "
+        "broadcasts each count table when it fits; the holdout filter "
+        "is pushed into the scan.",
+    ),
 ]
 
 
