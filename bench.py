@@ -113,6 +113,7 @@ INCOMING = [
     "q_lsh_quality",
     "q_minhash_est",
     "q_length_kl",
+    "q_tokenizer_fertility",
 ]
 
 

@@ -1477,3 +1477,63 @@ def q_length_kl(spark, sf_dir):
     return terms.groupBy("source").agg(
         F.round(F.sum("x").cast("double"), 8).alias("kl_bits")
     )
+
+
+def _fertility_oracle(n_steps: int = 8) -> str:
+    """Per-language tail on the unrolled BPE train-then-encode chain
+    (_bpe_encode_oracle, queries_llm.py — same CTE chain, different
+    final aggregate)."""
+    from big_data_projects_spark.queries_llm import _bpe_encode_oracle
+
+    base = _bpe_encode_oracle(n_steps)
+    tail_start = base.rindex("    SELECT t.doc_id,")
+    return base[:tail_start] + """    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(e.n_sym) AS BIGINT) AS n_bpe_tokens,
+           round(SUM(e.n_sym) / CAST(COUNT(*) AS DOUBLE), 8) AS fertility
+    FROM toks t
+    JOIN enc e USING (term)
+    JOIN documents d ON d.doc_id = t.doc_id
+    GROUP BY d.lang"""
+
+
+@register("q_tokenizer_fertility", oracle=_fertility_oracle())
+def q_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per language — BPE tokens per whitespace
+    word, the standard multilingual-tokenizer health metric (a
+    language with fertility 2-3x the corpus mean is under-served by
+    the learned merges and will burn context budget; the number that
+    drives vocab-size and merge-budget decisions). Composes the
+    trained 8-round BPE (the q_bpe_train/_bpe_fit machinery) with a
+    per-language aggregate of the encode join — the whole
+    train-then-encode-then-aggregate trajectory hash-matches the
+    unrolled oracle.
+
+    Scale shape identical to q_bpe_encode (training touches only the
+    vocab-sized TYPE table; encoding is one term-keyed equi-join) plus
+    one broadcast-able doc→lang join and a |langs|-row aggregate."""
+    from big_data_projects_spark.queries_llm import _bpe_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, final_words, handles = _bpe_fit(docs)
+    for df in handles:
+        if df is not final_words:
+            df.unpersist()
+    enc = final_words.select(
+        "term",
+        F.size(F.split(F.trim(F.col("word")), " ")).alias("n_sym"),
+    )
+    toks = docs.select(
+        "doc_id", "lang", F.explode(T.tokens("text")).alias("term")
+    )
+    return (
+        toks.join(enc, "term")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_sym") / F.count(F.lit(1)).cast("double"), 8
+            ).alias("fertility"),
+        )
+    )

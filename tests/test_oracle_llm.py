@@ -17,7 +17,8 @@ LLM_ORACLE_QUERIES = sorted(
                       # round-5 curation family (queries_curation.py)
                       "q_dsir", "q_char_entropy", "q_trigram",
                       "q_pca_", "q_bt_", "q_rouge", "q_span_corruption",
-                      "q_zipf", "q_lsh_", "q_minhash_", "q_length_kl"))
+                      "q_zipf", "q_lsh_", "q_minhash_", "q_length_kl",
+                      "q_tokenizer_"))
 )
 
 
