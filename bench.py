@@ -114,6 +114,7 @@ INCOMING = [
     "q_minhash_est",
     "q_length_kl",
     "q_tokenizer_fertility",
+    "q_embed_centroid_shift",
 ]
 
 

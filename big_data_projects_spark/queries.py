@@ -268,7 +268,7 @@ _ROUND5_BATCH = [
 # Registrations AFTER the round-6 window froze: front of the round-7
 # window when CORRECTNESS_r06.json lands.
 _ROUND7_QUEUE = [
-    "q_length_kl", "q_tokenizer_fertility",
+    "q_length_kl", "q_tokenizer_fertility", "q_embed_centroid_shift",
 ]
 
 

@@ -1537,3 +1537,96 @@ def q_tokenizer_fertility(spark, sf_dir):
             ).alias("fertility"),
         )
     )
+
+
+@register(
+    "q_embed_centroid_shift",
+    oracle="""
+    WITH e AS (
+        SELECT label, vec_id % 2 AS half,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    c AS (
+        SELECT label, half, pos,
+               CAST(SUM(CAST(x AS DECIMAL(38, 10))) AS DOUBLE) / COUNT(*)
+                 AS m
+        FROM e GROUP BY 1, 2, 3
+    ),
+    n AS (
+        SELECT label,
+               CAST(COUNT(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS BIGINT)
+                 AS n_a,
+               CAST(COUNT(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS BIGINT)
+                 AS n_b
+        FROM embeddings GROUP BY 1
+    ),
+    d AS (
+        SELECT a.label,
+               CAST(SUM(CAST(round((a.m - b.m) * (a.m - b.m), 12)
+                             AS DECIMAL(38, 14))) AS DOUBLE) AS ss
+        FROM c a JOIN c b ON b.label = a.label AND b.pos = a.pos
+                         AND a.half = 0 AND b.half = 1
+        GROUP BY 1
+    )
+    SELECT n.label, n.n_a, n.n_b, round(sqrt(d.ss), 8) AS centroid_shift
+    FROM n JOIN d ON d.label = n.label
+    """,
+)
+def q_embed_centroid_shift(spark, sf_dir):
+    """Embedding-distribution drift per label: L2 distance between the
+    class centroid computed on each deterministic half-split of the
+    corpus (vec_id parity — engine-portable and reshard-stable) — the
+    embedding-space counterpart of q_drift_psi: a label whose two
+    halves disagree has a shifting representation (upstream encoder
+    change, corrupted shard, population drift) before any downstream
+    ANN/dedup quality dips. Centroid means are exact decimal sums
+    (the q_embed_outliers discipline); squared component differences
+    are round-12 decimal-summed, the final sqrt rounded to 8.
+
+    One posexplode pass → one (label, half, pos)-keyed map-side-
+    combined aggregate (≤ |labels|×2×dim cells) — everything after is
+    control-plane sized. No window, no collect."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(
+            F.expr("transform(embedding, x -> cast(x as double))")
+        ).alias("pos", "x"),
+    )
+    c = e.groupBy("label", "half", "pos").agg(
+        (
+            F.sum(F.col("x").cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    n = emb.groupBy("label").agg(
+        F.count(F.when(F.col("vec_id") % 2 == 0, 1)).cast("long").alias("n_a"),
+        F.count(F.when(F.col("vec_id") % 2 == 1, 1)).cast("long").alias("n_b"),
+    )
+    a = c.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("m").alias("ma")
+    )
+    b = c.filter(F.col("half") == 1).select(
+        F.col("label").alias("lb"), F.col("pos").alias("pb"),
+        F.col("m").alias("mb"),
+    )
+    d = (
+        a.join(b, (F.col("lb") == F.col("label")) & (F.col("pb") == F.col("pos")))
+        .groupBy("label")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")),
+                    12,
+                ).cast("decimal(38,14)")
+            )
+            .cast("double")
+            .alias("ss")
+        )
+    )
+    return n.join(d, "label").select(
+        "label", "n_a", "n_b", F.round(F.sqrt("ss"), 8).alias("centroid_shift")
+    )
