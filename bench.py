@@ -115,6 +115,7 @@ INCOMING = [
     "q_length_kl",
     "q_tokenizer_fertility",
     "q_embed_centroid_shift",
+    "q_quality_calibration",
 ]
 
 

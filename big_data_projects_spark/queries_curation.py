@@ -1630,3 +1630,119 @@ def q_embed_centroid_shift(spark, sf_dir):
     return n.join(d, "label").select(
         "label", "n_a", "n_b", F.round(F.sqrt("ss"), 8).alias("centroid_shift")
     )
+
+
+def _calibration_oracle() -> str:
+    from big_data_projects_spark.queries_corpus import GOPHER_STOPWORDS
+
+    stop_sql = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    toks = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+    return rf"""
+    WITH s AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform({toks},
+                   t -> (CAST(('0x' || substr(md5(t), 1, 6)) AS BIGINT) % 512)
+                        * 2654435761 % 1000003 - 500001)) AS BIGINT) AS score,
+               {toks} AS t
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, score,
+               CAST(len(t) AS BIGINT) AS n_words,
+               list_sum(list_transform(t, w -> len(w)))
+                   / CAST(len(t) AS DOUBLE) AS mwl,
+               CAST(len(list_intersect(list_distinct(t), [{stop_sql}]))
+                    AS BIGINT) AS n_stop
+        FROM s
+    ),
+    b AS (
+        SELECT least(9, greatest(0,
+                   CAST(floor(score / 2000000.0) AS INT) + 5)) AS bin,
+               score > 0 AS clf_keep,
+               n_words BETWEEN 25 AND 500 AND mwl BETWEEN 3 AND 10
+                   AND n_stop >= 2 AS gopher_keep
+        FROM g
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(CASE WHEN clf_keep THEN 1 END), 0) AS BIGINT)
+             AS n_clf_keep,
+           CAST(COALESCE(SUM(CASE WHEN gopher_keep THEN 1 END), 0) AS BIGINT)
+             AS n_gopher_keep,
+           round(COALESCE(SUM(CASE WHEN gopher_keep THEN 1 END), 0)
+                 / CAST(COUNT(*) AS DOUBLE), 8) AS gopher_rate
+    FROM b GROUP BY 1
+    """
+
+
+@register("q_quality_calibration", oracle=_calibration_oracle())
+def q_quality_calibration(spark, sf_dir):
+    """Quality-classifier calibration — the reliability diagram of the
+    hashed linear scorer (q_quality_classifier) against the
+    independent Gopher heuristic gate (q_gopher_rules): per
+    fixed-width score bin, how often does the heuristic agree the
+    document is keepable? A well-calibrated scorer shows gopher_rate
+    rising monotonically with the bin; a flat diagram means the model
+    ranks noise. Fixed-width integer-score bins (clipped floor — no
+    ntile, no global sort) keep the binning deterministic and
+    engine-portable; all counts exact, one rounded rate.
+
+    Both component systems are the already-hash-matched expressions
+    (the scorer's int64 hashed-bag fold; the Gopher in-row rules) —
+    this query is their composition plus ONE bin-keyed
+    map-side-combined aggregate. No window, no collect, no join."""
+    from big_data_projects_spark.queries_corpus import GOPHER_STOPWORDS
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", T.tokens("text").alias("__t"))
+    score = F.aggregate(
+        F.transform(
+            F.col("__t"),
+            lambda t: (
+                F.conv(F.substring(F.md5(t), 1, 6), 16, 10).cast("long")
+                % 512
+            )
+            * F.lit(2654435761)
+            % F.lit(1000003)
+            - F.lit(500001),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_words = F.size("__t").cast("long")
+    total_len = F.aggregate(
+        F.transform(F.col("__t"), lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mwl = total_len / n_words
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.col("__t"), stop_arr)).cast("long")
+    gopher_keep = (
+        n_words.between(25, 500) & mwl.between(3, 10) & (n_stop >= 2)
+    )
+    b = base.select(
+        F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0),
+                F.floor(score / F.lit(2000000.0)).cast("int") + F.lit(5),
+            ),
+        ).alias("bin"),
+        (score > 0).alias("clf_keep"),
+        gopher_keep.alias("gopher_keep"),
+    )
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum(F.when(F.col("clf_keep"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_clf_keep"),
+        F.coalesce(F.sum(F.when(F.col("gopher_keep"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_gopher_keep"),
+        F.round(
+            F.coalesce(F.sum(F.when(F.col("gopher_keep"), 1)), F.lit(0))
+            / F.count(F.lit(1)).cast("double"),
+            8,
+        ).alias("gopher_rate"),
+    )
