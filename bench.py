@@ -116,6 +116,7 @@ INCOMING = [
     "q_tokenizer_fertility",
     "q_embed_centroid_shift",
     "q_quality_calibration",
+    "q_lang_confusion",
 ]
 
 

@@ -1746,3 +1746,63 @@ def q_quality_calibration(spark, sf_dir):
             8,
         ).alias("gopher_rate"),
     )
+
+
+@register(
+    "q_lang_confusion",
+    oracle=r"""
+    WITH s AS (
+        SELECT doc_id, lang,
+            len(regexp_extract_all(lower(text), '\b(the|a|is|and|of)\b')) AS en,
+            len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS de,
+            len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS fr,
+            len(regexp_extract_all(lower(text), '\b(el|los|las|y|es)\b')) AS es,
+            len(regexp_extract_all(lower(text), '[\x{4e00}-\x{9fff}]')) AS zh
+        FROM documents
+    ),
+    p AS (
+        SELECT lang,
+            CASE WHEN en=0 AND de=0 AND fr=0 AND es=0 AND zh=0 THEN 'unknown'
+                 WHEN en>=de AND en>=fr AND en>=es AND en>=zh THEN 'en'
+                 WHEN de>=fr AND de>=es AND de>=zh THEN 'de'
+                 WHEN fr>=es AND fr>=zh THEN 'fr'
+                 WHEN es>=zh THEN 'es'
+                 ELSE 'zh' END AS pred_lang
+        FROM s
+    )
+    SELECT lang, pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY lang)
+                                 AS DOUBLE), 8) AS row_share
+    FROM p GROUP BY 1, 2
+    """,
+)
+def q_lang_confusion(spark, sf_dir):
+    """Language-ID evaluation: the confusion matrix of the marker-word
+    heuristic (q_lang_id) against the ground-truth lang column — per
+    (true, predicted) cell count plus the row-normalized share (the
+    per-language recall diagonal). The eval every lang-router needs
+    before its output keys a per-language pipeline (CCNet buckets,
+    fertility budgets, dedup scopes): a language whose diagonal share
+    sags is being mis-routed wholesale.
+
+    The predictor is the already-hash-matched q_lang_id expression;
+    this adds one (lang, pred)-keyed map-side-combined count and a
+    window over the ≤ |langs|² cells — control-plane sized by
+    construction. All counts exact; one rounded share."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    p = docs.select("lang", T.predict_lang("text").alias("pred_lang"))
+    cell = p.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("lang")
+    return cell.select(
+        "lang",
+        "pred_lang",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w).cast("double"), 8).alias(
+            "row_share"
+        ),
+    )

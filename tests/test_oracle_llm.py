@@ -18,7 +18,8 @@ LLM_ORACLE_QUERIES = sorted(
                       "q_dsir", "q_char_entropy", "q_trigram",
                       "q_pca_", "q_bt_", "q_rouge", "q_span_corruption",
                       "q_zipf", "q_lsh_", "q_minhash_", "q_length_kl",
-                      "q_tokenizer_", "q_quality_calibration"))
+                      "q_tokenizer_", "q_quality_calibration",
+                      "q_lang_confusion"))
 )
 
 
