@@ -117,6 +117,7 @@ INCOMING = [
     "q_embed_centroid_shift",
     "q_quality_calibration",
     "q_lang_confusion",
+    "q_dedup_cluster_stats",
 ]
 
 

@@ -269,7 +269,7 @@ _ROUND5_BATCH = [
 # window when CORRECTNESS_r06.json lands.
 _ROUND7_QUEUE = [
     "q_length_kl", "q_tokenizer_fertility", "q_embed_centroid_shift",
-    "q_quality_calibration", "q_lang_confusion",
+    "q_quality_calibration", "q_lang_confusion", "q_dedup_cluster_stats",
 ]
 
 

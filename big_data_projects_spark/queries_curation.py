@@ -1806,3 +1806,120 @@ def q_lang_confusion(spark, sf_dir):
             "row_share"
         ),
     )
+
+
+@register(
+    "q_dedup_cluster_stats",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    sh_all AS (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))
+                    AS BIGINT) AS shingle
+        FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
+        WHERE len(t) >= 3
+    ),
+    sh AS (
+        SELECT doc_id, shingle FROM sh_all
+        WHERE shingle NOT IN (
+            SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > 1000
+        )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+    ),
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION SELECT doc_b, doc_a FROM edges
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    clusters AS (
+        SELECT LEAST(a, MIN(b)) AS cluster_id,
+               COUNT(DISTINCT CASE WHEN b <> a THEN b END) + 1 AS n_docs
+        FROM reach GROUP BY a
+        HAVING LEAST(a, MIN(b)) = a
+    ),
+    dist AS (
+        SELECT CAST(n_docs AS BIGINT) AS cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters
+        FROM clusters GROUP BY 1
+    )
+    SELECT cluster_size, n_clusters,
+           cluster_size * n_clusters AS n_docs_covered
+    FROM dist
+    UNION ALL
+    SELECT 1,
+           (SELECT COUNT(*) FROM documents)
+             - CAST(COALESCE((SELECT SUM(n_docs) FROM clusters), 0) AS BIGINT),
+           (SELECT COUNT(*) FROM documents)
+             - CAST(COALESCE((SELECT SUM(n_docs) FROM clusters), 0) AS BIGINT)
+    """,
+)
+def q_dedup_cluster_stats(spark, sf_dir):
+    """Dedup-cluster size distribution — the dedup ACCOUNTING view a
+    corpus report needs (how much of the corpus sits in dup clusters,
+    and in how many / how large): one row per realized cluster size
+    with the cluster count and covered-doc mass, plus the singleton
+    row (docs in no near-dup component — componentized clusters are
+    always size ≥ 2, so the union never collides). Composes the
+    already-hash-matched q_dedup_clusters machinery (df-capped exact
+    Jaccard edges → iterative min-label connected components); the
+    distribution is one size-keyed count over the ≤ |clusters| rows
+    plus two scalar aggregates. All counts exact.
+
+    At 100 TB: identical scale shape to q_dedup_clusters (the
+    component iteration is the bounded-rounds min-label join); the
+    stats stage is control-plane sized."""
+    from big_data_projects_spark.operators.components import (
+        connected_components,
+    )
+    from big_data_projects_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = D.ngram_jaccard_pairs(docs, threshold=0.1).select(
+        "doc_a", "doc_b"
+    )
+    comps = connected_components(edges, src="doc_a", dst="doc_b")
+    clusters = comps.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).persist()  # feeds the distribution AND the covered-mass scalar
+    dist = clusters.groupBy(
+        F.col("n_docs").cast("long").alias("cluster_size")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+    dist = dist.select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters")).alias(
+            "n_docs_covered"
+        ),
+    )
+    covered = clusters.agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("cov")
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n"))
+    singles = (
+        total.crossJoin(F.broadcast(covered))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            (F.col("n") - F.col("cov")).cast("long").alias("n_clusters"),
+            (F.col("n") - F.col("cov")).cast("long").alias("n_docs_covered"),
+        )
+    )
+    return dist.unionAll(singles)
