@@ -118,6 +118,7 @@ INCOMING = [
     "q_quality_calibration",
     "q_lang_confusion",
     "q_dedup_cluster_stats",
+    "q_simhash_hamming_hist",
 ]
 
 

@@ -1923,3 +1923,103 @@ def q_dedup_cluster_stats(spark, sf_dir):
         )
     )
     return dist.unionAll(singles)
+
+
+def _simhash_hist_oracle() -> str:
+    from big_data_projects_spark.operators.dedup import (
+        SIMHASH_BITS, SIMHASH_SEGMENTS, simhash_oracle_sql,
+    )
+
+    seg_bits = SIMHASH_BITS // SIMHASH_SEGMENTS
+    mask = (1 << seg_bits) - 1
+    seg_selects = "\n        UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS seg, "
+        f"(simhash >> {i * seg_bits}) & {mask} AS key FROM sh"
+        for i in range(SIMHASH_SEGMENTS)
+    )
+    return f"""
+    WITH sh AS MATERIALIZED ({simhash_oracle_sql()}),
+    segs AS MATERIALIZED (
+        {seg_selects}
+    ),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS ha, b.simhash AS hb
+        FROM segs a
+        JOIN segs b ON a.seg = b.seg AND a.key = b.key
+                   AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           bit_count(xor(ha, hb)) <= 3 AS is_near_dup
+    FROM cand
+    GROUP BY 1, 3
+    """
+
+
+@register("q_simhash_hamming_hist", oracle=_simhash_hist_oracle())
+def q_simhash_hamming_hist(spark, sf_dir):
+    """SimHash index selectivity profile — the histogram of hamming
+    distances over the pigeonhole CANDIDATE pairs (every pair sharing
+    at least one 15-bit segment of the 60-bit hash): the tuning view
+    that shows how much of the candidate volume is real near-dup mass
+    (hamming ≤ 3, the q_simhash_pairs emit set) versus segment-
+    collision noise the exact filter discards — i.e. whether the
+    4-segment blocking is pulling its weight on YOUR corpus or needs
+    more/wider segments. Composes the hash-matched simhash and the
+    q_simhash_pairs segment machinery; one distinct pair set, one
+    hamming-keyed count. All exact integers.
+
+    At 100 TB: identical candidate shape to q_simhash_pairs
+    (segment-keyed equi-join, never all-pairs); the histogram is ≤ 61
+    rows."""
+    from big_data_projects_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.simhash(docs, "doc_id", "text")
+    seg_bits = D.SIMHASH_BITS // D.SIMHASH_SEGMENTS
+    mask = (1 << seg_bits) - 1
+    segs = (
+        sh.select(
+            "doc_id",
+            "simhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("seg"),
+                            F.shiftright(F.col("simhash"), i * seg_bits)
+                            .bitwiseAND(mask)
+                            .alias("key"),
+                        )
+                        for i in range(D.SIMHASH_SEGMENTS)
+                    ]
+                )
+            ).alias("sk"),
+        )
+        .select("doc_id", "simhash", "sk.seg", "sk.key")
+        .persist()  # both self-join sides
+    )
+    a = segs.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"),
+        "seg", "key",
+    )
+    b = segs.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"),
+        "seg", "key",
+    )
+    cand = (
+        a.join(b, ["seg", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+    return (
+        cand.select(hamming.alias("hamming"))
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select(
+            "hamming", "n_pairs", (F.col("hamming") <= 3).alias("is_near_dup")
+        )
+    )
