@@ -119,6 +119,7 @@ INCOMING = [
     "q_lang_confusion",
     "q_dedup_cluster_stats",
     "q_simhash_hamming_hist",
+    "q_graph_modularity",
 ]
 
 

@@ -2023,3 +2023,153 @@ def q_simhash_hamming_hist(spark, sf_dir):
             "hamming", "n_pairs", (F.col("hamming") <= 3).alias("is_near_dup")
         )
     )
+
+
+@register(
+    "q_graph_modularity",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    sh_all AS (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))
+                    AS BIGINT) AS shingle
+        FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
+        WHERE len(t) >= 3
+    ),
+    sh AS (
+        SELECT doc_id, shingle FROM sh_all
+        WHERE shingle NOT IN (
+            SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > 1000
+        )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS MATERIALIZED (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+    ),
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION SELECT doc_b, doc_a FROM edges
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS MATERIALIZED (
+        SELECT a AS node, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+    intra AS (
+        SELECT ca.comp, CAST(COUNT(*) AS BIGINT) AS e_c
+        FROM edges e
+        JOIN comp ca ON ca.node = e.doc_a
+        JOIN comp cb ON cb.node = e.doc_b AND cb.comp = ca.comp
+        GROUP BY 1
+    ),
+    deg AS (
+        SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1
+    ),
+    dsum AS (
+        SELECT c.comp, CAST(SUM(d.d) AS BIGINT) AS d_c
+        FROM comp c JOIN deg d ON d.node = c.node GROUP BY 1
+    ),
+    terms AS (
+        SELECT CAST(round(
+                   COALESCE(i.e_c, 0) / CAST(m.m AS DOUBLE)
+                   - (ds.d_c / (2.0 * m.m)) * (ds.d_c / (2.0 * m.m)), 12)
+                 AS DECIMAL(38, 14)) AS x
+        FROM dsum ds
+        LEFT JOIN intra i ON i.comp = ds.comp
+        CROSS JOIN m
+    )
+    SELECT (SELECT m FROM m) AS n_edges,
+           CAST((SELECT COUNT(*) FROM dsum) AS BIGINT) AS n_communities,
+           round(CAST(SUM(x) AS DOUBLE), 8) AS modularity,
+           CAST(SUM(x) AS DOUBLE) > 0.0 AS is_modular
+    FROM terms
+    """,
+)
+def q_graph_modularity(spark, sf_dir):
+    """Newman modularity of the near-dup graph's connected-component
+    partition — the community-quality score (Q = Σ_c e_c/m −
+    (d_c/2m)²) that tells you whether the dedup graph is a few dense
+    families (Q near its partition-theoretic max — safe to pick one
+    representative per component) or one percolated hairball (Q ≈ 0 —
+    a component is NOT a semantic family and keep-one-per-component
+    would over-delete). Components ARE perfect communities for
+    intra-edge purposes (every edge is intra by definition, e_c sums
+    to m) so Q reduces to 1 − Σ(d_c/2m)² — the oracle states the full
+    general formula anyway, pinning the edge/degree/community joins.
+
+    All inputs exact integers (edge counts, degree sums); each
+    community's term is round-12 decimal-summed, final Q rounded to 8.
+    Scale shape: the hash-matched q_dedup_clusters machinery plus
+    three keyed aggregates (degree, intra-edge, degree-mass) — all
+    map-side combined; the term table is |communities| rows."""
+    from big_data_projects_spark.operators.components import (
+        connected_components,
+    )
+    from big_data_projects_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = D.ngram_jaccard_pairs(docs, threshold=0.1).select(
+        "doc_a", "doc_b"
+    ).persist()  # feeds m, intra, and (twice) the degree relation
+    comp = connected_components(edges, src="doc_a", dst="doc_b").persist()
+    m = edges.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    ca = comp.select(F.col("node").alias("doc_a"), F.col("comp").alias("c_a"))
+    cb = comp.select(F.col("node").alias("doc_b"), F.col("comp").alias("c_b"))
+    intra = (
+        edges.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(F.col("c_a") == F.col("c_b"))
+        .groupBy(F.col("c_a").alias("comp"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_c"))
+    )
+    sym = edges.select(F.col("doc_a").alias("node")).unionAll(
+        edges.select(F.col("doc_b").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    dsum = (
+        comp.join(deg, "node")
+        .groupBy("comp")
+        .agg(F.sum("d").cast("long").alias("d_c"))
+    )
+    terms = (
+        dsum.join(intra, "comp", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.round(
+                F.coalesce(F.col("e_c"), F.lit(0)) / F.col("m").cast("double")
+                - (F.col("d_c") / (F.lit(2.0) * F.col("m")))
+                * (F.col("d_c") / (F.lit(2.0) * F.col("m"))),
+                12,
+            )
+            .cast("decimal(38,14)")
+            .alias("x")
+        )
+    )
+    ncom = dsum.agg(F.count(F.lit(1)).cast("long").alias("n_communities"))
+    q = terms.agg(F.sum("x").cast("double").alias("q"))
+    return (
+        m.crossJoin(F.broadcast(ncom))
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("m").alias("n_edges"),
+            "n_communities",
+            F.round(F.col("q"), 8).alias("modularity"),
+            (F.col("q") > 0.0).alias("is_modular"),
+        )
+    )

@@ -19,7 +19,7 @@ LLM_ORACLE_QUERIES = sorted(
                       "q_pca_", "q_bt_", "q_rouge", "q_span_corruption",
                       "q_zipf", "q_lsh_", "q_minhash_", "q_length_kl",
                       "q_tokenizer_", "q_quality_calibration",
-                      "q_lang_confusion"))
+                      "q_lang_confusion", "q_graph_"))
 )
 
 
