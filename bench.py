@@ -120,6 +120,8 @@ INCOMING = [
     "q_dedup_cluster_stats",
     "q_simhash_hamming_hist",
     "q_graph_modularity",
+    "q_ngram_entropy_rate",
+    "q_stream_gopher_gate",
 ]
 
 

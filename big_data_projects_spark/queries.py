@@ -271,6 +271,7 @@ _ROUND7_QUEUE = [
     "q_length_kl", "q_tokenizer_fertility", "q_embed_centroid_shift",
     "q_quality_calibration", "q_lang_confusion", "q_dedup_cluster_stats",
     "q_simhash_hamming_hist", "q_graph_modularity",
+    "q_ngram_entropy_rate", "q_stream_gopher_gate",
 ]
 
 

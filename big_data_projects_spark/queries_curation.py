@@ -2173,3 +2173,92 @@ def q_graph_modularity(spark, sf_dir):
             (F.col("q") > 0.0).alias("is_modular"),
         )
     )
+
+
+@register(
+    "q_ngram_entropy_rate",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    bg AS (
+        SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i + 1])) AS b,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                                     i -> t[i])) AS w1
+        FROM t
+    ),
+    c2 AS (SELECT w1, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c2),
+    terms AS (
+        SELECT CAST(round(
+                   (c2.c / CAST(n.n AS DOUBLE))
+                   * ln(c2.c / CAST(c1.c1 AS DOUBLE)), 12)
+                 AS DECIMAL(38, 14)) AS x
+        FROM c2 JOIN c1 USING (w1) CROSS JOIN n
+    )
+    SELECT (SELECT n FROM n) AS n_bigrams,
+           CAST((SELECT COUNT(*) FROM c1) AS BIGINT) AS n_contexts,
+           round(-CAST(SUM(x) AS DOUBLE), 8) AS cond_entropy_nats,
+           -CAST(SUM(x) AS DOUBLE) > 0.0 AS positive
+    FROM terms
+    """,
+)
+def q_ngram_entropy_rate(spark, sf_dir):
+    """Corpus entropy rate — the bigram conditional entropy
+    H(w₂|w₁) = −Σ p(w₁,w₂)·ln p(w₂|w₁) — the information-theoretic
+    corpus diagnostic that the repetition/template detectors
+    approximate: natural language sits well above boilerplate (whose
+    next-token is near-deterministic, H → 0), and a corpus whose
+    entropy rate collapses after dedup/filtering has been scrubbed
+    into templates. Exact integer bigram/context counts; each
+    plogp-style term is rounded to 12 and decimal-summed
+    (order-independent, restatable), the final value rounded to 8.
+
+    One in-row bigram expansion (zip of slices — no position
+    self-join), one (context, bigram) groupBy map-side combined, one
+    context rollup, one broadcast scalar — the q_kn_bigram_ppl count
+    shapes without the scoring join."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(T.tokens("text").alias("t"))
+    bg = t.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.expr("slice(t, 2, greatest(size(t) - 1, 0))"),
+                lambda a, b: F.struct(
+                    a.alias("w1"), F.concat(a, F.lit(" "), b).alias("b")
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.b")
+    c2 = bg.groupBy("w1", "b").agg(F.count(F.lit(1)).alias("c"))
+    c1 = c2.groupBy("w1").agg(F.sum("c").cast("long").alias("c1"))
+    n = c2.agg(F.sum("c").cast("long").alias("n"))
+    terms = (
+        c2.join(c1, "w1")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.round(
+                (F.col("c") / F.col("n").cast("double"))
+                * F.log(F.col("c") / F.col("c1").cast("double")),
+                12,
+            )
+            .cast("decimal(38,14)")
+            .alias("x")
+        )
+    )
+    nctx = c1.agg(F.count(F.lit(1)).cast("long").alias("n_contexts"))
+    s = terms.agg(F.sum("x").cast("double").alias("s"))
+    return (
+        n.crossJoin(F.broadcast(nctx))
+        .crossJoin(F.broadcast(s))
+        .select(
+            F.col("n").alias("n_bigrams"),
+            "n_contexts",
+            F.round(-F.col("s"), 8).alias("cond_entropy_nats"),
+            (-F.col("s") > 0.0).alias("positive"),
+        )
+    )

@@ -1061,3 +1061,97 @@ def q_stream_dsir_gate(spark, sf_dir):
         (wsum.cast("double") > 0).alias("keep"),
     )
     return run_to_distributed_batch(scored)
+
+
+def _stream_gopher_oracle() -> str:
+    from big_data_projects_spark.queries_corpus import GOPHER_STOPWORDS
+
+    stop_sql = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return rf"""
+    WITH s AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    m AS (
+        SELECT doc_id, source,
+               CAST(len(t) AS BIGINT) AS n_words,
+               list_sum(list_transform(t, w -> len(w)))
+                   / CAST(len(t) AS DOUBLE) AS mwl,
+               CAST(len(list_intersect(list_distinct(t), [{stop_sql}]))
+                    AS BIGINT) AS n_stop
+        FROM s
+    ),
+    k AS (
+        SELECT source,
+               n_words BETWEEN 25 AND 500 AND mwl BETWEEN 3 AND 10
+                   AND n_stop >= 2 AS keep
+        FROM m
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_seen,
+           CAST(COALESCE(SUM(CASE WHEN keep THEN 1 END), 0) AS BIGINT)
+             AS n_kept,
+           round(COALESCE(SUM(CASE WHEN keep THEN 1 END), 0)
+                 / CAST(COUNT(*) AS DOUBLE), 8) AS keep_rate
+    FROM k GROUP BY 1
+    """
+
+
+@register("q_stream_gopher_gate", oracle=_stream_gopher_oracle())
+def q_stream_gopher_gate(spark, sf_dir):
+    """Gopher heuristic gate deployed streaming — the cheap per-row
+    quality pre-filter running at INGEST time with per-source yield
+    accounting: incoming documents (doc_id % 3 = 0, the ingest slice)
+    evaluate the word-count / mean-word-length / stopword rules
+    entirely in-row (pure codegen, zero state), and the per-source
+    keep rates come from a watermark-free streaming aggregation whose
+    counts are additive — micro-batch order cannot change the result,
+    so the drained aggregate hash-matches the batch restatement
+    verbatim (the q_stream_drift_psi two-stage discipline).
+
+    At 100 TB this is the first stage of a streaming ingest pipeline:
+    the rules cost O(tokens) inside the scan task, the only state is
+    |sources| running count pairs."""
+    from big_data_projects_spark.queries_corpus import GOPHER_STOPWORDS
+    from big_data_projects_spark.streaming.core import (
+        documents_stream,
+        run_to_completion,
+    )
+
+    ensure_runtime_conf(spark)
+    stream = documents_stream(spark, sf_dir).where(F.col("doc_id") % 3 == 0)
+    base = stream.select(
+        "source", F.split(F.trim(F.lower("text")), r"\s+").alias("__t")
+    )
+    n_words = F.size("__t").cast("long")
+    total_len = F.aggregate(
+        F.transform(F.col("__t"), lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mwl = total_len / n_words
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.col("__t"), stop_arr)).cast("long")
+    keep = (
+        n_words.between(25, 500) & mwl.between(3, 10) & (n_stop >= 2)
+    )
+    agg = (
+        base.select("source", keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_seen"),
+            F.coalesce(F.sum(F.when(F.col("keep"), 1)), F.lit(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )
+    out = run_to_completion(agg, output_mode="complete")
+    return out.select(
+        "source",
+        "n_seen",
+        "n_kept",
+        F.round(
+            F.col("n_kept") / F.col("n_seen").cast("double"), 8
+        ).alias("keep_rate"),
+    )
