@@ -1897,9 +1897,12 @@ def q_dedup_cluster_stats(spark, sf_dir):
         "doc_a", "doc_b"
     )
     comps = connected_components(edges, src="doc_a", dst="doc_b")
-    clusters = comps.groupBy("comp").agg(
-        F.count(F.lit(1)).alias("n_docs")
-    ).persist()  # feeds the distribution AND the covered-mass scalar
+    clusters = (
+        comps.groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .coalesce(1)  # control-plane sized; see q_graph_modularity note
+        .persist()  # feeds the distribution AND the covered-mass scalar
+    )
     dist = clusters.groupBy(
         F.col("n_docs").cast("long").alias("cluster_size")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
@@ -2124,10 +2127,22 @@ def q_graph_modularity(spark, sf_dir):
     from big_data_projects_spark.operators import dedup as D
 
     docs = _t(spark, sf_dir, "documents")
-    edges = D.ngram_jaccard_pairs(docs, threshold=0.1).select(
-        "doc_a", "doc_b"
-    ).persist()  # feeds m, intra, and (twice) the degree relation
-    comp = connected_components(edges, src="doc_a", dst="doc_b").persist()
+    # Both shared relations are control-plane sized (hundreds of rows)
+    # yet land spread over shuffle-partition-many partitions; coalesce
+    # before the 4-branch fan-out so every downstream stage runs a
+    # handful of tasks instead of 32 empty ones per branch (narrow
+    # coalesce — no exchange, linter-clean).
+    edges = (
+        D.ngram_jaccard_pairs(docs, threshold=0.1)
+        .select("doc_a", "doc_b")
+        .coalesce(1)
+        .persist()  # feeds m, intra, and (twice) the degree relation
+    )
+    comp = (
+        connected_components(edges, src="doc_a", dst="doc_b")
+        .coalesce(1)
+        .persist()
+    )
     m = edges.agg(F.count(F.lit(1)).cast("long").alias("m"))
     ca = comp.select(F.col("node").alias("doc_a"), F.col("comp").alias("c_a"))
     cb = comp.select(F.col("node").alias("doc_b"), F.col("comp").alias("c_b"))
