@@ -7,15 +7,15 @@ Algorithm: iterative min-label propagation, pure DataFrame ops. Each
 round every node takes the minimum component label among itself and
 its neighbors; convergence in O(component diameter) rounds. Near-dup
 clusters are dense (pairs come from a similarity threshold), so
-diameters are tiny — 3-4 rounds in practice. At extreme scale the
-per-round cost is one shuffle join on the edge list plus one
-aggregate, both keyed by node id (uniform); the large-star/small-star
-variant (Kiveris et al., "Connected Components in MapReduce and
-Beyond") halves round count on pathological chain graphs but shares
-the same per-round shape.
+diameters are tiny — with the min-neighbor seed below, 2-3 rounds in
+practice. At extreme scale the per-round cost is one shuffle join on
+the edge list plus one aggregate, both keyed by node id (uniform);
+the large-star/small-star variant (Kiveris et al., "Connected
+Components in MapReduce and Beyond") halves round count on
+pathological chain graphs but shares the same per-round shape.
 
-The per-round convergence check is a driver-side count of changed
-labels — control-plane only (one boolean per round), never row data.
+The per-round convergence check is a driver-side one-row collect —
+control-plane only (one long per round), never row data.
 """
 
 from __future__ import annotations
@@ -40,23 +40,29 @@ def connected_components(
     sym = e.union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct().persist()
+    # Seed every node with min(self, neighbors) — the same groupBy
+    # shuffle a distinct-node seed would cost, but it IS the first
+    # propagation round, so the loop below starts one round ahead.
     # labels carries (node, comp) — names disjoint from sym's (a, b) so
     # the per-round self-referential join has unambiguous lineage.
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("comp"))
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("_mn"))
+        .select("node", F.least("node", "_mn").alias("comp"))
         .persist()
     )
     prev = labels  # persisted handle for the previous round's cache
+    changed = -1
     for _ in range(max_iter):
         # One aggregate per round computes BOTH the new label and the
         # node's previous label (the union tags which rows carry it), so
-        # convergence is a cheap scalar aggregate over the cached result
-        # instead of a separate join — two actions per round total, and
-        # the full count() materializes the cache before reuse (a
-        # short-circuiting probe would leave it partial and force each
-        # round to recompute the whole lineage — quadratic blowup).
+        # convergence is a scalar aggregate over the same result — and
+        # because that aggregate full-scans new_labels (no limit
+        # short-circuit), the single collect() below also materializes
+        # the persisted cache: ONE action per round total.  (A separate
+        # count()-then-collect pair would pay a second full pass over
+        # the relation every round — r5's bench showed the CC families'
+        # wall is exactly this local-mode per-action overhead.)
         neigh = sym.join(labels, sym["b"] == labels["node"]).select(
             F.col("a").alias("node"),
             F.col("comp"),
@@ -70,7 +76,6 @@ def connected_components(
             .agg(F.min("comp").alias("comp"), F.min("old").alias("old"))
             .persist()
         )
-        new_labels.count()
         changed = new_labels.agg(
             F.sum((F.col("comp") != F.col("old")).cast("long")).alias("c")
         ).collect()[0]["c"]

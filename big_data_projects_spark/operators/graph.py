@@ -162,8 +162,10 @@ def pagerank_units(
 
     deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     links = e.join(deg, "a").select("a", "b", "deg").persist()
-    links.count()
-    nodes = e.select(F.col("a").alias("node")).distinct().persist()
+    # Symmetrized edges ⇒ every node appears as a source, so the node
+    # set derives from links — and counting it materializes the links
+    # cache in the same pass: ONE pre-loop action instead of two.
+    nodes = links.select(F.col("a").alias("node")).distinct().persist()
     n_nodes = nodes.count()
     e.unpersist()
 
