@@ -27,7 +27,10 @@ REPO = Path(__file__).resolve().parent
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
-HEADLINE = [
+# The original 41-query headline set — kept as a named subtotal
+# ("headline_41" in the output) so the round-over-round comparison
+# stays like-for-like as later batches graduate into HEADLINE.
+HEADLINE_41 = [
     "q_flagship_star_rollup",
     "q_join_multiway",
     "q_tpch_q1",
@@ -80,10 +83,9 @@ HEADLINE = [
     "q_interpolate_linear",
 ]
 
-# Round-4 additions measure under a separate "incoming" key until they
-# have two rounds of history (keeps the 41-query headline total
-# like-for-like across rounds); they graduate into HEADLINE after that.
-INCOMING = [
+# Round-4 additions: graduated into HEADLINE at round 6 after two
+# rounds of "incoming" history (r4 + r5), per the bench design.
+GRADUATED_R4 = [
     "q_kn_bigram_ppl",
     "q_bpe_train",
     "q_pipeline_ccnet",
@@ -99,6 +101,13 @@ INCOMING = [
     "q_matryoshka_recall",
     "q_negative_sampling",
     "q_cluster_purity",
+]
+
+HEADLINE = HEADLINE_41 + GRADUATED_R4
+
+# New batches measure under a separate "incoming" key until they have
+# two rounds of history; they graduate into HEADLINE after that.
+INCOMING = [
     # round-5 additions (graduate to HEADLINE at round 7)
     "q_dsir_weights",
     "q_char_entropy",
@@ -122,6 +131,10 @@ INCOMING = [
     "q_graph_modularity",
     "q_ngram_entropy_rate",
     "q_stream_gopher_gate",
+    # round-6 additions (graduate to HEADLINE at round 8)
+    "q_pass_at_k",
+    "q_cross_source_leakage",
+    "q_annotator_agreement",
 ]
 
 
@@ -185,16 +198,39 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    headline_41 = round(
+        sum(timings[n] for n in HEADLINE_41 if n in timings), 3
+    )
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "headline_41": headline_41,
         "incoming": incoming,
         "incoming_total": round(sum(incoming.values()), 3),
         "sf": sf_val,
     }
     print(json.dumps(out))
+    # Compact totals-only line LAST: the driver's bounded tail capture
+    # truncated the full per-query JSON in round 5 ("parsed": null), so
+    # the parseable summary must sit at the very end of stdout.
+    top5 = dict(
+        sorted(
+            {**timings, **incoming}.items(), key=lambda kv: -kv[1]
+        )[:5]
+    )
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": out["value"],
+        "unit": "sec",
+        "headline_41": headline_41,
+        "incoming_total": out["incoming_total"],
+        "n_headline": len(timings),
+        "n_incoming": len(incoming),
+        "top5": top5,
+        "sf": sf_val,
+    }))
 
 
 if __name__ == "__main__":

@@ -272,6 +272,30 @@ _ROUND7_QUEUE = [
     "q_quality_calibration", "q_lang_confusion", "q_dedup_cluster_stats",
     "q_simhash_hamming_hist", "q_graph_modularity",
     "q_ngram_entropy_rate", "q_stream_gopher_gate",
+    # round-6 registrations (sampled-eval / provenance / label-QA).
+    "q_pass_at_k", "q_cross_source_leakage", "q_annotator_agreement",
+]
+
+
+# Round-7 window, pre-staged (gated on the driver-committed
+# CORRECTNESS_r06.json): the 13-entry round-7 queue (10 late-round-5
+# diagnostics + 3 round-6 registrations — after it lands, every
+# registered query has a driver row), then 37 refreshes of the OLDEST
+# remaining driver rows (r02: their last hard signal is five rounds
+# old — the full TPC-H suite, the dedup/similarity/text cores, and
+# three streaming rows; the same anti-drift rationale as the r01
+# refreshes in the round-6 window).
+_ROUND7_WINDOW = _ROUND7_QUEUE + [
+    "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6",
+    "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10", "q_tpch_q11",
+    "q_tpch_q12", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q16",
+    "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q20", "q_tpch_q21",
+    "q_tpch_q22",
+    "q_dedup_exact", "q_ngram_jaccard", "q_simhash", "q_dedup_clusters",
+    "q_dedup_keep_best", "q_edit_distance",
+    "q_knn_cosine", "q_embed_neardup", "q_embed_outliers",
+    "q_token_stats", "q_lang_id", "q_text_quality", "q_doc_fingerprint",
+    "q_stream_hourly_counts", "q_stream_dedup", "q_stream_static_join",
 ]
 
 
@@ -301,7 +325,16 @@ def _swept(round_no: int) -> bool:
 
 
 def _rotate_registry() -> None:
-    if _swept(5):  # round 6: pre-staged window to the front
+    if _swept(6):  # round 7: pre-staged window to the front
+        front, already = (
+            _ROUND7_WINDOW,
+            _ALREADY_DRIVER_CHECKED
+            + _ROUND3_WINDOW
+            + _ROUND4_WINDOW
+            + _ROUND5_WINDOW
+            + _ROUND6_WINDOW,
+        )
+    elif _swept(5):  # round 6: pre-staged window to the front
         front, already = (
             _ROUND6_WINDOW,
             _ALREADY_DRIVER_CHECKED

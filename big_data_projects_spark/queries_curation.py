@@ -2277,3 +2277,303 @@ def q_ngram_entropy_rate(spark, sf_dir):
             (-F.col("s") > 0.0).alias("positive"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: sampled-eval, provenance-leakage, and label-QA
+# views — each named for the pipeline gap its family table lacked
+# (VERDICT r5 item #7).
+# ---------------------------------------------------------------------------
+
+PASS_AT_K_PROBLEMS = 25  # deterministic md5 bucketing of docs into problems
+PASS_AT_K_KS = (1, 5, 10)
+
+
+def _pass_at_k_estimator_sql(k: int) -> str:
+    """Unbiased pass@k (Chen et al., "Evaluating Large Language Models
+    Trained on Code", 2021): 1 - C(n-c,k)/C(n,k), with the binomial
+    ratio unrolled as a left-associated product of double ratios so
+    Spark and DuckDB execute the identical IEEE expression."""
+    prod = " * ".join(
+        f"(CAST(n - c - {i} AS DOUBLE) / (n - {i}))" for i in range(k)
+    )
+    return f"CASE WHEN n - c < {k} THEN 1.0 ELSE 1.0 - ({prod}) END"
+
+
+def _pass_at_k_oracle() -> str:
+    blocks = []
+    for k in PASS_AT_K_KS:
+        blocks.append(f"""
+    SELECT CAST({k} AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_problems,
+           round(CAST(SUM(CAST(round({_pass_at_k_estimator_sql(k)}, 12)
+                              AS DECIMAL(38, 14))) AS DOUBLE)
+                 / COUNT(*), 8) AS pass_at_k
+    FROM p WHERE n >= {k}""")
+        
+    union = "\n    UNION ALL".join(blocks)
+    return f"""
+    WITH s AS (
+        SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {PASS_AT_K_PROBLEMS} AS problem_id,
+               CASE WHEN substr(md5(text), 1, 1) < '8' THEN 1 ELSE 0 END
+                 AS pass
+        FROM documents
+    ),
+    p AS MATERIALIZED (
+        SELECT problem_id, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pass) AS BIGINT) AS c
+        FROM s GROUP BY 1
+    )
+    {union}
+    """
+
+
+@register("q_pass_at_k", oracle=_pass_at_k_oracle())
+def q_pass_at_k(spark, sf_dir):
+    """Unbiased pass@k over per-problem sample outcomes (Chen et al.
+    2021's combinatorial estimator, the standard sampled-eval success
+    metric) — the view an eval pipeline runs over (problem, sample,
+    verdict) grading tables to report pass@1/5/10. The eval family had
+    retrieval metrics (recall@10, matryoshka truncation, purity,
+    calibration) but nothing for SAMPLED generation evals, where naive
+    c/n-then-power is biased and the C(n-c,k)/C(n,k) estimator is the
+    accepted fix.
+
+    The container has no sandboxed grader, so the verdict column is a
+    deterministic md5-bit stand-in (~Bernoulli(1/2) per sample) and
+    documents stand in for sampled completions, md5-bucketed into
+    problems — the REAL surface is the per-problem (n, c) aggregation
+    and the exact unrolled estimator arithmetic, identical expression
+    text on both engines, each per-problem value rounded to 12 and
+    decimal-summed so the mean is order-independent.
+
+    At 100 TB: one groupBy to the problem-sized (n, c) table, then
+    three scalar aggregates over it — no joins, no windows, no
+    collect."""
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16, 10,
+            ).cast("long")
+            % PASS_AT_K_PROBLEMS
+        ).alias("problem_id"),
+        F.when(F.substring(F.md5("text"), 1, 1) < "8", 1)
+        .otherwise(0)
+        .alias("pass"),
+    )
+    p = (
+        s.groupBy("problem_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("pass").cast("long").alias("c"),
+        )
+        .persist()  # three k-sweeps read it; problem-count sized
+    )
+    parts = []
+    for k in PASS_AT_K_KS:
+        prod = None
+        for i in range(k):
+            term = (F.col("n") - F.col("c") - F.lit(i)).cast("double") / (
+                F.col("n") - F.lit(i)
+            )
+            prod = term if prod is None else prod * term
+        est = F.when(F.col("n") - F.col("c") < k, F.lit(1.0)).otherwise(
+            F.lit(1.0) - prod
+        )
+        parts.append(
+            p.filter(F.col("n") >= k).agg(
+                F.lit(k).cast("long").alias("k"),
+                F.count(F.lit(1)).cast("long").alias("n_problems"),
+                F.round(
+                    F.sum(F.round(est, 12).cast("decimal(38,14)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1)),
+                    8,
+                ).alias("pass_at_k"),
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionAll(part)
+    return out
+
+
+@register(
+    "q_cross_source_leakage",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    sh_all AS (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))
+                    AS BIGINT) AS shingle
+        FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
+        WHERE len(t) >= 3
+    ),
+    sh AS (
+        SELECT doc_id, shingle FROM sh_all
+        WHERE shingle NOT IN (
+            SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > 1000
+        )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS MATERIALIZED (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+    )
+    SELECT LEAST(da.source, db.source) AS src_a,
+           GREATEST(da.source, db.source) AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           LEAST(da.source, db.source) <> GREATEST(da.source, db.source)
+             AS is_cross
+    FROM edges e
+    JOIN documents da ON da.doc_id = e.doc_a
+    JOIN documents db ON db.doc_id = e.doc_b
+    GROUP BY 1, 2, 4
+    """,
+)
+def q_cross_source_leakage(spark, sf_dir):
+    """Cross-source near-duplicate leakage matrix: for every unordered
+    pair of corpus sources, how many near-dup pairs (n-gram Jaccard ≥
+    0.1, the hash-matched q_dedup_clusters edge set) span them. The
+    dedup-accounting family had cluster sizes and modularity but no
+    PROVENANCE view — this is the report that tells you a web crawl
+    re-serves your curated corpus (high cross-source mass → dedup
+    BEFORE mixing, and discount the crawl's token budget), versus
+    within-source boilerplate only (high diagonal).
+
+    At 100 TB: the established df-capped shingle equi-join produces
+    the edges; attaching sources is two column-pruned keyed joins of
+    the pair list against the (doc_id, source) projection; the output
+    is |sources|² rows. No new hazard beyond the tracked pair
+    machinery."""
+    from big_data_projects_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.1).select(
+        "doc_a", "doc_b"
+    )
+    da = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("s1")
+    )
+    db = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("s2")
+    )
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            F.least("s1", "s2").alias("src_a"),
+            F.greatest("s1", "s2").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select(
+            "src_a",
+            "src_b",
+            "n_pairs",
+            (F.col("src_a") != F.col("src_b")).alias("is_cross"),
+        )
+    )
+
+
+@register(
+    "q_annotator_agreement",
+    oracle="""
+    WITH r AS (
+        SELECT CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 40
+                    THEN 1 ELSE 0 END AS a,
+               CASE WHEN n_chars >= 220 THEN 1 ELSE 0 END AS b
+        FROM documents
+    ),
+    c AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a * b) AS BIGINT) AS n11,
+               CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+               CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+               CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+        FROM r
+    )
+    SELECT n AS n_docs, n11, n10, n01, n00,
+           round(CAST(n11 + n00 AS DOUBLE) / n, 8) AS po,
+           round((CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+                 + (CAST(n01 + n00 AS DOUBLE) / n) * (CAST(n10 + n00 AS DOUBLE) / n),
+                 8) AS pe,
+           CASE WHEN (CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+                     + (CAST(n01 + n00 AS DOUBLE) / n) * (CAST(n10 + n00 AS DOUBLE) / n)
+                     = 1.0
+                THEN 1.0
+                ELSE round(
+                    (CAST(n11 + n00 AS DOUBLE) / n
+                     - ((CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+                        + (CAST(n01 + n00 AS DOUBLE) / n) * (CAST(n10 + n00 AS DOUBLE) / n)))
+                    / (1.0
+                       - ((CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+                          + (CAST(n01 + n00 AS DOUBLE) / n) * (CAST(n10 + n00 AS DOUBLE) / n))),
+                    8) END AS kappa
+    FROM c
+    """,
+)
+def q_annotator_agreement(spark, sf_dir):
+    """Cohen's kappa between two binary raters — the label-noise QA
+    gate a preference/annotation pipeline runs before trusting its
+    labels (raw percent agreement overstates quality when the base
+    rate is skewed; kappa is the chance-corrected standard). The
+    preference family had pair construction, Bradley-Terry strength
+    fitting, and ROUGE consistency, but no inter-rater agreement
+    check — the first thing you compute on doubly-annotated data.
+
+    No annotator columns exist in the testdata, so two deterministic
+    quality gates stand in for the raters (token count ≥ 40 vs
+    n_chars ≥ 220 — correlated through document length, so kappa is
+    meaningfully positive): the REAL surface is the 2×2 contingency
+    aggregate and the exact po/pe/kappa arithmetic, identical
+    expression text on both engines, rounded to 8.
+
+    At 100 TB: one map-side-combined conditional-sum aggregate to a
+    single row — no shuffle beyond the 1-row combine, no collect."""
+    docs = _t(spark, sf_dir, "documents")
+    r = docs.select(
+        F.when(F.size(T.tokens("text")) >= 40, 1).otherwise(0).alias("a"),
+        F.when(F.col("n_chars") >= 220, 1).otherwise(0).alias("b"),
+    )
+    c = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long").alias("n00"),
+    )
+    n_d = F.col("n")  # long; long/long division -> double, as in DuckDB
+    po = (F.col("n11") + F.col("n00")).cast("double") / n_d
+    pe = (
+        (F.col("n11") + F.col("n10")).cast("double") / n_d
+    ) * ((F.col("n11") + F.col("n01")).cast("double") / n_d) + (
+        (F.col("n01") + F.col("n00")).cast("double") / n_d
+    ) * ((F.col("n10") + F.col("n00")).cast("double") / n_d)
+    return c.select(
+        F.col("n").alias("n_docs"),
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, 8).alias("po"),
+        F.round(pe, 8).alias("pe"),
+        F.when(pe == 1.0, F.lit(1.0))
+        .otherwise(F.round((po - pe) / (F.lit(1.0) - pe), 8))
+        .alias("kappa"),
+    )

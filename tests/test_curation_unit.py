@@ -141,3 +141,69 @@ def test_trigram_backoff_scores_are_logprobs(spark):
     assert rows
     assert all(r["avg_logscore"] < 0 for r in rows)  # scores < 1 ⇒ ln < 0
     assert all(r["n_trigrams"] > 0 for r in rows)
+
+
+def test_pass_at_k_monotone_and_bounded(spark):
+    """pass@k is a probability and non-decreasing in k (more samples
+    drawn -> at least as likely one passes); every problem panel is
+    md5-derived so n_problems is stable across runs."""
+    rows = {r["k"]: r for r in _run(spark, "q_pass_at_k").collect()}
+    assert set(rows) == {1, 5, 10}
+    vals = [rows[k]["pass_at_k"] for k in (1, 5, 10)]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    assert vals[0] <= vals[1] <= vals[2]
+    assert all(rows[k]["n_problems"] > 0 for k in rows)
+
+
+def test_pass_at_k_estimator_matches_bruteforce(spark):
+    """The unrolled product must equal 1 - C(n-c,k)/C(n,k) exactly on
+    a hand-computed case."""
+    from math import comb
+
+    import big_data_projects_spark.queries_curation as qc
+
+    # replicate the per-problem arithmetic for a few (n, c, k)
+    for n, c, k in [(20, 3, 5), (10, 0, 10), (7, 7, 5), (12, 8, 10)]:
+        prod = 1.0
+        for i in range(k):
+            prod *= (n - c - i) / (n - i)
+        expected = 1.0 if n - c < k else 1.0 - comb(n - c, k) / comb(n, k)
+        got = 1.0 if n - c < k else 1.0 - prod
+        assert abs(got - expected) < 1e-9, (n, c, k)
+    assert qc.PASS_AT_K_KS == (1, 5, 10)
+
+
+def test_cross_source_leakage_is_symmetric_and_complete(spark):
+    """Every near-dup pair lands in exactly one (src_a <= src_b) cell:
+    cell mass sums to the edge count, and the matrix is canonical
+    (src_a <= src_b everywhere)."""
+    from big_data_projects_spark.data import load_table
+    from big_data_projects_spark.operators import dedup as D
+
+    rows = _run(spark, "q_cross_source_leakage").collect()
+    assert all(r["src_a"] <= r["src_b"] for r in rows)
+    assert all(r["is_cross"] == (r["src_a"] != r["src_b"]) for r in rows)
+    docs = load_table(spark, SF, "documents")
+    n_pairs = (
+        D.ngram_jaccard_pairs(docs, threshold=0.1)
+        .select("doc_a", "doc_b")
+        .count()
+    )
+    assert sum(r["n_pairs"] for r in rows) == n_pairs
+
+
+def test_annotator_agreement_kappa_identity(spark):
+    """kappa recomputes from the contingency counts; po/pe are
+    consistent with them and kappa is positive (the two length-derived
+    raters are correlated by construction)."""
+    r = _run(spark, "q_annotator_agreement").collect()[0]
+    n = r["n_docs"]
+    assert n == r["n11"] + r["n10"] + r["n01"] + r["n00"]
+    po = (r["n11"] + r["n00"]) / n
+    pe = ((r["n11"] + r["n10"]) / n) * ((r["n11"] + r["n01"]) / n) + (
+        (r["n01"] + r["n00"]) / n
+    ) * ((r["n10"] + r["n00"]) / n)
+    assert abs(r["po"] - round(po, 8)) < 1e-12
+    assert abs(r["pe"] - round(pe, 8)) < 1e-12
+    assert abs(r["kappa"] - round((po - pe) / (1 - pe), 8)) < 1e-12
+    assert r["kappa"] > 0.0

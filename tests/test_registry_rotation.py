@@ -17,6 +17,7 @@ from big_data_projects_spark.queries import (
     _ROUND6_WINDOW,
     _ROUND5_BATCH,
     _ROUND7_QUEUE,
+    _ROUND7_WINDOW,
     _swept,
 )
 
@@ -36,6 +37,7 @@ def _driver_checked() -> set[str]:
 def test_windows_are_well_formed():
     for window in (
         _ROUND3_WINDOW, _ROUND4_WINDOW, _ROUND5_WINDOW, _ROUND6_WINDOW,
+        _ROUND7_WINDOW,
     ):
         assert len(window) == 50
         assert len(set(window)) == 50, "duplicate entry in a window"
@@ -45,7 +47,9 @@ def test_windows_are_well_formed():
 
 def test_active_window_is_at_the_front():
     names = list(REGISTRY)
-    if _swept(5):
+    if _swept(6):
+        expected = _ROUND7_WINDOW
+    elif _swept(5):
         expected = _ROUND6_WINDOW
     elif _swept(4):
         expected = _ROUND5_WINDOW
@@ -70,6 +74,7 @@ def test_every_query_lands_under_a_driver_window():
         | set(_ROUND6_QUEUE)
         | set(_ROUND5_BATCH)
         | set(_ROUND7_QUEUE)
+        | set(_ROUND7_WINDOW)
     )
     uncovered = [n for n in REGISTRY if n not in covered]
     assert not uncovered, (

@@ -136,6 +136,20 @@ QUERIES = [
     "q_lsh_quality",
     "q_minhash_est",
     "q_bt_reward",
+    # round-6 additions — the connected-components family (VERDICT r5
+    # item #5): their PARTS are tracked above (the shingle-pair
+    # machinery) but CC round count grows with component diameter, and
+    # a corpus whose near-dup graph percolates would multiply the
+    # per-round join cost by extra rounds — exactly the compositional
+    # hazard the smoke exists to measure. Stats/modularity add
+    # comp-keyed aggregates on top (control-plane sized at any M here).
+    "q_dedup_clusters",
+    "q_dedup_cluster_stats",
+    "q_graph_modularity",
+    # round-6 registration: shares the shingle-pair machinery, adds two
+    # doc-keyed source-attachment joins of the pair list (risk: pair
+    # volume × join fanout if a corpus is one giant near-dup family).
+    "q_cross_source_leakage",
 ]
 # Near-linear tolerance: shuffles and within-bucket verify grow a bit
 # superlinearly even in healthy plans; 3x headroom over proportional
@@ -216,11 +230,24 @@ def build_corpus(spark, replicas: int, out_dir: Path) -> None:
             shutil.copyfile(f"{SRC_SF}/{t}.parquet", dst)
 
 
+def _selected() -> list[str]:
+    """Full list by default; SPARK_GRAFT_SMOKE_ONLY=name,name narrows the
+    run to newly-added operators without re-measuring the whole suite."""
+    only = os.environ.get("SPARK_GRAFT_SMOKE_ONLY", "").strip()
+    if not only:
+        return QUERIES
+    picked = [n for n in only.split(",") if n]
+    unknown = [n for n in picked if n not in QUERIES]
+    if unknown:
+        raise SystemExit(f"not in QUERIES: {unknown}")
+    return picked
+
+
 def time_queries(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
     from big_data_projects_spark.queries import REGISTRY
 
     out = {}
-    for name in QUERIES:
+    for name in _selected():
         t0 = time.perf_counter()
         n = REGISTRY[name].spark(spark, sf_dir).count()
         out[name] = (time.perf_counter() - t0, n)
@@ -251,7 +278,7 @@ def main() -> None:
     big = time_queries(spark, str(xm_dir))
 
     ok = True
-    for name in QUERIES:
+    for name in _selected():
         t1, n1 = base[name]
         tm, nm = big[name]
         wall_ratio = tm / max(t1, 1e-9)
