@@ -76,7 +76,7 @@ def pagerank(
     has_dangling = directed and dangling.count() > 0
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
-    for _ in range(iterations):
+    for it in range(iterations):
         contribs = links.join(ranks, links["a"] == ranks["node"]).select(
             F.col("b").alias("node"),
             (F.col("rank") / F.col("deg")).cast(_DEC).alias("contrib"),
@@ -117,8 +117,12 @@ def pagerank(
         # persist() alone the logical plan (and per-round analysis
         # cost) grows linearly with the iteration count. localCheckpoint
         # materializes and cuts the plan; on a multi-node cluster use
-        # reliable checkpoint(dir) for executor-loss tolerance.
-        ranks = new_ranks.localCheckpoint(eager=True)
+        # reliable checkpoint(dir) for executor-loss tolerance. Every
+        # SECOND round suffices (see pagerank_units): half the eager
+        # actions, plan depth bounded at two rounds.
+        ranks = new_ranks
+        if it % 2 == 1 or it == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     links.unpersist()
     nodes.unpersist()
     dangling.unpersist()
@@ -175,7 +179,7 @@ def pagerank_units(
     ranks = nodes.select(
         "node", F.lit(scale // n_nodes).cast("long").alias("r")
     )
-    for _ in range(iterations):
+    for it in range(iterations):
         contribs = links.join(ranks, links["a"] == ranks["node"]).select(
             F.col("b").alias("node"),
             F.expr("r DIV deg").alias("contrib"),
@@ -185,20 +189,22 @@ def pagerank_units(
         )
         # Symmetrized edges ⇒ in-degree ≥ 1 for every node, but keep
         # the left join + coalesce so isolated-node inputs stay total.
-        ranks = (
-            nodes.join(summed, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base_units)
-                    + F.expr(
-                        f"({damping_num} * coalesce(mass, 0L))"
-                        f" DIV {damping_den}"
-                    )
-                ).cast("long").alias("r"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(summed, "node", "left").select(
+            "node",
+            (
+                F.lit(base_units)
+                + F.expr(
+                    f"({damping_num} * coalesce(mass, 0L))"
+                    f" DIV {damping_den}"
+                )
+            ).cast("long").alias("r"),
         )
+        # Lineage truncation every SECOND round: checkpointing never
+        # changes the integer fixpoint, so halving the eager-action
+        # count halves the per-round job overhead while the logical
+        # plan never grows deeper than two rounds.
+        if it % 2 == 1 or it == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     links.unpersist()
     nodes.unpersist()
     return ranks.select(
