@@ -135,6 +135,12 @@ INCOMING = [
     "q_pass_at_k",
     "q_cross_source_leakage",
     "q_annotator_agreement",
+    # round-6 optimization targets pulled under the bench's own signal
+    # (the CC one-action-per-round + min-neighbor seed and the
+    # every-2nd-round checkpoint cadence): driver-recorded history for
+    # exactly the queries whose walls round 6 cut.
+    "q_dedup_clusters",
+    "q_pagerank_sim_graph",
 ]
 
 

@@ -76,7 +76,7 @@ def pagerank(
     has_dangling = directed and dangling.count() > 0
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
-    for it in range(iterations):
+    for _ in range(iterations):
         contribs = links.join(ranks, links["a"] == ranks["node"]).select(
             F.col("b").alias("node"),
             (F.col("rank") / F.col("deg")).cast(_DEC).alias("contrib"),
@@ -117,12 +117,13 @@ def pagerank(
         # persist() alone the logical plan (and per-round analysis
         # cost) grows linearly with the iteration count. localCheckpoint
         # materializes and cuts the plan; on a multi-node cluster use
-        # reliable checkpoint(dir) for executor-loss tolerance. Every
-        # SECOND round suffices (see pagerank_units): half the eager
-        # actions, plan depth bounded at two rounds.
-        ranks = new_ranks
-        if it % 2 == 1 or it == iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+        # reliable checkpoint(dir) for executor-loss tolerance.
+        # EVERY round, deliberately: these iteration relations are
+        # control-plane sized, so the wall is Catalyst analysis of the
+        # per-round plan, not job launch — an every-2nd-round cadence
+        # was A/B-measured SLOWER (the doubled plan depth costs more to
+        # optimize than the saved action; BASELINE.md round 6).
+        ranks = new_ranks.localCheckpoint(eager=True)
     links.unpersist()
     nodes.unpersist()
     dangling.unpersist()
@@ -179,7 +180,7 @@ def pagerank_units(
     ranks = nodes.select(
         "node", F.lit(scale // n_nodes).cast("long").alias("r")
     )
-    for it in range(iterations):
+    for _ in range(iterations):
         contribs = links.join(ranks, links["a"] == ranks["node"]).select(
             F.col("b").alias("node"),
             F.expr("r DIV deg").alias("contrib"),
@@ -199,12 +200,11 @@ def pagerank_units(
                 )
             ).cast("long").alias("r"),
         )
-        # Lineage truncation every SECOND round: checkpointing never
-        # changes the integer fixpoint, so halving the eager-action
-        # count halves the per-round job overhead while the logical
-        # plan never grows deeper than two rounds.
-        if it % 2 == 1 or it == iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+        # Lineage truncated EVERY round, deliberately — see the
+        # comment in pagerank(): the A/B-measured every-2nd-round
+        # cadence was slower (plan-analysis cost dominates for these
+        # control-plane-sized relations).
+        ranks = ranks.localCheckpoint(eager=True)
     links.unpersist()
     nodes.unpersist()
     return ranks.select(

@@ -276,6 +276,12 @@ _ROUND7_QUEUE = [
     "q_pass_at_k", "q_cross_source_leakage", "q_annotator_agreement",
 ]
 
+# Registrations AFTER the round-7 window froze (i.e. during round 7)
+# go here; the round-8 window builds from this list plus refreshes.
+# Empty is the expected steady state — the rotation meta-test unions
+# it so a round-7 session can append without touching the test.
+_ROUND8_QUEUE: list[str] = []
+
 
 # Round-7 window, pre-staged (gated on the driver-committed
 # CORRECTNESS_r06.json): the 13-entry round-7 queue (10 late-round-5

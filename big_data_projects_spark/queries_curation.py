@@ -666,7 +666,7 @@ def q_bt_reward(spark, sf_dir):
     s = sources.crossJoin(F.broadcast(n_src)).select(
         "source", F.round(F.lit(1.0) / F.col("k"), 12).alias("s")
     )
-    for it in range(BT_ITERS):
+    for _ in range(BT_ITERS):
         sa = s.select(F.col("source").alias("a_src"), F.col("s").alias("s_a"))
         sb = s.select(F.col("source").alias("b_src"), F.col("s").alias("s_b"))
         den = (
@@ -692,14 +692,17 @@ def q_bt_reward(spark, sf_dir):
         z = u.agg(
             F.sum(F.col("s").cast("decimal(38,14)")).cast("double").alias("z")
         )
-        s = u.crossJoin(F.broadcast(z)).select(
-            "source", F.round(F.col("s") / F.col("z"), 12).alias("s")
+        s = (
+            u.crossJoin(F.broadcast(z))
+            .select(
+                "source", F.round(F.col("s") / F.col("z"), 12).alias("s")
+            )
+            # EVERY iteration, deliberately: an every-2nd-iteration
+            # cadence A/B-measured 3.6 -> 6.2 s (the doubled plan depth
+            # costs Catalyst more than the saved action; BASELINE.md
+            # round 6).
+            .localCheckpoint(eager=True)
         )
-        # Truncate every SECOND iteration (pagerank_units cadence):
-        # checkpointing never changes the fixpoint, plan depth stays
-        # bounded at two iterations, eager actions drop 5 -> 3.
-        if it % 2 == 1 or it == BT_ITERS - 1:
-            s = s.localCheckpoint(eager=True)
     return (
         wins.join(comps, "source")
         .join(s, "source")

@@ -18,6 +18,7 @@ from big_data_projects_spark.queries import (
     _ROUND5_BATCH,
     _ROUND7_QUEUE,
     _ROUND7_WINDOW,
+    _ROUND8_QUEUE,
     _swept,
 )
 
@@ -75,6 +76,7 @@ def test_every_query_lands_under_a_driver_window():
         | set(_ROUND5_BATCH)
         | set(_ROUND7_QUEUE)
         | set(_ROUND7_WINDOW)
+        | set(_ROUND8_QUEUE)
     )
     uncovered = [n for n in REGISTRY if n not in covered]
     assert not uncovered, (
