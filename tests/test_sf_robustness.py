@@ -35,6 +35,12 @@ REPRESENTATIVES = [
     "q_semdedup",               # k = max(8, n//64) sizing rule
     "q_hll_uniques",            # sketch error-bound boolean
     "q_interpolate_linear",     # per-group spine generation
+    # round-6 additions
+    "q_pass_at_k",              # 25-problem panel; n >= k filter can
+    #                             empty a k-sweep at tiny SF (NULL mean
+    #                             must match NULL, not crash)
+    "q_cross_source_leakage",   # df-cap constant + source matrix
+    "q_annotator_agreement",    # fixed rater thresholds (40 / 220)
 ]
 
 
