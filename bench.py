@@ -198,7 +198,20 @@ def main() -> None:
 
     timings = run_set(HEADLINE)
     incoming = run_set([n for n in INCOMING if n in REGISTRY])
+    full, summary = build_output(timings, incoming, sf_dir)
+    print(json.dumps(full))
+    # Compact totals-only line LAST: the driver's bounded tail capture
+    # truncated the full per-query JSON in round 5 ("parsed": null), so
+    # the parseable summary must sit at the very end of stdout.
+    print(json.dumps(summary))
 
+
+def build_output(
+    timings: dict[str, float], incoming: dict[str, float], sf_dir: str
+) -> tuple[dict, dict]:
+    """(full per-query record, compact totals-only summary) — the
+    summary repeats every total so it parses alone when the driver's
+    tail window cuts the full line."""
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -207,7 +220,7 @@ def main() -> None:
     headline_41 = round(
         sum(timings[n] for n in HEADLINE_41 if n in timings), 3
     )
-    out = {
+    full = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -217,26 +230,21 @@ def main() -> None:
         "incoming_total": round(sum(incoming.values()), 3),
         "sf": sf_val,
     }
-    print(json.dumps(out))
-    # Compact totals-only line LAST: the driver's bounded tail capture
-    # truncated the full per-query JSON in round 5 ("parsed": null), so
-    # the parseable summary must sit at the very end of stdout.
     top5 = dict(
-        sorted(
-            {**timings, **incoming}.items(), key=lambda kv: -kv[1]
-        )[:5]
+        sorted({**timings, **incoming}.items(), key=lambda kv: -kv[1])[:5]
     )
-    print(json.dumps({
+    summary = {
         "metric": "headline_queries_total_wall",
-        "value": out["value"],
+        "value": full["value"],
         "unit": "sec",
         "headline_41": headline_41,
-        "incoming_total": out["incoming_total"],
+        "incoming_total": full["incoming_total"],
         "n_headline": len(timings),
         "n_incoming": len(incoming),
         "top5": top5,
         "sf": sf_val,
-    }))
+    }
+    return full, summary
 
 
 if __name__ == "__main__":

@@ -26,3 +26,23 @@ def test_headline_41_is_a_prefix_of_headline():
     queries, in place, as later batches graduate."""
     assert len(bench.HEADLINE_41) == 41
     assert bench.HEADLINE[: len(bench.HEADLINE_41)] == bench.HEADLINE_41
+
+
+def test_bench_summary_line_is_self_contained():
+    """The driver parses the LAST stdout line; the compact summary must
+    carry every total, round-trip through JSON, and agree with the full
+    record it compresses."""
+    import json
+
+    timings = {n: 1.0 for n in bench.HEADLINE}
+    incoming = {n: 2.0 for n in bench.INCOMING}
+    full, summary = bench.build_output(timings, incoming, "/x/sf0.1")
+    summary = json.loads(json.dumps(summary))
+    assert summary["value"] == full["value"] == len(bench.HEADLINE) * 1.0
+    assert summary["headline_41"] == 41.0
+    assert summary["incoming_total"] == len(bench.INCOMING) * 2.0
+    assert summary["n_headline"] == len(bench.HEADLINE)
+    assert summary["sf"] == 0.1
+    assert len(summary["top5"]) == 5
+    assert all(v == 2.0 for v in summary["top5"].values())  # heaviest
+    assert "queries" not in summary  # stays compact
