@@ -135,6 +135,8 @@ INCOMING = [
     "q_pass_at_k",
     "q_cross_source_leakage",
     "q_annotator_agreement",
+    "q_dsir_ess",
+    "q_ivf_probe_recall",
     # round-6 optimization targets pulled under the bench's own signal
     # (the CC one-action-per-round + min-neighbor seed and the
     # every-2nd-round checkpoint cadence): driver-recorded history for

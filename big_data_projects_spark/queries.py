@@ -272,8 +272,11 @@ _ROUND7_QUEUE = [
     "q_quality_calibration", "q_lang_confusion", "q_dedup_cluster_stats",
     "q_simhash_hamming_hist", "q_graph_modularity",
     "q_ngram_entropy_rate", "q_stream_gopher_gate",
-    # round-6 registrations (sampled-eval / provenance / label-QA).
+    # round-6 registrations (sampled-eval / provenance / label-QA,
+    # then the DSIR resampling-degeneracy audit and the IVF probe
+    # tuning curve).
     "q_pass_at_k", "q_cross_source_leakage", "q_annotator_agreement",
+    "q_dsir_ess", "q_ivf_probe_recall",
 ]
 
 # Registrations AFTER the round-7 window froze (i.e. during round 7)
@@ -284,15 +287,17 @@ _ROUND8_QUEUE: list[str] = []
 
 
 # Round-7 window, pre-staged (gated on the driver-committed
-# CORRECTNESS_r06.json): the 13-entry round-7 queue (10 late-round-5
-# diagnostics + 3 round-6 registrations — after it lands, every
-# registered query has a driver row), then 37 refreshes of the OLDEST
+# CORRECTNESS_r06.json): the 15-entry round-7 queue (10 late-round-5
+# diagnostics + 5 round-6 registrations — after it lands, every
+# registered query has a driver row), then 35 refreshes of the OLDEST
 # remaining driver rows (r02: their last hard signal is five rounds
-# old — the full TPC-H suite, the dedup/similarity/text cores, and
-# three streaming rows; the same anti-drift rationale as the r01
+# old — the TPC-H suite minus q4/q6 (dropped for the two late round-6
+# registrations; both are pure-Catalyst plans exercised by every local
+# sweep and q6 by the bench besides), the dedup/similarity/text cores,
+# and three streaming rows; the same anti-drift rationale as the r01
 # refreshes in the round-6 window).
 _ROUND7_WINDOW = _ROUND7_QUEUE + [
-    "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6",
+    "q_tpch_q2", "q_tpch_q3", "q_tpch_q5",
     "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10", "q_tpch_q11",
     "q_tpch_q12", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q16",
     "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q20", "q_tpch_q21",

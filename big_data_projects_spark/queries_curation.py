@@ -2581,3 +2581,249 @@ def q_annotator_agreement(spark, sf_dir):
         .otherwise(F.round((po - pe) / (F.lit(1.0) - pe), 8))
         .alias("kappa"),
     )
+
+
+def _dsir_ess_oracle() -> str:
+    from big_data_projects_spark.registry import REGISTRY
+
+    return f"""
+    WITH dsir AS MATERIALIZED ({REGISTRY["q_dsir_weights"].oracle}),
+    m AS (SELECT MAX(log_weight) AS mx FROM dsir),
+    w AS (
+        SELECT round(exp(log_weight - mx), 12) AS w
+        FROM dsir CROSS JOIN m
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(w AS DECIMAL(38, 14))) AS DOUBLE) AS sw,
+               CAST(SUM(CAST(round(w * w, 12) AS DECIMAL(38, 14)))
+                    AS DOUBLE) AS sw2,
+               MAX(w) AS wmax
+        FROM w
+    )
+    SELECT n AS n_docs,
+           round(sw * sw / sw2, 8) AS ess,
+           round(sw * sw / sw2 / n, 8) AS ess_fraction,
+           round(wmax / sw, 8) AS max_weight_share
+    FROM s
+    """
+
+
+@register("q_dsir_ess", oracle=_dsir_ess_oracle())
+def q_dsir_ess(spark, sf_dir):
+    """Effective sample size of the DSIR importance weights — the
+    degeneracy check run BEFORE importance resampling (the R in DSIR):
+    ESS = (Σw)²/Σw² over the max-normalized weights w = exp(lw − max
+    lw). ESS ≈ n means near-uniform weights (resampling keeps corpus
+    diversity); ESS ≪ n means a few documents dominate and resampling
+    would collapse the corpus onto them — the standard importance-
+    sampling diagnostic (Kong 1992) the curation family's weight
+    PRODUCER (q_dsir_weights) did not yet audit. max_weight_share is
+    the companion single-point concentration check.
+
+    Determinism: exp() is transcendental, so each weight is rounded to
+    12 before use (the repo's ln() discipline); Σw and Σw² accumulate
+    as DECIMAL(38,14) (order-free); the squares are computed in double
+    from the already-rounded weights — never a decimal→double cast,
+    whose rounding engines disagree on. Finals rounded to 8.
+
+    At 100 TB: composes the q_dsir_weights dataflow (one broadcast
+    ratio join + doc-keyed sum) with one max aggregate broadcast back
+    and one map-side-combined moment aggregate — no new shuffle
+    beyond the producer's."""
+    dsir = q_dsir_weights(spark, sf_dir)
+    mx = dsir.agg(F.max("log_weight").alias("mx"))
+    w = dsir.crossJoin(F.broadcast(mx)).select(
+        F.round(F.exp(F.col("log_weight") - F.col("mx")), 12).alias("w")
+    )
+    s = w.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("w").cast("decimal(38,14)")).cast("double").alias("sw"),
+        F.sum(
+            F.round(F.col("w") * F.col("w"), 12).cast("decimal(38,14)")
+        )
+        .cast("double")
+        .alias("sw2"),
+        F.max("w").alias("wmax"),
+    )
+    return s.select(
+        F.col("n").alias("n_docs"),
+        F.round(F.col("sw") * F.col("sw") / F.col("sw2"), 8).alias("ess"),
+        F.round(
+            F.col("sw") * F.col("sw") / F.col("sw2") / F.col("n"), 8
+        ).alias("ess_fraction"),
+        F.round(F.col("wmax") / F.col("sw"), 8).alias("max_weight_share"),
+    )
+
+
+IVF_PROBE_SWEEP = (1, 2, 4)
+
+
+def _ivf_probe_recall_oracle() -> str:
+    blocks = []
+    for np_ in IVF_PROBE_SWEEP:
+        blocks.append(f"""
+    SELECT CAST({np_} AS BIGINT) AS n_probe, e.qid,
+           CAST(COUNT(i.vec_id) AS BIGINT) AS n_overlap,
+           COUNT(i.vec_id) / 10.0 AS recall_at_10
+    FROM ex e LEFT JOIN (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, vec_id) AS r
+        FROM scored WHERE prank <= {np_}
+    ) i ON i.qid = e.qid AND i.vec_id = e.vec_id AND i.r <= 10
+    WHERE e.r <= 10
+    GROUP BY e.qid""")
+    union = "\n    UNION ALL".join(blocks)
+    return f"""
+    WITH pos AS (
+        SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings,
+             UNNEST(generate_series(1, len(embedding))) AS u(i)
+    ),
+    cent AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS c
+        FROM pos GROUP BY 1, 2
+    ),
+    cvec AS (
+        SELECT label, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label
+    ),
+    panel AS (
+        SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 20
+    ),
+    pr AS (
+        SELECT p.qid, c.label,
+               ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+                   list_dot_product(c.centroid, p.qv) /
+                   (sqrt(list_dot_product(c.centroid, c.centroid)) *
+                    sqrt(list_dot_product(p.qv, p.qv))) DESC, c.label)
+                 AS prank
+        FROM cvec c CROSS JOIN panel p
+    ),
+    scored AS MATERIALIZED (
+        SELECT p.qid, e.vec_id, pr.prank,
+               list_dot_product(e.embedding::DOUBLE[], p.qv) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(p.qv, p.qv))) AS sim
+        FROM embeddings e
+        JOIN panel p ON e.vec_id <> p.qid
+        JOIN pr ON pr.qid = p.qid AND pr.label = e.label
+    ),
+    ex AS (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, vec_id) AS r
+        FROM scored
+    )
+    {union}
+    """
+
+
+@register("q_ivf_probe_recall", oracle=_ivf_probe_recall_oracle())
+def q_ivf_probe_recall(spark, sf_dir):
+    """IVF probe-count tuning curve: recall@10 of probe-limited search
+    vs unrestricted exact cosine for n_probe ∈ {1, 2, 4}, per query of
+    the fixed 20-query md5 panel — the recall/latency dial of an IVF
+    serving index (FAISS nprobe). The evaluation family audited the
+    int8 index (q_ann_recall), the MRL truncation (q_matryoshka_recall)
+    and the LSH candidate generator (q_lsh_quality), but not the IVF
+    index q_knn_ivf serves — this is that missing view: it tells you
+    how many posting lists a query must probe before recall plateaus
+    on YOUR corpus and clustering.
+
+    One scored relation (panel × corpus cosine, each row carrying its
+    label's centroid-distance probe rank for that query) feeds the
+    exact rank AND every probe-limited rank, so the sweep re-ranks a
+    filter of the same rows rather than re-scoring. Sims and centroid
+    means are the hash-matched q_knn_ivf expressions; ranks carry
+    vec_id tie-breaks; counts are exact.
+
+    At 100 TB: centroids are one posexplode groupBy (|labels|×dim
+    cells, map-side combined); probe ranks are a 20×|labels|
+    control-plane window; scoring is one corpus scan against the
+    broadcast 20-row panel (the q_ann_recall BNL precedent, corpus
+    SAMPLE at extreme scale); the rank windows partition per panel
+    query."""
+    from pyspark.sql import Window
+    from big_data_projects_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    panel = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(20)
+        .select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("__qv")
+        )
+    )
+    centroids = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(38,10)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("label", F.expr("transform(pm, x -> x.m)").alias("centroid"))
+    )
+    pr_w = Window.partitionBy("qid").orderBy(F.desc("csim"), F.col("label"))
+    pranks = (
+        centroids.crossJoin(F.broadcast(panel))
+        .select(
+            "qid",
+            "label",
+            S.cosine_sim(F.col("centroid"), F.col("__qv")).alias("csim"),
+        )
+        .withColumn("prank", F.row_number().over(pr_w))
+        .select("qid", "label", "prank")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(panel))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            S.cosine_sim(F.col("embedding"), F.col("__qv")).alias("sim"),
+        )
+        .join(F.broadcast(pranks), ["qid", "label"])
+        .persist()  # exact rank + three probe-limited ranks read it
+    )
+    rank_w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.col("vec_id"))
+
+    def top10(df):
+        return (
+            df.withColumn("r", F.row_number().over(rank_w))
+            .where(F.col("r") <= 10)
+            .select("qid", "vec_id")
+        )
+
+    ex = top10(scored).persist()  # compared against every sweep point
+    parts = []
+    for np_ in IVF_PROBE_SWEEP:
+        ivf = top10(scored.where(F.col("prank") <= np_)).withColumn(
+            "__hit", F.lit(1)
+        )
+        parts.append(
+            ex.join(ivf, ["qid", "vec_id"], "left")
+            .groupBy("qid")
+            .agg(
+                F.count("__hit").cast("long").alias("n_overlap"),
+            )
+            .select(
+                F.lit(np_).cast("long").alias("n_probe"),
+                "qid",
+                "n_overlap",
+                (F.col("n_overlap") / F.lit(10.0)).alias("recall_at_10"),
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionAll(part)
+    return out

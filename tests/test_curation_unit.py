@@ -207,3 +207,40 @@ def test_annotator_agreement_kappa_identity(spark):
     assert abs(r["pe"] - round(pe, 8)) < 1e-12
     assert abs(r["kappa"] - round((po - pe) / (1 - pe), 8)) < 1e-12
     assert r["kappa"] > 0.0
+
+
+def test_ivf_probe_recall_sweep_shape_and_monotone(spark):
+    """3 sweep points x 20 panel queries; recall is a probability on
+    exactly-10 overlap counts, and widening the probe set must not
+    reduce AVERAGE recall (candidate sets nest)."""
+    rows = _run(spark, "q_ivf_probe_recall").collect()
+    assert len(rows) == 60
+    assert all(0 <= r["n_overlap"] <= 10 for r in rows)
+    assert all(0.0 <= r["recall_at_10"] <= 1.0 for r in rows)
+    assert all(r["recall_at_10"] == r["n_overlap"] / 10.0 for r in rows)
+    by_np = {}
+    for r in rows:
+        by_np.setdefault(r["n_probe"], []).append(r["recall_at_10"])
+    assert set(by_np) == {1, 2, 4}
+    avg = {k: sum(v) / len(v) for k, v in by_np.items()}
+    assert avg[1] <= avg[2] <= avg[4]
+    assert avg[4] > 0.0
+
+
+def test_dsir_ess_matches_recomputation(spark):
+    """ESS recomputed driver-side from the producer's weights must
+    agree; bounds: 1 <= ESS <= n, shares in (0, 1]."""
+    r = _run(spark, "q_dsir_ess").collect()[0]
+    n = r["n_docs"]
+    assert 1.0 <= r["ess"] <= n
+    assert abs(r["ess_fraction"] - round(r["ess"] / n, 4)) < 1e-3
+    assert 0.0 < r["max_weight_share"] <= 1.0
+    lw = [
+        row["log_weight"]
+        for row in _run(spark, "q_dsir_weights").collect()
+    ]
+    assert len(lw) == n
+    mx = max(lw)
+    w = [round(__import__("math").exp(x - mx), 12) for x in lw]
+    ess = sum(w) ** 2 / sum(x * x for x in w)
+    assert abs(ess - r["ess"]) < 0.01

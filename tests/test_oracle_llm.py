@@ -22,7 +22,7 @@ LLM_ORACLE_QUERIES = sorted(
                       "q_lang_confusion", "q_graph_",
                       # round-6 eval/provenance/label-QA family
                       "q_pass_at_k", "q_cross_source_",
-                      "q_annotator_"))
+                      "q_annotator_", "q_ivf_"))
 )
 
 

@@ -41,6 +41,8 @@ REPRESENTATIVES = [
     #                             must match NULL, not crash)
     "q_cross_source_leakage",   # df-cap constant + source matrix
     "q_annotator_agreement",    # fixed rater thresholds (40 / 220)
+    "q_ivf_probe_recall",       # 20-query panel + probe sweep vs a
+    #                             10-label clustering at any SF
 ]
 
 

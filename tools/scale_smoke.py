@@ -150,6 +150,11 @@ QUERIES = [
     # doc-keyed source-attachment joins of the pair list (risk: pair
     # volume × join fanout if a corpus is one giant near-dup family).
     "q_cross_source_leakage",
+    # round-6 registration: panel × corpus scoring + per-panel-query
+    # rank windows (risk: the q_ann_recall shape — a panel that grew
+    # with the corpus went quadratic in r5; this one is fixed-20 and
+    # additionally joins the 20×|labels| probe-rank table per row).
+    "q_ivf_probe_recall",
 ]
 # Near-linear tolerance: shuffles and within-bucket verify grow a bit
 # superlinearly even in healthy plans; 3x headroom over proportional
