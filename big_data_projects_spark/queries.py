@@ -279,11 +279,14 @@ _ROUND7_QUEUE = [
     "q_dsir_ess", "q_ivf_probe_recall",
 ]
 
-# Registrations AFTER the round-7 window froze (i.e. during round 7)
-# go here; the round-8 window builds from this list plus refreshes.
-# Empty is the expected steady state — the rotation meta-test unions
-# it so a round-7 session can append without touching the test.
-_ROUND8_QUEUE: list[str] = []
+# Registrations AFTER the round-7 window froze go here; the round-8
+# window builds from this list plus refreshes. The rotation meta-test
+# unions it so sessions can append without touching the test.
+# Seeded with the two post-freeze round-6 registrations (the dedup
+# threshold-sensitivity curve and the PII prevalence audit).
+_ROUND8_QUEUE: list[str] = [
+    "q_dedup_threshold_sweep", "q_pii_prevalence",
+]
 
 
 # Round-7 window, pre-staged (gated on the driver-committed

@@ -2827,3 +2827,226 @@ def q_ivf_probe_recall(spark, sf_dir):
     for part in parts[1:]:
         out = out.unionAll(part)
     return out
+
+
+DEDUP_THRESHOLD_SWEEP = (0.1, 0.3, 0.5)
+
+
+def _dedup_threshold_sweep_oracle() -> str:
+    blocks = []
+    for t in DEDUP_THRESHOLD_SWEEP:
+        blocks.append(f"""
+    SELECT CAST({t} AS DOUBLE) AS threshold,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs
+            WHERE j >= CAST({t} AS DOUBLE)) AS n_pairs,
+           (SELECT CAST(COUNT(DISTINCT d) AS BIGINT) FROM (
+                SELECT doc_a AS d FROM pairs WHERE j >= CAST({t} AS DOUBLE)
+                UNION ALL
+                SELECT doc_b FROM pairs WHERE j >= CAST({t} AS DOUBLE)))
+             AS n_docs_flagged,
+           round((SELECT COUNT(DISTINCT d) FROM (
+                SELECT doc_a AS d FROM pairs WHERE j >= CAST({t} AS DOUBLE)
+                UNION ALL
+                SELECT doc_b FROM pairs WHERE j >= CAST({t} AS DOUBLE)))
+             / CAST((SELECT n FROM tot) AS DOUBLE), 8) AS docs_share""")
+    union = "\n    UNION ALL".join(blocks)
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    sh_all AS (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))
+                    AS BIGINT) AS shingle
+        FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
+        WHERE len(t) >= 3
+    ),
+    sh AS (
+        SELECT doc_id, shingle FROM sh_all
+        WHERE shingle NOT IN (
+            SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > 1000
+        )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS MATERIALIZED (
+        SELECT doc_a, doc_b,
+               n_common / (sa.n_sh + sb.n_sh - n_common) AS j
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common / (sa.n_sh + sb.n_sh - n_common)
+              >= CAST({DEDUP_THRESHOLD_SWEEP[0]} AS DOUBLE)
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+    {union}
+    """
+
+
+@register(
+    "q_dedup_threshold_sweep", oracle=_dedup_threshold_sweep_oracle()
+)
+def q_dedup_threshold_sweep(spark, sf_dir):
+    """Dedup-threshold sensitivity curve: near-dup pair count, flagged
+    document count, and flagged corpus share at Jaccard ≥ 0.1 / 0.3 /
+    0.5 — the tuning view for the ONE free parameter every fuzzy-dedup
+    deployment must choose. A threshold set too low deletes topical
+    siblings; too high keeps boilerplate twins — this curve shows
+    where YOUR corpus's dup mass actually sits. Completes the
+    evaluation family's tuning-curve trio (q_lsh_quality tunes the
+    candidate generator, q_ivf_probe_recall the index probes, this the
+    decision threshold itself).
+
+    The pair relation is built ONCE at the lowest threshold carrying
+    the exact Jaccard value (identical double expression in both
+    engines), then each sweep point filters the same rows — no
+    re-shingling per threshold. Counts exact; the share is one
+    round-8 division.
+
+    At 100 TB: the established df-capped shingle equi-join produces
+    the value-carrying pairs; each sweep point is two aggregates over
+    that relation (the distinct-doc count shuffles doc ids only)."""
+    from big_data_projects_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, threshold=DEDUP_THRESHOLD_SWEEP[0]
+    ).persist()  # every sweep point filters this one relation
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    parts = []
+    for t in DEDUP_THRESHOLD_SWEEP:
+        f = pairs.where(F.col("jaccard") >= F.lit(t).cast("double"))
+        n_pairs = f.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        n_docs = (
+            f.select(F.col("doc_a").alias("d"))
+            .unionAll(f.select(F.col("doc_b").alias("d")))
+            .agg(F.count_distinct("d").cast("long").alias("n_docs_flagged"))
+        )
+        parts.append(
+            n_pairs.crossJoin(F.broadcast(n_docs))
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(t).cast("double").alias("threshold"),
+                "n_pairs",
+                "n_docs_flagged",
+                F.round(
+                    F.col("n_docs_flagged") / F.col("n").cast("double"), 8
+                ).alias("docs_share"),
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionAll(part)
+    return out
+
+
+@register(
+    "q_pii_prevalence",
+    oracle=r"""
+    WITH synth AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                    AS BIGINT) AS n_toks,
+               text
+               || CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS BIGINT) % 5 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@mail.example.com'
+                       ELSE '' END
+               || CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS BIGINT) % 7 = 0
+                       THEN ' call +1-555-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END AS raw
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT source, n_toks,
+               CAST(len(regexp_extract_all(raw,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                    AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(raw, '\+?\d[\d-]{7,}\d'))
+                    AS BIGINT) AS n_phones
+        FROM synth
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_email,
+           CAST(SUM(CASE WHEN n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_phone,
+           CAST(SUM(n_emails + n_phones) AS BIGINT) AS n_spans,
+           round(SUM(n_emails + n_phones)
+                 / (CAST(SUM(n_toks) AS DOUBLE) / 1000.0), 8)
+             AS spans_per_1k_tokens
+    FROM per_doc
+    GROUP BY source
+    """,
+)
+def q_pii_prevalence(spark, sf_dir):
+    """Per-source PII prevalence report — the audit run BEFORE
+    deciding which sources need scrubbing at all (and the compliance
+    evidence after): per source, how many documents contain any
+    email/phone span and the span density per 1k tokens. q_pii_redact
+    is the scrubber; this is the decision/report view over the same
+    portable regexes. PII is injected into deterministic md5-selected
+    SUBSETS (1-in-5 docs get an email, 1-in-7 a phone — independent
+    sets, so the per-source rates genuinely vary), making prevalence
+    a real measured quantity rather than 100% by construction.
+
+    At 100 TB: per-row regex counting in codegen (no UDF), one
+    source-keyed map-side-combined aggregate — the q_dataset_report
+    shape."""
+    from big_data_projects_spark.queries_corpus import EMAIL_RE, PHONE_RE
+
+    docs = _t(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long")
+    )
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            h % 5 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            h % 7 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    per_doc = docs.select(
+        "source",
+        F.size(T.tokens("text")).cast("long").alias("n_toks"),
+        F.regexp_count(raw, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(raw, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_emails") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("docs_with_email"),
+        F.sum(F.when(F.col("n_phones") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("docs_with_phone"),
+        F.sum(F.col("n_emails") + F.col("n_phones"))
+        .cast("long")
+        .alias("n_spans"),
+        F.round(
+            F.sum(F.col("n_emails") + F.col("n_phones"))
+            / (F.sum("n_toks").cast("double") / F.lit(1000.0)),
+            8,
+        ).alias("spans_per_1k_tokens"),
+    )

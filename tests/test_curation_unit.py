@@ -244,3 +244,35 @@ def test_dsir_ess_matches_recomputation(spark):
     w = [round(__import__("math").exp(x - mx), 12) for x in lw]
     ess = sum(w) ** 2 / sum(x * x for x in w)
     assert abs(ess - r["ess"]) < 0.01
+
+
+def test_dedup_threshold_sweep_is_monotone(spark):
+    """Raising the threshold can only shrink the flagged set; shares
+    are probabilities; the lowest point covers every flagged doc."""
+    rows = sorted(
+        _run(spark, "q_dedup_threshold_sweep").collect(),
+        key=lambda r: r["threshold"],
+    )
+    assert [r["threshold"] for r in rows] == [0.1, 0.3, 0.5]
+    pair_counts = [r["n_pairs"] for r in rows]
+    doc_counts = [r["n_docs_flagged"] for r in rows]
+    assert pair_counts == sorted(pair_counts, reverse=True)
+    assert doc_counts == sorted(doc_counts, reverse=True)
+    assert all(0.0 <= r["docs_share"] <= 1.0 for r in rows)
+    assert rows[0]["n_pairs"] > 0  # the 0.1 floor flags SOMETHING
+
+
+def test_pii_prevalence_consistency(spark):
+    """Per-source counts are internally consistent and the md5 subset
+    injection yields prevalence strictly between 0 and 100% overall
+    (the view is a measurement, not an artifact)."""
+    rows = _run(spark, "q_pii_prevalence").collect()
+    assert all(r["docs_with_email"] <= r["n_docs"] for r in rows)
+    assert all(r["docs_with_phone"] <= r["n_docs"] for r in rows)
+    assert all(
+        r["n_spans"] >= max(r["docs_with_email"], r["docs_with_phone"])
+        for r in rows
+    )
+    n = sum(r["n_docs"] for r in rows)
+    with_email = sum(r["docs_with_email"] for r in rows)
+    assert 0 < with_email < n  # 1-in-5 md5 subset, neither 0 nor all

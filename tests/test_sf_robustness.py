@@ -43,6 +43,7 @@ REPRESENTATIVES = [
     "q_annotator_agreement",    # fixed rater thresholds (40 / 220)
     "q_ivf_probe_recall",       # 20-query panel + probe sweep vs a
     #                             10-label clustering at any SF
+    "q_dedup_threshold_sweep",  # sweep constants vs tiny pair sets
 ]
 
 

@@ -155,6 +155,10 @@ QUERIES = [
     # with the corpus went quadratic in r5; this one is fixed-20 and
     # additionally joins the 20×|labels| probe-rank table per row).
     "q_ivf_probe_recall",
+    # round-6 registration: one value-carrying pair relation filtered
+    # at three thresholds (risk: the distinct-doc count per sweep
+    # point shuffling pair volume three times).
+    "q_dedup_threshold_sweep",
 ]
 # Near-linear tolerance: shuffles and within-bucket verify grow a bit
 # superlinearly even in healthy plans; 3x headroom over proportional
