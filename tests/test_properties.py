@@ -432,3 +432,73 @@ def test_preference_pair_margin_is_nonnegative(spark, quality):
         assert r["source"] not in seen
         seen.add(r["source"])
         assert sizes[r["source"]] >= 2
+
+
+def test_curation_operators_invariant_under_partition_count(spark):
+    """Partition-count invariance for the round-5/6 curation and
+    evaluation family: DSIR importance weights and their ESS audit,
+    quality-classifier calibration bins, annotator thresholds, pass@k
+    panels, the leakage matrix's df-capped shingle join, the Jaccard
+    threshold sweep, and the PII prevalence counts must not depend on
+    the shuffle layout (local[32] vs a 1000-executor cluster is first
+    and foremost a partition-count change)."""
+    from big_data_projects_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        out = {}
+        for nparts in ("32", "7"):
+            spark.conf.set("spark.sql.shuffle.partitions", nparts)
+            for name in ("q_dsir_weights", "q_dsir_ess",
+                         "q_quality_calibration", "q_annotator_agreement",
+                         "q_pass_at_k", "q_cross_source_leakage",
+                         "q_dedup_threshold_sweep", "q_pii_prevalence"):
+                rows_ = REGISTRY[name].raw(spark, sf).collect()
+                key = sorted(tuple(str(v) for v in r) for r in rows_)
+                out.setdefault(name, []).append(key)
+        for name, (a, b) in out.items():
+            assert a == b, f"{name}: result depends on partition count"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_aqe_toggle_invariance(spark):
+    """Adaptive Query Execution must be a pure performance knob: with
+    AQE disabled (no runtime coalescing, no skew-join splitting, no
+    runtime join-strategy switches) every representative query must
+    produce byte-identical results. Catches logic that accidentally
+    depends on the runtime partition layout AQE produces (the exact
+    failure mode of sharded prefix-sums and banded joins). AQE is
+    pinned on by ensure_runtime_conf at the top of every builder, so
+    the off-leg temporarily rewires that pin."""
+    from big_data_projects_spark import session as sess
+    from big_data_projects_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    names = ("q_flagship_star_rollup", "q_ngram_jaccard",
+             "q_quality_percentile", "q_length_batching",
+             "q_cross_source_leakage", "q_dedup_minhash_lsh")
+    aqe_keys = ("spark.sql.adaptive.enabled",
+                "spark.sql.adaptive.coalescePartitions.enabled")
+
+    def run_all():
+        got = {}
+        for name in names:
+            rows_ = REGISTRY[name].raw(spark, sf).collect()
+            got[name] = sorted(tuple(str(v) for v in r) for r in rows_)
+        return got
+
+    saved = {k: sess._REQUIRED_RUNTIME_CONF.get(k) for k in aqe_keys}
+    try:
+        on = run_all()
+        for k in aqe_keys:
+            sess._REQUIRED_RUNTIME_CONF[k] = "false"
+            spark.conf.set(k, "false")
+        off = run_all()
+    finally:
+        for k, v in saved.items():
+            sess._REQUIRED_RUNTIME_CONF[k] = v
+            spark.conf.set(k, v)
+    for name in names:
+        assert on[name] == off[name], f"{name}: result depends on AQE"
