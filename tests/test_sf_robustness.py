@@ -44,6 +44,9 @@ REPRESENTATIVES = [
     "q_ivf_probe_recall",       # 20-query panel + probe sweep vs a
     #                             10-label clustering at any SF
     "q_dedup_threshold_sweep",  # sweep constants vs tiny pair sets
+    "q_quality_lr_train",       # 4x4 Gram solve must stay non-singular
+    #                             (and the Cramer doubles must agree)
+    #                             on a different corpus
 ]
 
 

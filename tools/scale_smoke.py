@@ -159,6 +159,11 @@ QUERIES = [
     # at three thresholds (risk: the distinct-doc count per sweep
     # point shuffling pair volume three times).
     "q_dedup_threshold_sweep",
+    # round-6 registration: closed-form LS fit = one moment aggregate
+    # + one broadcast-weights scoring pass (risk: none by design —
+    # tracked to PROVE the two-pass shape stays flat, the contrast to
+    # the 24-pass GD alternative it replaced).
+    "q_quality_lr_train",
 ]
 # Near-linear tolerance: shuffles and within-bucket verify grow a bit
 # superlinearly even in healthy plans; 3x headroom over proportional
