@@ -140,6 +140,7 @@ INCOMING = [
     "q_dedup_threshold_sweep",
     "q_pii_prevalence",
     "q_quality_lr_train",
+    "q_filter_ablation",
     # round-6 optimization targets pulled under the bench's own signal
     # (the CC one-action-per-round + min-neighbor seed and the
     # every-2nd-round checkpoint cadence): driver-recorded history for

@@ -3312,3 +3312,194 @@ def q_quality_lr_train(spark, sf_dir):
             ).alias("accuracy"),
         )
     )
+
+
+def _filter_ablation_oracle() -> str:
+    from big_data_projects_spark.queries_corpus import GOPHER_STOPWORDS
+
+    stop_sql = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    toks = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+    return rf"""
+    WITH s AS MATERIALIZED (
+        SELECT doc_id, {toks} AS t, text FROM documents
+    ),
+    flags AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_toks,
+               (CAST(len(t) AS BIGINT) BETWEEN 25 AND 500
+                AND list_sum(list_transform(t, w -> len(w)))
+                    / CAST(len(t) AS DOUBLE) BETWEEN 3 AND 10
+                AND CAST(len(list_intersect(list_distinct(t), [{stop_sql}]))
+                         AS BIGINT) >= 2) AS gopher_keep,
+               CAST(list_sum(list_transform(t,
+                   tk -> (CAST(('0x' || substr(md5(tk), 1, 6)) AS BIGINT)
+                          % 512) * 2654435761 % 1000003 - 500001))
+                    AS BIGINT) > 0 AS clf_keep
+        FROM s
+    ),
+    pii AS MATERIALIZED (
+        SELECT doc_id,
+               (len(regexp_extract_all(raw,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}'))
+                + len(regexp_extract_all(raw, '\+?\d[\d-]{{7,}}\d'))) = 0
+                   AS pii_keep
+        FROM (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                 AS BIGINT) % 5 = 0
+                           THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                || '@mail.example.com'
+                           ELSE '' END
+                   || CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                 AS BIGINT) % 7 = 0
+                           THEN ' call +1-555-'
+                                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           ELSE '' END AS raw
+            FROM documents
+        )
+    ),
+    ch AS (
+        SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c
+        FROM documents
+    ),
+    k AS (
+        SELECT doc_id, c, COUNT(*) AS k FROM ch WHERE c <> '' GROUP BY 1, 2
+    ),
+    ent AS MATERIALIZED (
+        SELECT doc_id,
+               (ln(CAST(SUM(k) AS BIGINT))
+                - CAST(SUM(CAST(round(k * ln(k), 10) AS DECIMAL(38, 14)))
+                       AS DOUBLE) / CAST(SUM(k) AS BIGINT)) >= 2.0
+                   AS entropy_keep
+        FROM k GROUP BY doc_id
+    ),
+    combo AS MATERIALIZED (
+        SELECT f.gopher_keep, f.clf_keep, e.entropy_keep, p.pii_keep,
+               f.n_toks
+        FROM flags f JOIN ent e USING (doc_id) JOIN pii p USING (doc_id)
+    ),
+    cnt AS MATERIALIZED (
+        SELECT gopher_keep, clf_keep, entropy_keep, pii_keep,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+        FROM combo GROUP BY 1, 2, 3, 4
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+    SELECT gopher_keep, clf_keep, entropy_keep, pii_keep, n_docs, n_tokens,
+           round(n_docs / CAST(tot.n AS DOUBLE), 8) AS docs_share
+    FROM cnt CROSS JOIN tot
+    """
+
+
+@register("q_filter_ablation", oracle=_filter_ablation_oracle())
+def q_filter_ablation(spark, sf_dir):
+    """Filter-funnel attribution with overlaps — the upset-plot view
+    of the curation stack: for every combination of the four
+    independent keep-gates (Gopher window rule, hashed linear
+    classifier, character-entropy floor, PII cleanliness on the
+    measured-prevalence view), the document count and token mass in
+    that cell. This is the audit a pipeline owner reads BEFORE tuning:
+    a gate whose unique-fail cell is empty is redundant (drop it and
+    save a pass); a gate that uniquely removes half the crawl is where
+    threshold work pays; joint-fail mass shows the gates agree and the
+    funnel ordering is free. The per-gate marginal totals are row sums
+    of this table — the combination cells are the information the
+    per-gate views (q_gopher_rules, q_quality_classifier,
+    q_char_entropy, q_pii_prevalence) cannot express.
+
+    Every gate expression is the already-hash-matched idiom from its
+    owning query, restated verbatim. The entropy gate needs the one
+    doc-keyed aggregate (char counts map-side-combine to ≤|alphabet|
+    rows per doc); everything else is in-row. One doc-keyed join of
+    the two per-doc relations, one 16-cell aggregate — at 100 TB this
+    is two scans, one doc-keyed shuffle, one tiny rollup."""
+    from big_data_projects_spark.queries_corpus import (
+        EMAIL_RE,
+        GOPHER_STOPWORDS,
+        PHONE_RE,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text", T.tokens("text").alias("__t"))
+    n_words = F.size("__t").cast("long")
+    total_len = F.aggregate(
+        F.transform(F.col("__t"), lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.col("__t"), stop_arr)).cast("long")
+    mwl = total_len / n_words
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long")
+    )
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            h % 5 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            h % 7 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    flags = base.select(
+        "doc_id",
+        n_words.alias("n_toks"),
+        (
+            n_words.between(25, 500) & mwl.between(3, 10) & (n_stop >= 2)
+        ).alias("gopher_keep"),
+        (T.hashed_linear_score(F.col("text")) > 0).alias("clf_keep"),
+        (
+            (
+                F.regexp_count(raw, F.lit(EMAIL_RE))
+                + F.regexp_count(raw, F.lit(PHONE_RE))
+            )
+            == 0
+        ).alias("pii_keep"),
+    )
+    ch = docs.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+    k = (
+        ch.filter(F.col("c") != "")
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    ent = k.groupBy("doc_id").agg(
+        (
+            F.log(F.sum("k"))
+            - F.sum(
+                F.round(F.col("k") * F.log("k"), 10).cast("decimal(38,14)")
+            ).cast("double")
+            / F.sum("k")
+            >= 2.0
+        ).alias("entropy_keep")
+    )
+    combo = flags.join(ent, "doc_id")
+    cnt = combo.groupBy(
+        "gopher_keep", "clf_keep", "entropy_keep", "pii_keep"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "gopher_keep",
+        "clf_keep",
+        "entropy_keep",
+        "pii_keep",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs") / F.col("n").cast("double"), 8).alias(
+            "docs_share"
+        ),
+    )

@@ -292,3 +292,28 @@ def test_quality_lr_train_beats_base_rate(spark):
     base = max(r["n_pos"], r["n_docs"] - r["n_pos"]) / r["n_docs"]
     assert r["accuracy"] > base
     assert r["tn"] > 0 and r["tp"] > 0  # both classes actually predicted
+
+
+def test_filter_ablation_partitions_corpus(spark):
+    """The 16-cell funnel table is a partition of the corpus (cells
+    disjoint, counts sum to n), shares sum to 1, every gate has both
+    passing and failing mass (no degenerate dimension), and each
+    gate's marginal matches its owning query's view where one exists
+    (gopher marginal vs q_gopher_rules keep count)."""
+    rows = _run(spark, "q_filter_ablation").collect()
+    assert 1 < len(rows) <= 16
+    n = sum(r["n_docs"] for r in rows)
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    assert n == docs.count()
+    assert abs(sum(r["docs_share"] for r in rows) - 1.0) < 1e-6
+    for gate in ("gopher_keep", "clf_keep", "pii_keep"):
+        passing = sum(r["n_docs"] for r in rows if r[gate])
+        assert 0 < passing < n, f"{gate} is degenerate"
+    # The entropy floor is all-pass on THIS corpus (natural synthetic
+    # text never scores under 2.0 nats — the same measurement
+    # q_char_entropy reports); assert the direction, not a split.
+    assert sum(r["n_docs"] for r in rows if r["entropy_keep"]) == n
+    gopher_marginal = sum(r["n_docs"] for r in rows if r["gopher_keep"])
+    gq = _run(spark, "q_gopher_rules").collect()
+    gk = sum(1 for r in gq if r["keep"])
+    assert gopher_marginal == gk

@@ -47,6 +47,8 @@ REPRESENTATIVES = [
     "q_quality_lr_train",       # 4x4 Gram solve must stay non-singular
     #                             (and the Cramer doubles must agree)
     #                             on a different corpus
+    "q_filter_ablation",        # 16-cell funnel: empty cells must
+    #                             stay consistently absent, not NULL
 ]
 
 

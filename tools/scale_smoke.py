@@ -164,6 +164,11 @@ QUERIES = [
     # tracked to PROVE the two-pass shape stays flat, the contrast to
     # the 24-pass GD alternative it replaced).
     "q_quality_lr_train",
+    # round-6 registration: four-gate funnel — the char-explode
+    # entropy aggregate is the heavy part (|text| rows per doc before
+    # the per-(doc,char) map-side combine), joined doc-keyed to the
+    # in-row gates (risk: the explode volume and the doc-keyed join).
+    "q_filter_ablation",
 ]
 # Near-linear tolerance: shuffles and within-bucket verify grow a bit
 # superlinearly even in healthy plans; 3x headroom over proportional
