@@ -502,3 +502,25 @@ def test_aqe_toggle_invariance(spark):
             spark.conf.set(k, v)
     for name in names:
         assert on[name] == off[name], f"{name}: result depends on AQE"
+
+
+def test_round6_continuation_ops_invariant_under_partition_count(spark):
+    """Partition-count invariance for the trainer (moment sums must be
+    decimal-order-free) and the funnel (char-explode aggregate + doc
+    join under different layouts)."""
+    from big_data_projects_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        out = {}
+        for nparts in ("32", "7"):
+            spark.conf.set("spark.sql.shuffle.partitions", nparts)
+            for name in ("q_quality_lr_train", "q_filter_ablation"):
+                rows_ = REGISTRY[name].raw(spark, sf).collect()
+                key = sorted(tuple(str(v) for v in r) for r in rows_)
+                out.setdefault(name, []).append(key)
+        for name, (a, b) in out.items():
+            assert a == b, f"{name}: result depends on partition count"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
