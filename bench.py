@@ -141,6 +141,7 @@ INCOMING = [
     "q_pii_prevalence",
     "q_quality_lr_train",
     "q_filter_ablation",
+    "q_dedup_survivor_bias",
     # round-6 optimization targets pulled under the bench's own signal
     # (the CC one-action-per-round + min-neighbor seed and the
     # every-2nd-round checkpoint cadence): driver-recorded history for

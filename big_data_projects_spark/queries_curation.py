@@ -3503,3 +3503,155 @@ def q_filter_ablation(spark, sf_dir):
             "docs_share"
         ),
     )
+
+
+SURVIVOR_THRESHOLD = 0.3  # the q_lsh_quality ground-truth threshold
+
+
+def _survivor_bias_oracle() -> str:
+    t = SURVIVOR_THRESHOLD
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    sh_all AS (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))
+                    AS BIGINT) AS shingle
+        FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
+        WHERE len(t) >= 3
+    ),
+    sh AS (
+        SELECT doc_id, shingle FROM sh_all
+        WHERE shingle NOT IN (
+            SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > 1000
+        )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    drops AS MATERIALIZED (
+        SELECT DISTINCT doc_b AS doc_id
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common / (sa.n_sh + sb.n_sh - n_common)
+              >= CAST({t} AS DOUBLE)
+    ),
+    tk AS MATERIALIZED (
+        SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                    AS BIGINT) AS nt
+        FROM documents
+    ),
+    b AS MATERIALIZED (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_before,
+               CAST(SUM(nt) AS BIGINT) AS n_tokens_before
+        FROM tk GROUP BY 1
+    ),
+    a AS MATERIALIZED (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_after,
+               CAST(SUM(nt) AS BIGINT) AS n_tokens_after
+        FROM tk WHERE doc_id NOT IN (SELECT doc_id FROM drops) GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_docs_before) AS BIGINT) AS tb FROM b
+    ),
+    tota AS (
+        SELECT CAST(SUM(n_docs_after) AS BIGINT) AS ta FROM a
+    )
+    SELECT b.source,
+           b.n_docs_before, b.n_tokens_before,
+           CAST(COALESCE(a.n_docs_after, 0) AS BIGINT) AS n_docs_after,
+           CAST(COALESCE(a.n_tokens_after, 0) AS BIGINT) AS n_tokens_after,
+           round(b.n_docs_before / CAST(tot.tb AS DOUBLE), 8)
+               AS share_before,
+           round(COALESCE(a.n_docs_after, 0) / CAST(tota.ta AS DOUBLE), 8)
+               AS share_after,
+           round(COALESCE(a.n_docs_after, 0) / CAST(tota.ta AS DOUBLE)
+                 - b.n_docs_before / CAST(tot.tb AS DOUBLE), 8)
+               AS share_delta
+    FROM b LEFT JOIN a USING (source)
+    CROSS JOIN tot CROSS JOIN tota
+    """
+
+
+@register("q_dedup_survivor_bias", oracle=_survivor_bias_oracle())
+def q_dedup_survivor_bias(spark, sf_dir):
+    """Post-dedup mixture-shift audit — dedup is NOT distribution-
+    neutral: boilerplate-heavy sources lose disproportionally, so the
+    domain mix tuned BEFORE dedup (q_domain_mix/q_upsample_mix) is not
+    the mix the model trains on. Per source: doc/token mass before and
+    after near-dup removal, corpus share before/after, and the share
+    delta — the number a pipeline owner checks before re-weighting
+    (Dolma/RefinedWeb report exactly this table in their dedup
+    ablations).
+
+    Survivor rule = pair-drop (drop doc_b of every Jaccard ≥ 0.3 pair,
+    keep the lowest-id member): the standard keep-first policy of
+    streaming/MinHash dedup deployments, deliberately NOT the
+    connected-components rule — it needs zero iterative passes, so the
+    audit costs one anti-join beyond the established pair machinery
+    (the CC-cluster view of the same corpus is q_dedup_clusters /
+    q_dedup_cluster_stats; on transitive chains pair-drop keeps only
+    chain minima, which this docstring states rather than hides).
+
+    At 100 TB: the df-capped shingle equi-join produces pairs, the
+    drop set is a distinct on doc ids, survivors come from one
+    broadcast-able left-anti join, and the report is two source-keyed
+    rollups."""
+    from big_data_projects_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=SURVIVOR_THRESHOLD)
+    drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    tk = docs.select(
+        "doc_id", "source", F.size(T.tokens("text")).cast("long").alias("nt")
+    )
+    survivors = tk.join(drops, "doc_id", "left_anti")
+    before = tk.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_before"),
+        F.sum("nt").cast("long").alias("n_tokens_before"),
+    )
+    after = survivors.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_after"),
+        F.sum("nt").cast("long").alias("n_tokens_after"),
+    )
+    tot = before.agg(
+        F.sum("n_docs_before").cast("long").alias("tb")
+    )
+    tota = after.agg(F.sum("n_docs_after").cast("long").alias("ta"))
+    return (
+        before.join(after, "source", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tota))
+        .select(
+            "source",
+            "n_docs_before",
+            "n_tokens_before",
+            F.coalesce(F.col("n_docs_after"), F.lit(0))
+            .cast("long")
+            .alias("n_docs_after"),
+            F.coalesce(F.col("n_tokens_after"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens_after"),
+            F.round(
+                F.col("n_docs_before") / F.col("tb").cast("double"), 8
+            ).alias("share_before"),
+            F.round(
+                F.coalesce(F.col("n_docs_after"), F.lit(0))
+                / F.col("ta").cast("double"),
+                8,
+            ).alias("share_after"),
+            F.round(
+                F.coalesce(F.col("n_docs_after"), F.lit(0))
+                / F.col("ta").cast("double")
+                - F.col("n_docs_before") / F.col("tb").cast("double"),
+                8,
+            ).alias("share_delta"),
+        )
+    )

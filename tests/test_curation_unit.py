@@ -317,3 +317,21 @@ def test_filter_ablation_partitions_corpus(spark):
     gq = _run(spark, "q_gopher_rules").collect()
     gk = sum(1 for r in gq if r["keep"])
     assert gopher_marginal == gk
+
+
+def test_survivor_bias_conservation(spark):
+    """Before/after masses conserve (after ≤ before per source, totals
+    consistent), shares each sum to 1, deltas sum to ~0, and the
+    drop set is genuinely non-empty on this corpus (near-dup pairs
+    exist at the 0.3 threshold)."""
+    rows = _run(spark, "q_dedup_survivor_bias").collect()
+    assert len(rows) == 20  # one row per source
+    for r in rows:
+        assert 0 <= r["n_docs_after"] <= r["n_docs_before"]
+        assert 0 <= r["n_tokens_after"] <= r["n_tokens_before"]
+    nb = sum(r["n_docs_before"] for r in rows)
+    na = sum(r["n_docs_after"] for r in rows)
+    assert na < nb  # something was dropped
+    assert abs(sum(r["share_before"] for r in rows) - 1.0) < 1e-6
+    assert abs(sum(r["share_after"] for r in rows) - 1.0) < 1e-6
+    assert abs(sum(r["share_delta"] for r in rows)) < 1e-6

@@ -49,6 +49,8 @@ REPRESENTATIVES = [
     #                             on a different corpus
     "q_filter_ablation",        # 16-cell funnel: empty cells must
     #                             stay consistently absent, not NULL
+    "q_dedup_survivor_bias",    # pair-drop vs a different dup graph;
+    #                             all-survivor sources keep exact 0s
 ]
 
 

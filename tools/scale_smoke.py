@@ -169,6 +169,10 @@ QUERIES = [
     # the per-(doc,char) map-side combine), joined doc-keyed to the
     # in-row gates (risk: the explode volume and the doc-keyed join).
     "q_filter_ablation",
+    # round-6 registration: pair-drop survivor rule — shares the
+    # shingle-pair machinery plus one distinct + one anti-join (risk:
+    # the drop-set distinct shuffling pair volume).
+    "q_dedup_survivor_bias",
 ]
 # Near-linear tolerance: shuffles and within-bucket verify grow a bit
 # superlinearly even in healthy plans; 3x headroom over proportional
