@@ -516,7 +516,8 @@ def test_round6_continuation_ops_invariant_under_partition_count(spark):
         out = {}
         for nparts in ("32", "7"):
             spark.conf.set("spark.sql.shuffle.partitions", nparts)
-            for name in ("q_quality_lr_train", "q_filter_ablation"):
+            for name in ("q_quality_lr_train", "q_filter_ablation",
+                         "q_dedup_survivor_bias"):
                 rows_ = REGISTRY[name].raw(spark, sf).collect()
                 key = sorted(tuple(str(v) for v in r) for r in rows_)
                 out.setdefault(name, []).append(key)
