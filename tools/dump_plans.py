@@ -137,6 +137,16 @@ SHOWCASE = [
         "TakeOrderedAndProject — never a global sort.",
     ),
     (
+        "q_quality_lr_train",
+        "In-engine model fitting as a two-pass plan: the 4x4 normal-"
+        "equation moments accumulate in ONE partial/final hash-"
+        "aggregate pair (map-side combine, 15 doubles cross the wire), "
+        "the Cramer solve is a projection over that 1-row relation, "
+        "and scoring re-reads the persisted feature scan with the "
+        "weight row broadcast — training costs the same shuffle "
+        "footprint as a global count.",
+    ),
+    (
         "q_global_shuffle",
         "Epoch-deterministic corpus shuffle via sharded prefix-sum: "
         "RangePartitioning on the md5 key range-shards the corpus, "
