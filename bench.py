@@ -142,6 +142,7 @@ INCOMING = [
     "q_quality_lr_train",
     "q_filter_ablation",
     "q_dedup_survivor_bias",
+    "q_split_leakage",
     # round-6 optimization targets pulled under the bench's own signal
     # (the CC one-action-per-round + min-neighbor seed and the
     # every-2nd-round checkpoint cadence): driver-recorded history for

@@ -3655,3 +3655,177 @@ def q_dedup_survivor_bias(spark, sf_dir):
             ).alias("share_delta"),
         )
     )
+
+
+def _split_case_sql(expr: str) -> str:
+    """DuckDB split-of-id expression — the exact q_hash_split rule
+    (md5-prefix mod 10 -> 80/10/10) applied to an arbitrary id
+    expression."""
+    b = (f"CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8)) "
+         "AS BIGINT) % 10")
+    return (f"CASE WHEN {b} < 8 THEN 'train' "
+            f"WHEN {b} = 8 THEN 'val' ELSE 'test' END")
+
+
+def _split_leakage_oracle() -> str:
+    sa, sb = _split_case_sql("e.doc_a"), _split_case_sql("e.doc_b")
+    ra, rb = _split_case_sql("ra.rep"), _split_case_sql("rb.rep")
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    sh_all AS (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))
+                    AS BIGINT) AS shingle
+        FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
+        WHERE len(t) >= 3
+    ),
+    sh AS (
+        SELECT doc_id, shingle FROM sh_all
+        WHERE shingle NOT IN (
+            SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > 1000
+        )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS MATERIALIZED (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN sizes sx ON sx.doc_id = doc_a
+        JOIN sizes sy ON sy.doc_id = doc_b
+        WHERE n_common / (sx.n_sh + sy.n_sh - n_common) >= 0.1
+    ),
+    nb AS (
+        SELECT doc_a AS d, doc_b AS n FROM edges
+        UNION ALL
+        SELECT doc_b AS d, doc_a AS n FROM edges
+    ),
+    rep AS MATERIALIZED (
+        SELECT d, LEAST(d, MIN(n)) AS rep FROM nb GROUP BY d
+    ),
+    naive AS (
+        SELECT LEAST({sa}, {sb}) AS split_a,
+               GREATEST({sa}, {sb}) AS split_b
+        FROM edges e
+    ),
+    repaired AS (
+        SELECT LEAST({ra}, {rb}) AS split_a,
+               GREATEST({ra}, {rb}) AS split_b
+        FROM edges e
+        JOIN rep ra ON ra.d = e.doc_a
+        JOIN rep rb ON rb.d = e.doc_b
+    )
+    SELECT 'doc_hash' AS rule, split_a, split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           split_a <> split_b AS is_cross
+    FROM naive GROUP BY 2, 3
+    UNION ALL
+    SELECT 'rep_hash' AS rule, split_a, split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           split_a <> split_b AS is_cross
+    FROM repaired GROUP BY 2, 3
+    """
+
+
+@register("q_split_leakage", oracle=_split_leakage_oracle())
+def q_split_leakage(spark, sf_dir):
+    """Train/val/test split-integrity audit — the eval-contamination
+    question q_hash_split alone can't answer: a doc-id hash split is
+    reproducible but CONTENT-BLIND, so near-duplicate pairs straddle
+    the train/test boundary in proportion to the split masses and
+    quietly inflate held-out metrics (the canonical finding of the
+    dedup literature: Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL 2022 measure exactly this
+    train-test overlap). Per unordered split pair and assignment
+    rule: how many near-dup pairs (n-gram Jaccard >= 0.1 — the
+    hash-matched q_dedup_clusters edge set) land with both members
+    in (split_a, split_b).
+
+    Two assignment rules, same edge set (total n_pairs equal by
+    construction, pinned by unit test):
+    - doc_hash: the exact q_hash_split rule on the doc's own id —
+      the naive baseline whose cross mass IS the leak.
+    - rep_hash: hash the doc's one-hop canonical representative
+      rep(d) = min(d, min neighbor) instead, so directly-paired docs
+      usually co-assign. One-hop min is deliberately NOT transitive
+      closure (chains can still straddle when a pair's endpoints see
+      different minima; the full-closure view of this corpus is
+      q_dedup_clusters) — the audit reports the residual honestly
+      rather than claiming zero.
+
+    At 100 TB: the df-capped shingle equi-join produces the edges
+    (tracked machinery); the rep table is one doubled-edge groupBy on
+    doc id; each rule adds at most two keyed joins of the pair list;
+    the output is <= 2 x 6 rows. No new hazard class.
+    """
+    from big_data_projects_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (
+        D.ngram_jaccard_pairs(docs, threshold=0.1)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+
+    def split_of(col):
+        bucket = (
+            F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 10
+        )
+        return (
+            F.when(bucket < 8, "train")
+            .when(bucket == 8, "val")
+            .otherwise("test")
+        )
+
+    nb = pairs.select(
+        F.col("doc_a").alias("d"), F.col("doc_b").alias("n")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("d"), F.col("doc_a").alias("n"))
+    )
+    rep = (
+        nb.groupBy("d")
+        .agg(F.min("n").alias("mn"))
+        .select("d", F.least(F.col("d"), F.col("mn")).alias("rep"))
+    )
+
+    naive = pairs.select(
+        split_of(F.col("doc_a")).alias("sa"),
+        split_of(F.col("doc_b")).alias("sb"),
+    )
+    ra = rep.select(F.col("d").alias("doc_a"), F.col("rep").alias("rep_a"))
+    rb = rep.select(F.col("d").alias("doc_b"), F.col("rep").alias("rep_b"))
+    repaired = (
+        pairs.join(ra, "doc_a")
+        .join(rb, "doc_b")
+        .select(
+            split_of(F.col("rep_a")).alias("sa"),
+            split_of(F.col("rep_b")).alias("sb"),
+        )
+    )
+
+    def grouped(df, rule):
+        return (
+            df.select(
+                F.least("sa", "sb").alias("split_a"),
+                F.greatest("sa", "sb").alias("split_b"),
+            )
+            .groupBy("split_a", "split_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+            .select(
+                F.lit(rule).alias("rule"),
+                "split_a",
+                "split_b",
+                "n_pairs",
+                (F.col("split_a") != F.col("split_b")).alias("is_cross"),
+            )
+        )
+
+    return grouped(naive, "doc_hash").unionAll(grouped(repaired, "rep_hash"))

@@ -335,3 +335,27 @@ def test_survivor_bias_conservation(spark):
     assert abs(sum(r["share_before"] for r in rows) - 1.0) < 1e-6
     assert abs(sum(r["share_after"] for r in rows) - 1.0) < 1e-6
     assert abs(sum(r["share_delta"] for r in rows)) < 1e-6
+
+
+def test_split_leakage_conservation(spark):
+    """Both assignment rules partition the SAME edge set (totals
+    equal), the naive doc-hash rule leaks (cross mass > 0 — the
+    content-blind split straddles near-dup pairs), is_cross is
+    consistent with the split pair, and the one-hop rep rule reduces
+    the cross mass on this corpus."""
+    rows = _run(spark, "q_split_leakage").collect()
+    by_rule = {}
+    for r in rows:
+        by_rule.setdefault(r["rule"], []).append(r)
+    assert set(by_rule) == {"doc_hash", "rep_hash"}
+    totals = {k: sum(r["n_pairs"] for r in v) for k, v in by_rule.items()}
+    assert totals["doc_hash"] == totals["rep_hash"] > 0
+    for r in rows:
+        assert r["split_a"] <= r["split_b"]
+        assert r["is_cross"] == (r["split_a"] != r["split_b"])
+    cross = {
+        k: sum(r["n_pairs"] for r in v if r["is_cross"])
+        for k, v in by_rule.items()
+    }
+    assert cross["doc_hash"] > 0
+    assert cross["rep_hash"] < cross["doc_hash"]

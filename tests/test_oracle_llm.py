@@ -20,7 +20,7 @@ LLM_ORACLE_QUERIES = sorted(
                       "q_zipf", "q_lsh_", "q_minhash_", "q_length_kl",
                       "q_tokenizer_", "q_quality_calibration",
                       "q_quality_lr_train", "q_filter_ablation",
-                      "q_dedup_survivor_bias",
+                      "q_dedup_survivor_bias", "q_split_",
                       "q_lang_confusion", "q_graph_",
                       # round-6 eval/provenance/label-QA family
                       "q_pass_at_k", "q_cross_source_",

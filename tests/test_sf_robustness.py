@@ -51,6 +51,9 @@ REPRESENTATIVES = [
     #                             stay consistently absent, not NULL
     "q_dedup_survivor_bias",    # pair-drop vs a different dup graph;
     #                             all-survivor sources keep exact 0s
+    "q_split_leakage",          # split masses and the one-hop rep map
+    #                             vs a different dup graph; both rules
+    #                             must conserve total pair count
 ]
 
 

@@ -173,6 +173,10 @@ QUERIES = [
     # shingle-pair machinery plus one distinct + one anti-join (risk:
     # the drop-set distinct shuffling pair volume).
     "q_dedup_survivor_bias",
+    # round-6 registration: split-integrity audit — pair machinery
+    # plus a doubled-edge groupBy for the one-hop rep map and two
+    # pair-keyed joins (risk: the rep groupBy over 2x pair volume).
+    "q_split_leakage",
 ]
 # Near-linear tolerance: shuffles and within-bucket verify grow a bit
 # superlinearly even in healthy plans; 3x headroom over proportional
