@@ -143,6 +143,8 @@ INCOMING = [
     "q_filter_ablation",
     "q_dedup_survivor_bias",
     "q_split_leakage",
+    "q_encoding_audit",
+    "q_sft_turn_audit",
     # round-6 optimization targets pulled under the bench's own signal
     # (the CC one-action-per-round + min-neighbor seed and the
     # every-2nd-round checkpoint cadence): driver-recorded history for

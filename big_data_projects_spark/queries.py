@@ -287,7 +287,7 @@ _ROUND7_QUEUE = [
 _ROUND8_QUEUE: list[str] = [
     "q_dedup_threshold_sweep", "q_pii_prevalence",
     "q_quality_lr_train", "q_filter_ablation", "q_dedup_survivor_bias",
-    "q_split_leakage",
+    "q_split_leakage", "q_encoding_audit", "q_sft_turn_audit",
 ]
 
 

@@ -3829,3 +3829,310 @@ def q_split_leakage(spark, sf_dir):
         )
 
     return grouped(naive, "doc_hash").unionAll(grouped(repaired, "rep_hash"))
+
+
+# Control-char class (excludes \t \n \r) and the non-ASCII class —
+# written once, interpreted identically by Java regex and RE2.
+CTRL_RE = r"[\x01-\x08\x0B\x0C\x0E-\x1F]"
+NONASCII_RE = r"[^\x00-\x7F]"
+
+
+def _encoding_audit_oracle() -> str:
+    h = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+         "AS BIGINT)")
+    moji = "chr(226) || chr(8364) || chr(8482)"   # 'right quote' mojibake
+    acc = "chr(195) || chr(169)"                  # 'e-acute' mojibake
+    return rf"""
+    WITH d AS (
+        SELECT source,
+               text
+               || CASE WHEN {h} % 6 = 0
+                       THEN ' ' || chr(65533) || 'decode' ELSE '' END
+               || CASE WHEN {h} % 8 = 3
+                       THEN ' don' || {moji} || 't' ELSE '' END
+               || CASE WHEN {h} % 9 = 5 THEN chr(7) ELSE '' END AS txt
+        FROM documents
+    ),
+    f AS (
+        SELECT source,
+               CASE WHEN contains(txt, chr(65533)) THEN 1 ELSE 0 END AS fffd,
+               CASE WHEN contains(txt, {moji})
+                      OR contains(txt, {acc}) THEN 1 ELSE 0 END AS moji,
+               CASE WHEN regexp_matches(txt, '[\x01-\x08\x0B\x0C\x0E-\x1F]')
+                    THEN 1 ELSE 0 END AS ctrl,
+               length(txt) AS nc,
+               length(txt)
+                 - length(regexp_replace(txt, '[^\x00-\x7F]', '', 'g'))
+                 AS na
+        FROM d
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(fffd) AS BIGINT) AS docs_fffd,
+           CAST(SUM(moji) AS BIGINT) AS docs_mojibake,
+           CAST(SUM(ctrl) AS BIGINT) AS docs_ctrl,
+           round(SUM(CASE WHEN fffd + moji + ctrl > 0 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 8) AS damaged_share,
+           round(1000.0 * SUM(na) / CAST(SUM(nc) AS DOUBLE), 8)
+               AS nonascii_per_1k
+    FROM f GROUP BY 1
+    """
+
+
+@register("q_encoding_audit", oracle=_encoding_audit_oracle())
+def q_encoding_audit(spark, sf_dir):
+    """Encoding / unicode-health audit — the ftfy/NFC-style check a
+    pipeline runs BEFORE tokenizer training: per source, how many
+    documents carry replacement characters (U+FFFD — a lossy decode
+    already happened), classic UTF-8-read-as-CP1252 mojibake
+    sequences, or stray C0 control characters, plus the non-ASCII
+    density per 1k chars (the cheap script-mix / binary-leak signal).
+    The text family measures entropy, repetition, Zipf shape and
+    language, but nothing about BYTES-level damage — the defect class
+    that silently poisons BPE merges with garbage tokens.
+
+    Damage is injected into deterministic md5-selected subsets
+    (1-in-6 docs gain a U+FFFD, 1-in-8 a mojibake quote, 1-in-9 a BEL
+    control char — the q_pii_prevalence pattern), so prevalence is a
+    measured quantity on this clean synthetic corpus; the detectors
+    are deliberately broader than the injection (the e-acute mojibake
+    marker is checked too, and fires zero here).
+
+    At 100 TB: per-row codegen string predicates (contains + two
+    regexes, no UDF), one source-keyed map-side-combined aggregate —
+    the q_dataset_report shape; output is |sources| rows."""
+    docs = _t(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long")
+    )
+    moji = "don\u00e2\u20ac\u2122t"  # noqa: the CP1252 mojibake of a right quote
+    txt = F.concat(
+        F.col("text"),
+        F.when(h % 6 == 0, F.lit(" \ufffddecode")).otherwise(F.lit("")),
+        F.when(h % 8 == 3, F.lit(" " + moji)).otherwise(F.lit("")),
+        F.when(h % 9 == 5, F.lit("\x07")).otherwise(F.lit("")),
+    )
+    per_doc = docs.select(
+        "source",
+        F.when(txt.contains("\ufffd"), 1).otherwise(0).alias("fffd"),
+        F.when(
+            txt.contains("\u00e2\u20ac\u2122")
+            | txt.contains("\u00c3\u00a9"),
+            1,
+        ).otherwise(0).alias("moji"),
+        F.when(txt.rlike(CTRL_RE), 1).otherwise(0).alias("ctrl"),
+        F.length(txt).cast("long").alias("nc"),
+        (
+            F.length(txt)
+            - F.length(F.regexp_replace(txt, NONASCII_RE, ""))
+        ).cast("long").alias("na"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("fffd").cast("long").alias("docs_fffd"),
+        F.sum("moji").cast("long").alias("docs_mojibake"),
+        F.sum("ctrl").cast("long").alias("docs_ctrl"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("fffd") + F.col("moji") + F.col("ctrl") > 0, 1
+                ).otherwise(0)
+            )
+            / F.count(F.lit(1)).cast("double"),
+            8,
+        ).alias("damaged_share"),
+        F.round(
+            F.lit(1000.0) * F.sum("na") / F.sum("nc").cast("double"), 8
+        ).alias("nonascii_per_1k"),
+    )
+
+
+# Tokens per synthetic turn and the context budget (in turns) used by
+# the SFT audit — written once, shared by the Spark builder and stated
+# as the same literals in the oracle.
+SFT_TURN_TOKENS = 12
+SFT_CTX_TOKENS = 96  # 8 turns x 12 tokens
+
+
+def _sft_turn_audit_oracle() -> str:
+    h = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+         "AS BIGINT)")
+    return rf"""
+    WITH d AS (
+        SELECT source,
+               {h} AS h,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ),
+    c AS (
+        SELECT source, h, toks,
+               len(toks) AS n_toks,
+               CAST(floor((len(toks) + {SFT_TURN_TOKENS} - 1)
+                          / {SFT_TURN_TOKENS}) AS BIGINT) AS n_turns
+        FROM d
+    ),
+    conv AS (
+        SELECT source, n_toks, n_turns,
+               list_transform(range(0, CAST(n_turns AS INTEGER)),
+                   i -> CASE WHEN h % 7 = 2 AND i = 1 THEN 'user'
+                             WHEN i % 2 = 0 THEN 'user'
+                             ELSE 'assistant' END) AS roles,
+               list_transform(range(0, CAST(n_turns AS INTEGER)),
+                   i -> CASE WHEN h % 9 = 4 AND i = n_turns - 1 THEN ''
+                        ELSE array_to_string(
+                            list_slice(toks, i * {SFT_TURN_TOKENS} + 1,
+                                       (i + 1) * {SFT_TURN_TOKENS}),
+                            ' ') END) AS contents
+        FROM c
+    ),
+    a AS (
+        SELECT source, n_toks, n_turns,
+               CASE WHEN n_turns >= 2 AND coalesce(list_contains(
+                        list_transform(range(2,
+                            CAST(n_turns AS INTEGER) + 1),
+                            i -> roles[i] = roles[i - 1]), true), false)
+                    THEN 1 ELSE 0 END AS role_viol,
+               CASE WHEN coalesce(list_contains(
+                        list_transform(contents, x -> x = ''), true),
+                        false)
+                    THEN 1 ELSE 0 END AS empty_turn,
+               CASE WHEN roles[CAST(n_turns AS INTEGER)] = 'user'
+                    THEN 1 ELSE 0 END AS ends_user,
+               CASE WHEN n_toks > {SFT_CTX_TOKENS} THEN 1 ELSE 0 END
+                   AS over_budget
+        FROM conv
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_convs,
+           round(SUM(n_turns) / CAST(COUNT(*) AS DOUBLE), 8) AS avg_turns,
+           round(SUM(role_viol) / CAST(COUNT(*) AS DOUBLE), 8)
+               AS share_role_violation,
+           round(SUM(empty_turn) / CAST(COUNT(*) AS DOUBLE), 8)
+               AS share_empty_turn,
+           round(SUM(ends_user) / CAST(COUNT(*) AS DOUBLE), 8)
+               AS share_ends_user,
+           round(SUM(over_budget) / CAST(COUNT(*) AS DOUBLE), 8)
+               AS share_over_budget,
+           round(SUM(n_toks) / CAST(SUM(n_turns) AS DOUBLE), 8)
+               AS avg_tokens_per_turn
+    FROM a GROUP BY 1
+    """
+
+
+@register("q_sft_turn_audit", oracle=_sft_turn_audit_oracle())
+def q_sft_turn_audit(spark, sf_dir):
+    """Post-training (SFT/chat) conversation-format QA — the schema
+    audit a pipeline runs over chat-structured data before template
+    expansion and fine-tuning, a data category nothing else in the
+    engine touches: per source, role-alternation violations (two
+    adjacent same-role turns break every chat template), empty/
+    truncated turns, conversations ending on a user turn (no target
+    for the loss), context-budget overflow, and the turn-count /
+    tokens-per-turn shape.
+
+    The corpus is plain text, so conversations are MATERIALIZED
+    deterministically (every 12 whitespace tokens = one turn, roles
+    alternating user/assistant) and defects are injected into
+    md5-selected subsets (1-in-7 convs get a same-role adjacent pair,
+    1-in-9 an empty final turn — the q_pii_prevalence pattern); the
+    audit then PARSES the materialized role/content arrays (exists /
+    element_at over the built arrays, never the injection arithmetic),
+    so the detectors are real and transfer verbatim to genuinely
+    chat-formatted inputs.
+
+    At 100 TB: everything per-row — split + two higher-order
+    transforms + exists, all JVM-side expressions (no UDF, no
+    explode: turn arrays never leave the row) — then ONE source-keyed
+    map-side-combined aggregate; output is |sources| rows."""
+    docs = _t(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long")
+    )
+    toks = T.tokens("text")
+    n_toks = F.size(toks).cast("long")
+    n_turns = F.floor(
+        (n_toks + F.lit(SFT_TURN_TOKENS - 1)) / F.lit(SFT_TURN_TOKENS)
+    ).cast("long")
+
+    base = docs.select(
+        "source",
+        h.alias("h"),
+        toks.alias("toks"),
+        n_toks.alias("n_toks"),
+        n_turns.alias("n_turns"),
+    )
+    idx = F.sequence(F.lit(0), (F.col("n_turns") - 1).cast("int"))
+    conv = base.select(
+        "source",
+        "n_toks",
+        "n_turns",
+        F.transform(
+            idx,
+            lambda i: F.when(
+                (F.col("h") % 7 == 2) & (i == 1), F.lit("user")
+            )
+            .when(i % 2 == 0, F.lit("user"))
+            .otherwise(F.lit("assistant")),
+        ).alias("roles"),
+        F.transform(
+            idx,
+            lambda i: F.when(
+                (F.col("h") % 9 == 4) & (i == F.col("n_turns") - 1),
+                F.lit(""),
+            ).otherwise(
+                F.array_join(
+                    F.slice(
+                        F.col("toks"),
+                        i * SFT_TURN_TOKENS + F.lit(1),
+                        F.lit(SFT_TURN_TOKENS),
+                    ),
+                    " ",
+                )
+            ),
+        ).alias("contents"),
+    )
+    audited = conv.select(
+        "source",
+        "n_toks",
+        "n_turns",
+        F.when(
+            (F.col("n_turns") >= 2)
+            & F.exists(
+                F.sequence(F.lit(2), F.col("n_turns").cast("int")),
+                lambda i: F.element_at(F.col("roles"), i)
+                == F.element_at(F.col("roles"), i - 1),
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("role_viol"),
+        F.when(
+            F.exists(F.col("contents"), lambda x: x == F.lit("")), 1
+        )
+        .otherwise(0)
+        .alias("empty_turn"),
+        F.when(
+            F.element_at(F.col("roles"), F.col("n_turns").cast("int"))
+            == F.lit("user"),
+            1,
+        )
+        .otherwise(0)
+        .alias("ends_user"),
+        F.when(F.col("n_toks") > SFT_CTX_TOKENS, 1)
+        .otherwise(0)
+        .alias("over_budget"),
+    )
+    cnt = F.count(F.lit(1)).cast("double")
+    return audited.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+        F.round(F.sum("n_turns") / cnt, 8).alias("avg_turns"),
+        F.round(F.sum("role_viol") / cnt, 8).alias("share_role_violation"),
+        F.round(F.sum("empty_turn") / cnt, 8).alias("share_empty_turn"),
+        F.round(F.sum("ends_user") / cnt, 8).alias("share_ends_user"),
+        F.round(F.sum("over_budget") / cnt, 8).alias("share_over_budget"),
+        F.round(
+            F.sum("n_toks") / F.sum("n_turns").cast("double"), 8
+        ).alias("avg_tokens_per_turn"),
+    )

@@ -359,3 +359,56 @@ def test_split_leakage_conservation(spark):
     }
     assert cross["doc_hash"] > 0
     assert cross["rep_hash"] < cross["doc_hash"]
+
+
+def test_encoding_audit_detectors_and_injection(spark):
+    """The injected damage classes are each detected (non-zero U+FFFD,
+    mojibake, and control-char doc counts overall), no class swallows
+    the corpus (strictly interior shares), counts are internally
+    consistent (each class count <= n_docs, damaged_share consistent
+    with the union bound), and the non-ASCII density is positive (the
+    injected sequences are themselves non-ASCII) but small on this
+    ASCII-dominated synthetic corpus."""
+    rows = _run(spark, "q_encoding_audit").collect()
+    n = sum(r["n_docs"] for r in rows)
+    fffd = sum(r["docs_fffd"] for r in rows)
+    moji = sum(r["docs_mojibake"] for r in rows)
+    ctrl = sum(r["docs_ctrl"] for r in rows)
+    assert 0 < fffd < n  # 1-in-6 md5 subset
+    assert 0 < moji < n  # 1-in-8
+    assert 0 < ctrl < n  # 1-in-9
+    for r in rows:
+        assert r["docs_fffd"] <= r["n_docs"]
+        assert r["docs_mojibake"] <= r["n_docs"]
+        assert r["docs_ctrl"] <= r["n_docs"]
+        assert 0.0 <= r["damaged_share"] <= 1.0
+        # union bound: damaged docs can't exceed the sum of the classes
+        assert (
+            r["damaged_share"] * r["n_docs"]
+            <= r["docs_fffd"] + r["docs_mojibake"] + r["docs_ctrl"] + 1e-6
+        )
+        assert 0.0 < r["nonascii_per_1k"] < 100.0
+
+
+def test_sft_turn_audit_parses_materialized_structure(spark):
+    """The audit must behave like a parser of real chat data: both
+    injected defect classes are detected with strictly interior
+    overall shares (1-in-7 role violations among multi-turn convs,
+    1-in-9 empty final turns), every share is a valid probability,
+    tokens-per-turn never exceeds the 12-token turn size, and
+    ends-on-user mass exists in both directions (turn-count parity
+    varies across the corpus)."""
+    rows = _run(spark, "q_sft_turn_audit").collect()
+    n = sum(r["n_convs"] for r in rows)
+    viol = sum(round(r["share_role_violation"] * r["n_convs"]) for r in rows)
+    empty = sum(round(r["share_empty_turn"] * r["n_convs"]) for r in rows)
+    ends = sum(round(r["share_ends_user"] * r["n_convs"]) for r in rows)
+    assert 0 < viol < n
+    assert 0 < empty < n
+    assert 0 < ends < n
+    for r in rows:
+        for c in ("share_role_violation", "share_empty_turn",
+                  "share_ends_user", "share_over_budget"):
+            assert 0.0 <= r[c] <= 1.0
+        assert r["avg_turns"] >= 1.0
+        assert 0.0 < r["avg_tokens_per_turn"] <= 12.0

@@ -54,6 +54,10 @@ REPRESENTATIVES = [
     "q_split_leakage",          # split masses and the one-hop rep map
     #                             vs a different dup graph; both rules
     #                             must conserve total pair count
+    "q_encoding_audit",         # md5 damage-injection shares must stay
+    #                             strictly interior at any corpus size
+    "q_sft_turn_audit",         # turn materialization + exists audit
+    #                             vs different doc-length distribution
 ]
 
 

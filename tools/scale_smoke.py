@@ -177,6 +177,14 @@ QUERIES = [
     # plus a doubled-edge groupBy for the one-hop rep map and two
     # pair-keyed joins (risk: the rep groupBy over 2x pair volume).
     "q_split_leakage",
+    # round-6 registration: encoding audit — pure per-row string
+    # predicates + one source-keyed aggregate (risk: the two regexes
+    # over full text; must stay proportional to corpus bytes).
+    "q_encoding_audit",
+    # round-6 registration: SFT turn audit — in-row turn-array
+    # materialization via higher-order transforms (risk: per-row array
+    # construction over full token arrays; must stay per-row linear).
+    "q_sft_turn_audit",
 ]
 # Near-linear tolerance: shuffles and within-bucket verify grow a bit
 # superlinearly even in healthy plans; 3x headroom over proportional
