@@ -145,6 +145,7 @@ INCOMING = [
     "q_split_leakage",
     "q_encoding_audit",
     "q_sft_turn_audit",
+    "q_vocab_growth",
     # round-6 optimization targets pulled under the bench's own signal
     # (the CC one-action-per-round + min-neighbor seed and the
     # every-2nd-round checkpoint cadence): driver-recorded history for

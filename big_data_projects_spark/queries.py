@@ -288,6 +288,7 @@ _ROUND8_QUEUE: list[str] = [
     "q_dedup_threshold_sweep", "q_pii_prevalence",
     "q_quality_lr_train", "q_filter_ablation", "q_dedup_survivor_bias",
     "q_split_leakage", "q_encoding_audit", "q_sft_turn_audit",
+    "q_vocab_growth",
 ]
 
 

@@ -4136,3 +4136,143 @@ def q_sft_turn_audit(spark, sf_dir):
             F.sum("n_toks") / F.sum("n_turns").cast("double"), 8
         ).alias("avg_tokens_per_turn"),
     )
+
+
+def _vocab_growth_oracle() -> str:
+    return r"""
+    WITH tok AS (
+        SELECT source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                   AS term
+        FROM documents
+    ),
+    srcs AS (SELECT DISTINCT source FROM documents),
+    ranks AS (
+        SELECT a.source, CAST(COUNT(*) AS BIGINT) AS src_rank
+        FROM srcs a JOIN srcs b ON b.source <= a.source
+        GROUP BY 1
+    ),
+    tokcnt AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM tok GROUP BY 1
+    ),
+    st AS (SELECT DISTINCT source, term FROM tok),
+    first AS (
+        SELECT term, MIN(src_rank) AS first_rank
+        FROM st JOIN ranks USING (source) GROUP BY 1
+    ),
+    nt AS (
+        SELECT first_rank, CAST(COUNT(*) AS BIGINT) AS new_types
+        FROM first GROUP BY 1
+    ),
+    base AS (
+        SELECT r.source, r.src_rank, t.n_tokens,
+               coalesce(nt.new_types, 0) AS new_types
+        FROM ranks r
+        JOIN tokcnt t USING (source)
+        LEFT JOIN nt ON nt.first_rank = r.src_rank
+    )
+    SELECT a.source,
+           a.src_rank,
+           a.n_tokens,
+           a.new_types,
+           CAST(SUM(b.new_types) AS BIGINT) AS cum_types,
+           CAST(SUM(b.n_tokens) AS BIGINT) AS cum_tokens,
+           round(a.new_types / (a.n_tokens / 1000.0), 8)
+               AS novelty_per_1k_tokens
+    FROM base a JOIN base b ON b.src_rank <= a.src_rank
+    GROUP BY a.source, a.src_rank, a.n_tokens, a.new_types
+    """
+
+
+@register("q_vocab_growth", oracle=_vocab_growth_oracle())
+def q_vocab_growth(spark, sf_dir):
+    """Vocabulary-growth / marginal-data-value curve (the Heaps-law
+    view): with sources taken in a deterministic acquisition order
+    (lexicographic by name), how many NEW whitespace-token types each
+    source contributes beyond everything acquired before it, plus
+    cumulative type/token masses and per-source novelty density — the
+    decision view for "is more of this data worth crawling/buying, or
+    is it saturated?" that none of the corpus diagnostics (Zipf shape,
+    entropy rate, bigram novelty) state: those measure one corpus,
+    this measures the MARGINAL contribution of each increment.
+
+    At 100 TB: one distinct over (source, term) — a map-side-combined
+    hash shuffle over token occurrences, the q_vocab_build volume —
+    then every remaining relation is TYPE-table sized (one term-keyed
+    min aggregate) or control-plane sized (|sources| rows: rank
+    assignment and the cumulative sums are inequality self-joins over
+    the tiny broadcast source dim — no global-sort window anywhere,
+    and the oracle mirrors the same join-based cumsum so both engines
+    state identical arithmetic)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(T.tokens("text")).alias("term")
+    )
+    srcs = docs.select("source").distinct()
+    ranks = (
+        srcs.alias("a")
+        .join(
+            F.broadcast(srcs.alias("b")),
+            F.col("b.source") <= F.col("a.source"),
+        )
+        .groupBy(F.col("a.source").alias("source"))
+        .agg(F.count(F.lit(1)).cast("long").alias("src_rank"))
+    )
+    tokcnt = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    st = tok.select("source", "term").distinct()
+    first = (
+        st.join(F.broadcast(ranks), "source")
+        .groupBy("term")
+        .agg(F.min("src_rank").alias("first_rank"))
+    )
+    nt = first.groupBy("first_rank").agg(
+        F.count(F.lit(1)).cast("long").alias("new_types")
+    )
+    base = (
+        ranks.join(tokcnt, "source")
+        .join(
+            F.broadcast(nt),
+            ranks["src_rank"] == nt["first_rank"],
+            "left",
+        )
+        .select(
+            "source",
+            "src_rank",
+            "n_tokens",
+            F.coalesce(F.col("new_types"), F.lit(0).cast("long")).alias(
+                "new_types"
+            ),
+        )
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(
+            F.broadcast(b), F.col("b.src_rank") <= F.col("a.src_rank")
+        )
+        .groupBy(
+            F.col("a.source").alias("source"),
+            F.col("a.src_rank").alias("src_rank"),
+            F.col("a.n_tokens").alias("n_tokens"),
+            F.col("a.new_types").alias("new_types"),
+        )
+        .agg(
+            F.sum(F.col("b.new_types")).cast("long").alias("cum_types"),
+            F.sum(F.col("b.n_tokens")).cast("long").alias("cum_tokens"),
+        )
+        .select(
+            "source",
+            "src_rank",
+            "n_tokens",
+            "new_types",
+            "cum_types",
+            "cum_tokens",
+            F.round(
+                F.col("new_types")
+                / (F.col("n_tokens") / F.lit(1000.0)),
+                8,
+            ).alias("novelty_per_1k_tokens"),
+        )
+    )

@@ -412,3 +412,35 @@ def test_sft_turn_audit_parses_materialized_structure(spark):
             assert 0.0 <= r[c] <= 1.0
         assert r["avg_turns"] >= 1.0
         assert 0.0 < r["avg_tokens_per_turn"] <= 12.0
+
+
+def test_vocab_growth_conservation_and_monotonicity(spark):
+    """The growth curve must be a real partition of the type space:
+    src_ranks are exactly 1..n with cum masses non-decreasing along
+    them, per-source new_types sum to the final cumulative type count,
+    the final cumulative type count equals the corpus's true distinct
+    type count, the final cumulative token count equals the corpus's
+    true token count, and the FIRST source's new_types equals its own
+    distinct type count (nothing acquired before it)."""
+    from big_data_projects_spark.data import load_table
+    from big_data_projects_spark.operators import text as T
+
+    rows = sorted(_run(spark, "q_vocab_growth").collect(),
+                  key=lambda r: r["src_rank"])
+    n = len(rows)
+    assert [r["src_rank"] for r in rows] == list(range(1, n + 1))
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["cum_types"] >= prev["cum_types"]
+        assert cur["cum_tokens"] > prev["cum_tokens"]
+    assert sum(r["new_types"] for r in rows) == rows[-1]["cum_types"]
+
+    docs = load_table(spark, SF, "documents")
+    tok = docs.select("source", F.explode(T.tokens("text")).alias("t"))
+    assert rows[-1]["cum_types"] == tok.select("t").distinct().count()
+    assert rows[-1]["cum_tokens"] == tok.count()
+    first_src = rows[0]["source"]
+    first_types = (
+        tok.filter(F.col("source") == first_src)
+        .select("t").distinct().count()
+    )
+    assert rows[0]["new_types"] == first_types

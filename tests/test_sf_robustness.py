@@ -58,6 +58,8 @@ REPRESENTATIVES = [
     #                             strictly interior at any corpus size
     "q_sft_turn_audit",         # turn materialization + exists audit
     #                             vs different doc-length distribution
+    "q_vocab_growth",           # rank/cumsum self-joins and first-source
+    #                             attribution vs a different source mix
 ]
 
 

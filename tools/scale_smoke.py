@@ -185,6 +185,10 @@ QUERIES = [
     # materialization via higher-order transforms (risk: per-row array
     # construction over full token arrays; must stay per-row linear).
     "q_sft_turn_audit",
+    # round-6 registration: vocabulary-growth curve — one (source,
+    # term) distinct over token volume plus a term-keyed min aggregate
+    # (risk: the distinct's shuffle over corpus token occurrences).
+    "q_vocab_growth",
 ]
 # Near-linear tolerance: shuffles and within-bucket verify grow a bit
 # superlinearly even in healthy plans; 3x headroom over proportional
