@@ -4231,6 +4231,10 @@ def q_vocab_growth(spark, sf_dir):
     nt = first.groupBy("first_rank").agg(
         F.count(F.lit(1)).cast("long").alias("new_types")
     )
+    # |sources| rows, but its lineage holds the corpus-scale token
+    # machinery — persist so the cumsum self-join below reads the
+    # control-plane relation twice instead of re-running the corpus
+    # distinct twice (registry clearCache handles the lifecycle).
     base = (
         ranks.join(tokcnt, "source")
         .join(
@@ -4246,6 +4250,7 @@ def q_vocab_growth(spark, sf_dir):
                 "new_types"
             ),
         )
+        .persist()
     )
     a, b = base.alias("a"), base.alias("b")
     return (

@@ -244,6 +244,18 @@ SHOWCASE = [
         "broadcasts each count table when it fits; the holdout filter "
         "is pushed into the scan.",
     ),
+    (
+        "q_vocab_growth",
+        "Cumulative analytics without a global-sort window (round 6): "
+        "the (source, term) distinct map-side-combines token "
+        "occurrences down to the type table, the first-source "
+        "attribution is one term-keyed min aggregate, and BOTH "
+        "cumulative sums run as broadcast inequality self-joins over "
+        "the PERSISTED |sources|-row relation (InMemoryRelation on "
+        "both sides — the corpus machinery in its lineage runs once, "
+        "not once per reference) — a running total that never funnels "
+        "data-scale rows through one partition.",
+    ),
 ]
 
 
