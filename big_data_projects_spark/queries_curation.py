@@ -2757,6 +2757,8 @@ def q_ivf_probe_recall(spark, sf_dir):
         .select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("__qv")
         )
+        .persist()  # pranks AND scored read it: one md5 order-by scan,
+        # not two (ADVICE r6)
     )
     centroids = (
         emb.select("label", F.posexplode("embedding").alias("pos", "v"))
@@ -4063,7 +4065,14 @@ def q_sft_turn_audit(spark, sf_dir):
         n_toks.alias("n_toks"),
         n_turns.alias("n_turns"),
     )
-    idx = F.sequence(F.lit(0), (F.col("n_turns") - 1).cast("int"))
+    # n_turns == 0 (empty/NULL text) must yield EMPTY turn arrays: a bare
+    # sequence(0, -1) descends to [0, -1] and the downstream
+    # element_at(roles, 0) would throw, where the DuckDB oracle's
+    # out-of-range list index returns NULL (ADVICE r6).
+    idx = F.when(
+        F.col("n_turns") >= 1,
+        F.sequence(F.lit(0), (F.col("n_turns") - 1).cast("int")),
+    ).otherwise(F.array().cast("array<int>"))
     conv = base.select(
         "source",
         "n_toks",
@@ -4114,8 +4123,11 @@ def q_sft_turn_audit(spark, sf_dir):
         .otherwise(0)
         .alias("empty_turn"),
         F.when(
-            F.element_at(F.col("roles"), F.col("n_turns").cast("int"))
-            == F.lit("user"),
+            (F.col("n_turns") >= 1)
+            & (
+                F.element_at(F.col("roles"), F.col("n_turns").cast("int"))
+                == F.lit("user")
+            ),
             1,
         )
         .otherwise(0)

@@ -414,6 +414,31 @@ def test_sft_turn_audit_parses_materialized_structure(spark):
         assert 0.0 < r["avg_tokens_per_turn"] <= 12.0
 
 
+def test_sft_turn_audit_tolerates_empty_and_null_text(spark, tmp_path):
+    """ADVICE r6: an empty/NULL-text document yields n_turns=0; the
+    audit must return a row (ends_user / role_viol / empty_turn all 0
+    contributions) rather than throw from element_at(roles, 0) or a
+    descending sequence(0, -1).  The DuckDB oracle's out-of-range list
+    index is NULL-tolerant; the Spark side must match that behavior."""
+    import pandas as pd
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [None, "", "alpha beta gamma"],
+        "lang": ["en", "en", "en"],
+        "source": ["s1", "s1", "s1"],
+        "n_chars": [0, 0, 16],
+    })
+    docs.to_parquet(str(tmp_path / "documents.parquet"))
+    rows = REGISTRY["q_sft_turn_audit"].raw(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_convs"] == 3
+    # only the real doc can end on a user turn or violate alternation
+    assert 0.0 <= r["share_ends_user"] <= 1.0
+    assert 0.0 <= r["share_role_violation"] <= 1.0
+
+
 def test_vocab_growth_conservation_and_monotonicity(spark):
     """The growth curve must be a real partition of the type space:
     src_ranks are exactly 1..n with cum masses non-decreasing along

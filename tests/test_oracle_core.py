@@ -6,19 +6,11 @@ from __future__ import annotations
 import pytest
 
 from big_data_projects_spark.queries import REGISTRY
-from tests.oracle_utils import compare_query
+from tests.oracle_utils import compare_query, suite_queries
 
-CORE_ORACLE_QUERIES = sorted(
-    n for n, q in REGISTRY.items()
-    if q.oracle is not None and not n.startswith((
-        "q_dedup_", "q_knn", "q_text", "q_lang", "q_token", "q_doc_",
-        "q_simhash", "q_multimodal", "q_stream", "q_ngram",
-        # covered by tests/test_oracle_tpch_expr.py
-        "q_tpch_", "q_json_", "q_explode_", "q_grouping_", "q_date_arith",
-        "q_string_funcs", "q_range_join", "q_ntile_", "q_array_ops",
-        "q_max_by",
-    ))
-)
+# Residual suite: every oracle-backed query not owned by a family module
+# (tests/oracle_utils.py ownership map — disjoint by construction).
+CORE_ORACLE_QUERIES = suite_queries("core")
 
 
 @pytest.mark.parametrize("name", CORE_ORACLE_QUERIES)

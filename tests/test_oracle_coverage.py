@@ -42,6 +42,22 @@ def test_every_oracle_backed_query_has_a_test():
     )
 
 
+def test_every_oracle_backed_query_runs_in_exactly_one_suite():
+    """ADVICE r6: overlapping prefix lists had 59 queries running the
+    full differential compare 2-3x per suite run.  Ownership now lives
+    in tests/oracle_utils.py; this pins the partition."""
+    from collections import Counter
+
+    counts: Counter[str] = Counter()
+    for modname in _ORACLE_TEST_MODULES:
+        mod = importlib.import_module(modname)
+        for attr in dir(mod):
+            if attr == "NAMES" or attr.endswith("_QUERIES"):
+                counts.update(getattr(mod, attr))
+    dups = sorted(n for n, c in counts.items() if c > 1)
+    assert not dups, f"queries selected by more than one oracle suite: {dups}"
+
+
 def test_rows_only_set_is_intentional():
     """Rows-only (no oracle) queries are a declared, closed list: adding a
     query without an oracle twin must be a conscious decision recorded

@@ -8,14 +8,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from big_data_projects_spark.queries import REGISTRY
-from tests.oracle_utils import compare_query
+from tests.oracle_utils import compare_query, suite_queries
 
-NAMES = sorted(
-    n for n, q in REGISTRY.items()
-    if q.oracle is not None
-    and n in ("q_stats_moments", "q_salted_join", "q_bucketed_join",
-              "q_scan_json_schema", "q_scan_json_corrupt", "q_compaction")
-)
+NAMES = suite_queries("scale")
 
 
 def test_all_registered():

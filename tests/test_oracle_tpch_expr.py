@@ -6,17 +6,9 @@ from __future__ import annotations
 import pytest
 
 from big_data_projects_spark.queries import REGISTRY
-from tests.oracle_utils import compare_query
+from tests.oracle_utils import compare_query, suite_queries
 
-NAMES = sorted(
-    n for n, q in REGISTRY.items()
-    if q.oracle is not None
-    and n.startswith(
-        ("q_tpch_", "q_json_", "q_explode_", "q_grouping_", "q_date_arith",
-         "q_string_funcs", "q_range_join", "q_ntile_", "q_array_ops",
-         "q_max_by", "q_map_ops")
-    )
-)
+NAMES = suite_queries("tpch_expr")
 
 
 def test_all_registered():
