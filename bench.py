@@ -103,12 +103,9 @@ GRADUATED_R4 = [
     "q_cluster_purity",
 ]
 
-HEADLINE = HEADLINE_41 + GRADUATED_R4
-
-# New batches measure under a separate "incoming" key until they have
-# two rounds of history; they graduate into HEADLINE after that.
-INCOMING = [
-    # round-5 additions (graduate to HEADLINE at round 7)
+# Round-5 additions: graduated into HEADLINE at round 7 after two
+# rounds of "incoming" history (r5 + r6), per the bench design.
+GRADUATED_R5 = [
     "q_dsir_weights",
     "q_char_entropy",
     "q_trigram_backoff",
@@ -131,6 +128,13 @@ INCOMING = [
     "q_graph_modularity",
     "q_ngram_entropy_rate",
     "q_stream_gopher_gate",
+]
+
+HEADLINE = HEADLINE_41 + GRADUATED_R4 + GRADUATED_R5
+
+# New batches measure under a separate "incoming" key until they have
+# two rounds of history; they graduate into HEADLINE after that.
+INCOMING = [
     # round-6 additions (graduate to HEADLINE at round 8)
     "q_pass_at_k",
     "q_cross_source_leakage",
@@ -164,13 +168,21 @@ def main() -> None:
 
     spark = get_spark(app_name="bdp-bench", cpus=cpus, shuffle_partitions=cpus)
 
-    # Warm the JVM/IO path outside measurement: one scan per table
-    # (parquet footers, codegen, the events nanos conversion) so query
-    # timings reflect steady state rather than first-query startup.
+    # Warm the JVM/IO path outside measurement.  A bare parquet count()
+    # is answered from footer metadata without touching data pages, so
+    # the old per-table count() left the OS page cache COLD and the
+    # driver's bench paid the first real read inside a timed query
+    # (BENCH_r06 headline_41 ran ~15% over the same tree's warm idle
+    # line — VERDICT r6 item #4).  count(col) per column forces every
+    # column chunk through the scan, warming page cache + codegen + the
+    # events nanos conversion for real.
+    from pyspark.sql import functions as F
+
     from big_data_projects_spark.data import TABLES, load_table
 
     for t in TABLES:
-        load_table(spark, sf_dir, t).count()
+        df = load_table(spark, sf_dir, t)
+        df.agg(*[F.count(F.col(c)) for c in df.columns]).collect()
 
     def run_once(name: str) -> float:
         q = REGISTRY[name]
@@ -196,14 +208,17 @@ def main() -> None:
     def run_set(names: list[str]) -> dict[str, float]:
         timings: dict[str, float] = {}
         for name in names:
-            t = run_once(name)
-            if t > 1.0:  # non-trivial query: median-of-3 to pin GC/JIT
-                # variance AND per-plan first-run codegen inflation (the
-                # round-3 q_flagship_star_rollup "regression" was a
-                # 1.95 s first run just under the old 2.0 threshold over
-                # a 0.85 s steady state — see BASELINE.md round-4 idle
-                # re-measure)
-                t = sorted([t, run_once(name), run_once(name)])[1]
+            # Median-of-3 for EVERY query (round 7; was >1 s only): each
+            # plan's FIRST run carries ~0.2-1.1 s of whole-stage-codegen
+            # JIT that is not steady-state, and the sub-1 s queries were
+            # single-run — in the driver's cold environment that
+            # first-run inflation was most of the ~15% headline_41 gap
+            # vs the same tree's warm idle line (VERDICT r6 item #4;
+            # the round-3 q_flagship_star_rollup "regression" was the
+            # same effect just under the old threshold).  Re-running a
+            # sub-1 s query twice more costs little; the median discards
+            # the cold outlier.
+            t = sorted([run_once(name), run_once(name), run_once(name)])[1]
             timings[name] = round(t, 3)
         return timings
 
@@ -231,12 +246,24 @@ def build_output(
     headline_41 = round(
         sum(timings[n] for n in HEADLINE_41 if n in timings), 3
     )
+    # Era subtotals: headline_41 = the original r1-r3 set, headline_56 =
+    # that plus the r4 graduates — each round's record stays comparable
+    # to every earlier round even as later batches graduate.
+    headline_56 = round(
+        sum(
+            timings[n]
+            for n in HEADLINE_41 + GRADUATED_R4
+            if n in timings
+        ),
+        3,
+    )
     full = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "headline_41": headline_41,
+        "headline_56": headline_56,
         "incoming": incoming,
         "incoming_total": round(sum(incoming.values()), 3),
         "sf": sf_val,
@@ -249,6 +276,7 @@ def build_output(
         "value": full["value"],
         "unit": "sec",
         "headline_41": headline_41,
+        "headline_56": headline_56,
         "incoming_total": full["incoming_total"],
         "n_headline": len(timings),
         "n_incoming": len(incoming),

@@ -291,6 +291,40 @@ _ROUND8_QUEUE: list[str] = [
     "q_vocab_growth",
 ]
 
+# Registrations AFTER the round-8 window froze go here; the round-9
+# window builds from this list plus refreshes, same contract.
+_ROUND9_QUEUE: list[str] = []
+
+
+# Round-8 window, pre-staged (gated on the driver-committed
+# CORRECTNESS_r07.json): the 9-entry round-8 queue (the late-round-6
+# registrations — after it lands, every registered query has a driver
+# row no older than... this is also the round where the LAST
+# never-checked query gets its first row), then the 41 OLDEST remaining
+# driver rows — exactly the 34 r01 rows and 7 r02 rows not refreshed by
+# the r6/r7 windows (computed from the committed CORRECTNESS_r0*.json
+# history), so after round 8 no query's latest hard signal predates
+# round 3.  q_mono_id rides along: its rows-only check is weak by
+# declared contract but it is the single oldest row in the ledger.
+_ROUND8_WINDOW = _ROUND8_QUEUE + [
+    # r01 refreshes (latest row: round 1)
+    "q_filter_neq", "q_fillna", "q_cast", "q_concat", "q_mono_id",
+    "q_sink_parquet_partitioned", "q_sink_csv_roundtrip",
+    "q_sink_orc_roundtrip", "q_sink_json_roundtrip",
+    "q_sql_entry_report", "q_ctas_insert", "q_join_left_outer", "q_join_semi", "q_join_anti",
+    "q_set_ops", "q_set_ops_all", "q_rollup", "q_cube", "q_pivot",
+    "q_window_analytics", "q_window_firstlast", "q_having_topn",
+    "q_scalar_subquery", "q_case_when_bucketing", "q_distinct_agg",
+    "q_median", "q_rolling_time_window", "q_quantiles", "q_gapfill_hourly",
+    "q_union_by_name", "q_nullsafe_join", "q_scd2_intervals",
+    "q_histogram", "q_string_agg",
+    # r02 refreshes (latest row: round 2)
+    "q_tpch_q4", "q_tpch_q6",
+    "q_stream_sliding_counts", "q_stream_session_windows",
+    "q_stream_user_stats", "q_stream_stream_join",
+    "q_stream_foreach_sink",
+]
+
 
 # Round-7 window, pre-staged (gated on the driver-committed
 # CORRECTNESS_r06.json): the 15-entry round-7 queue (10 late-round-5
@@ -342,7 +376,17 @@ def _swept(round_no: int) -> bool:
 
 
 def _rotate_registry() -> None:
-    if _swept(6):  # round 7: pre-staged window to the front
+    if _swept(7):  # round 8: pre-staged window to the front
+        front, already = (
+            _ROUND8_WINDOW,
+            _ALREADY_DRIVER_CHECKED
+            + _ROUND3_WINDOW
+            + _ROUND4_WINDOW
+            + _ROUND5_WINDOW
+            + _ROUND6_WINDOW
+            + _ROUND7_WINDOW,
+        )
+    elif _swept(6):  # round 7: pre-staged window to the front
         front, already = (
             _ROUND7_WINDOW,
             _ALREADY_DRIVER_CHECKED

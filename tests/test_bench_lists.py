@@ -28,6 +28,15 @@ def test_headline_41_is_a_prefix_of_headline():
     assert bench.HEADLINE[: len(bench.HEADLINE_41)] == bench.HEADLINE_41
 
 
+def test_headline_56_is_a_prefix_of_headline():
+    """Same contract for the round-6 era: headline_41 + the r4
+    graduates stay in place as the r5 batch (and later) graduate."""
+    era56 = bench.HEADLINE_41 + bench.GRADUATED_R4
+    assert len(era56) == 56
+    assert bench.HEADLINE[: len(era56)] == era56
+    assert len(bench.HEADLINE) == 78  # + the 22 r5 graduates
+
+
 def test_bench_summary_line_is_self_contained():
     """The driver parses the LAST stdout line; the compact summary must
     carry every total, round-trip through JSON, and agree with the full
@@ -40,6 +49,7 @@ def test_bench_summary_line_is_self_contained():
     summary = json.loads(json.dumps(summary))
     assert summary["value"] == full["value"] == len(bench.HEADLINE) * 1.0
     assert summary["headline_41"] == 41.0
+    assert summary["headline_56"] == 56.0
     assert summary["incoming_total"] == len(bench.INCOMING) * 2.0
     assert summary["n_headline"] == len(bench.HEADLINE)
     assert summary["sf"] == 0.1

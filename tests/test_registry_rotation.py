@@ -19,6 +19,8 @@ from big_data_projects_spark.queries import (
     _ROUND7_QUEUE,
     _ROUND7_WINDOW,
     _ROUND8_QUEUE,
+    _ROUND8_WINDOW,
+    _ROUND9_QUEUE,
     _swept,
 )
 
@@ -38,7 +40,7 @@ def _driver_checked() -> set[str]:
 def test_windows_are_well_formed():
     for window in (
         _ROUND3_WINDOW, _ROUND4_WINDOW, _ROUND5_WINDOW, _ROUND6_WINDOW,
-        _ROUND7_WINDOW,
+        _ROUND7_WINDOW, _ROUND8_WINDOW,
     ):
         assert len(window) == 50
         assert len(set(window)) == 50, "duplicate entry in a window"
@@ -48,7 +50,9 @@ def test_windows_are_well_formed():
 
 def test_active_window_is_at_the_front():
     names = list(REGISTRY)
-    if _swept(6):
+    if _swept(7):
+        expected = _ROUND8_WINDOW
+    elif _swept(6):
         expected = _ROUND7_WINDOW
     elif _swept(5):
         expected = _ROUND6_WINDOW
@@ -61,6 +65,25 @@ def test_active_window_is_at_the_front():
     assert names[:50] == expected, (
         "the driver would sweep the wrong 50 queries this round"
     )
+
+
+def test_round8_window_activates_when_r07_lands(monkeypatch):
+    """Simulate the driver committing CORRECTNESS_r07.json: the rotation
+    must put the pre-staged round-8 window at the registry front.  The
+    registry is re-rotated back to the real state afterward."""
+    import big_data_projects_spark.queries as Q
+
+    real = dict(REGISTRY)
+    try:
+        monkeypatch.setattr(Q, "_swept", lambda r: r <= 7)
+        Q._rotate_registry()
+        assert list(REGISTRY)[:50] == _ROUND8_WINDOW
+    finally:
+        monkeypatch.undo()
+        REGISTRY.clear()
+        REGISTRY.update(real)
+        Q._rotate_registry()
+    assert list(REGISTRY)[:50] == list(real)[:50]
 
 
 def test_every_query_lands_under_a_driver_window():
@@ -77,6 +100,8 @@ def test_every_query_lands_under_a_driver_window():
         | set(_ROUND7_QUEUE)
         | set(_ROUND7_WINDOW)
         | set(_ROUND8_QUEUE)
+        | set(_ROUND8_WINDOW)
+        | set(_ROUND9_QUEUE)
     )
     uncovered = [n for n in REGISTRY if n not in covered]
     assert not uncovered, (
