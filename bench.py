@@ -150,6 +150,8 @@ INCOMING = [
     "q_encoding_audit",
     "q_sft_turn_audit",
     "q_vocab_growth",
+    # round-7 addition (graduate to HEADLINE at round 9)
+    "q_code_switch_audit",
     # round-6 optimization targets pulled under the bench's own signal
     # (the CC one-action-per-round + min-neighbor seed and the
     # every-2nd-round checkpoint cadence): driver-recorded history for

@@ -47,9 +47,14 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lang_scores(text_col: str = "text") -> dict[str, Column]:
-    """Per-language marker-hit counts (bigint) over lowercased text."""
-    low = F.lower(F.col(text_col))
+def lang_scores(text_col: Column | str = "text") -> dict[str, Column]:
+    """Per-language marker-hit counts (bigint) over lowercased text.
+
+    Accepts a column name or an arbitrary Column expression — the
+    latter lets the same marker arithmetic run per-window inside a
+    higher-order ``transform`` lambda (q_code_switch_audit)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    low = F.lower(c)
     scores = {
         lang: F.regexp_count(low, F.lit(pat)).cast("long")
         for lang, pat in LANG_MARKERS.items()
@@ -58,7 +63,7 @@ def lang_scores(text_col: str = "text") -> dict[str, Column]:
     return scores
 
 
-def predict_lang(text_col: str = "text") -> Column:
+def predict_lang(text_col: Column | str = "text") -> Column:
     """Argmax language with deterministic preference-order tie-break;
     'unknown' when no marker hits at all."""
     s = lang_scores(text_col)

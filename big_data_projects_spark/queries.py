@@ -293,7 +293,9 @@ _ROUND8_QUEUE: list[str] = [
 
 # Registrations AFTER the round-8 window froze go here; the round-9
 # window builds from this list plus refreshes, same contract.
-_ROUND9_QUEUE: list[str] = []
+# Seeded with the round-7 registration (intra-document code-switching
+# audit — per-window lang-id over higher-order transforms).
+_ROUND9_QUEUE: list[str] = ["q_code_switch_audit"]
 
 
 # Round-8 window, pre-staged (gated on the driver-committed

@@ -4293,3 +4293,190 @@ def q_vocab_growth(spark, sf_dir):
             ).alias("novelty_per_1k_tokens"),
         )
     )
+
+
+CS_WINDOW_TOKENS = 16
+# Pure-German marker block (20 tokens, zero en/fr/es/zh marker hits)
+# appended to md5-selected docs — the q_pii_prevalence injection
+# pattern: prevalence becomes a measured quantity over materialized
+# text, and the detector parses that text, never the injection rule.
+CS_DE_SUFFIX = " ".join(["und der die das ist"] * 4)
+
+
+def _code_switch_oracle() -> str:
+    w = CS_WINDOW_TOKENS
+    return rf"""
+    WITH base AS (
+        SELECT doc_id, source,
+               CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) % 6 = 2
+                    THEN text || ' {CS_DE_SUFFIX}'
+                    ELSE text END AS txt
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(lower(txt)), '\s+') AS tk
+        FROM base
+    ),
+    wl AS (
+        SELECT doc_id, source,
+               CAST(ceil(len(tk) / {w}.0) AS BIGINT) AS n_win, tk
+        FROM t
+    ),
+    win AS (
+        SELECT doc_id, i,
+               array_to_string(list_slice(tk, (i - 1) * {w} + 1, i * {w}), ' ')
+                 AS wtxt
+        FROM wl, UNNEST(generate_series(1, n_win)) AS u(i)
+    ),
+    sc AS (
+        SELECT doc_id, i,
+            len(regexp_extract_all(wtxt, '\b(the|a|is|and|of)\b')) AS en,
+            len(regexp_extract_all(wtxt, '\b(der|die|das|und|ist)\b')) AS de,
+            len(regexp_extract_all(wtxt, '\b(le|la|les|et|est)\b')) AS fr,
+            len(regexp_extract_all(wtxt, '\b(el|los|las|y|es)\b')) AS es,
+            len(regexp_extract_all(wtxt, '[\x{{4e00}}-\x{{9fff}}]')) AS zh
+        FROM win
+    ),
+    pl AS (
+        SELECT doc_id, i,
+            CASE WHEN en=0 AND de=0 AND fr=0 AND es=0 AND zh=0 THEN 'unknown'
+                 WHEN en>=de AND en>=fr AND en>=es AND en>=zh THEN 'en'
+                 WHEN de>=fr AND de>=es AND de>=zh THEN 'de'
+                 WHEN fr>=es AND fr>=zh THEN 'fr'
+                 WHEN es>=zh THEN 'es'
+                 ELSE 'zh' END AS wlang
+        FROM sc
+    ),
+    adj AS (
+        SELECT doc_id, wlang,
+               lag(wlang) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM pl
+    ),
+    per_doc AS (
+        SELECT p.doc_id,
+               COUNT(DISTINCT p.wlang)
+                 FILTER (p.wlang != 'unknown') AS n_known_langs,
+               (SELECT COUNT(*) FROM adj a
+                WHERE a.doc_id = p.doc_id AND a.prev IS NOT NULL
+                  AND a.wlang != a.prev
+                  AND a.wlang != 'unknown' AND a.prev != 'unknown')
+                 AS n_switches
+        FROM pl p GROUP BY 1
+    ),
+    docs AS (
+        SELECT wl.source, wl.n_win,
+               COALESCE(pd.n_known_langs, 0) AS n_known_langs,
+               COALESCE(pd.n_switches, 0) AS n_switches
+        FROM wl LEFT JOIN per_doc pd USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_known_langs >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_multilang,
+           round(SUM(CASE WHEN n_known_langs >= 2 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 8) AS share_multilang,
+           CAST(SUM(CASE WHEN n_switches >= 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_switched,
+           round(SUM(n_switches) / CAST(COUNT(*) AS DOUBLE), 8)
+             AS avg_switches,
+           round(SUM(COALESCE(n_win, 0)) / CAST(COUNT(*) AS DOUBLE), 8)
+             AS avg_windows
+    FROM docs
+    GROUP BY source
+    """
+
+
+@register("q_code_switch_audit", oracle=_code_switch_oracle())
+def q_code_switch_audit(spark, sf_dir):
+    """Intra-document code-switching (language-mix) audit — the
+    multilingual-curation gate doc-level lang-id cannot provide: a
+    document that flips language mid-text gets ONE label from
+    q_lang_id, but mixed-language documents poison monolingual
+    training sets and per-language corpus accounting (CCNet-style
+    pipelines split and filter at paragraph granularity for exactly
+    this reason).  Per source: documents whose fixed-size token
+    windows resolve to >= 2 distinct known languages, adjacent
+    known-language switch counts, and window mass.
+
+    The corpus's synthetic text is monolingual-ish, so mixing is
+    MATERIALIZED deterministically (md5-selected 1-in-6 docs get a
+    20-token pure-German marker block appended — the
+    q_pii_prevalence / q_sft_turn_audit injection pattern); the
+    detector then parses the materialized text only: per-window
+    marker-argmax lang-id (the hash-matched q_lang_id expression,
+    applied per window), array-level distinct/adjacent analysis.
+
+    At 100 TB: everything per-row — tokenization, window slicing, and
+    per-window lang-id run inside higher-order transforms (token and
+    window arrays never leave the row, no explode), then ONE
+    source-keyed map-side-combined aggregate; output is |sources|
+    rows.  Window scoring costs ~5 regex passes over corpus bytes —
+    proportional to scan cost by construction."""
+    docs = _t(spark, sf_dir, "documents")
+    w = CS_WINDOW_TOKENS
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long")
+    )
+    txt = F.when(
+        h % 6 == 2, F.concat(F.col("text"), F.lit(" " + CS_DE_SUFFIX))
+    ).otherwise(F.col("text"))
+    toks = T.tokens(txt)
+    n_win = F.ceil(F.size(toks) / F.lit(float(w))).cast("long")
+    # n_win == 0/NULL must yield EMPTY window arrays (the
+    # q_sft_turn_audit guard: a bare sequence would descend).
+    idx = F.when(
+        n_win >= 1, F.sequence(F.lit(1), n_win.cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    base = docs.select(
+        "source",
+        n_win.alias("n_win"),
+        F.transform(
+            idx,
+            lambda i: T.predict_lang(
+                F.array_join(
+                    F.slice(toks, (i - 1) * w + F.lit(1), F.lit(w)), " "
+                )
+            ),
+        ).alias("langs"),
+    )
+    known = F.filter(F.col("langs"), lambda x: x != F.lit("unknown"))
+    n_langs = F.size(F.array_distinct(known))
+    switches = F.when(
+        F.size(F.col("langs")) >= 2,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(2), F.size(F.col("langs"))),
+                lambda i: (
+                    (F.element_at(F.col("langs"), i)
+                     != F.element_at(F.col("langs"), i - 1))
+                    & (F.element_at(F.col("langs"), i) != F.lit("unknown"))
+                    & (F.element_at(F.col("langs"), i - 1)
+                       != F.lit("unknown"))
+                ),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    per_doc = base.select(
+        "source",
+        F.coalesce(F.col("n_win"), F.lit(0)).alias("n_win"),
+        n_langs.alias("n_known_langs"),
+        switches.cast("long").alias("n_switches"),
+    )
+    cnt = F.count(F.lit(1)).cast("double")
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("n_known_langs") >= 2).cast("long"))
+        .cast("long")
+        .alias("docs_multilang"),
+        F.round(
+            F.sum((F.col("n_known_langs") >= 2).cast("long")) / cnt, 8
+        ).alias("share_multilang"),
+        F.sum((F.col("n_switches") >= 1).cast("long"))
+        .cast("long")
+        .alias("docs_switched"),
+        F.round(F.sum("n_switches") / cnt, 8).alias("avg_switches"),
+        F.round(F.sum("n_win") / cnt, 8).alias("avg_windows"),
+    )

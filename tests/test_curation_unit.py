@@ -439,6 +439,54 @@ def test_sft_turn_audit_tolerates_empty_and_null_text(spark, tmp_path):
     assert 0.0 <= r["share_role_violation"] <= 1.0
 
 
+def test_code_switch_audit_detects_injection_with_interior_shares(spark):
+    """Both detectors must fire on the materialized mixing and stay
+    strictly interior overall; a switched doc necessarily has >= 2
+    known window languages, so docs_switched <= docs_multilang per
+    source; every share is a valid probability and window mass is
+    positive."""
+    rows = _run(spark, "q_code_switch_audit").collect()
+    n = sum(r["n_docs"] for r in rows)
+    multi = sum(r["docs_multilang"] for r in rows)
+    switched = sum(r["docs_switched"] for r in rows)
+    assert 0 < multi < n
+    assert 0 < switched < n
+    for r in rows:
+        assert r["docs_switched"] <= r["docs_multilang"]
+        assert 0.0 <= r["share_multilang"] <= 1.0
+        assert r["avg_switches"] >= 0.0
+        assert r["avg_windows"] >= 1.0
+
+
+def test_code_switch_audit_tolerates_empty_and_null_text(spark, tmp_path):
+    """Empty/NULL text gives zero windows: the guarded index sequence
+    must not descend, and the doc still counts in n_docs (the oracle's
+    LEFT JOIN mirrors this)."""
+    import pandas as pd
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        # doc 3: first 16 tokens carry only en markers (window 1 ->
+        # 'en'), the next 16 only de markers (window 2 -> 'de').
+        "text": [None, "", "the cat is a dog and the sun is of a day "
+                          "and the fog is "
+                          "der die das und ist der die das und ist "
+                          "der die das und ist"],
+        "lang": ["en", "en", "en"],
+        "source": ["s1", "s1", "s1"],
+        "n_chars": [0, 0, 100],
+    })
+    docs.to_parquet(str(tmp_path / "documents.parquet"))
+    rows = REGISTRY["q_code_switch_audit"].raw(
+        spark, str(tmp_path)
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_docs"] == 3
+    # doc 3 (25+ tokens: en window then de windows) must be detected
+    assert r["docs_multilang"] >= 1
+
+
 def test_vocab_growth_conservation_and_monotonicity(spark):
     """The growth curve must be a real partition of the type space:
     src_ranks are exactly 1..n with cum masses non-decreasing along

@@ -519,7 +519,7 @@ def test_round6_continuation_ops_invariant_under_partition_count(spark):
             for name in ("q_quality_lr_train", "q_filter_ablation",
                          "q_dedup_survivor_bias", "q_split_leakage",
                          "q_encoding_audit", "q_sft_turn_audit",
-                         "q_vocab_growth"):
+                         "q_vocab_growth", "q_code_switch_audit"):
                 rows_ = REGISTRY[name].raw(spark, sf).collect()
                 key = sorted(tuple(str(v) for v in r) for r in rows_)
                 out.setdefault(name, []).append(key)

@@ -60,6 +60,8 @@ REPRESENTATIVES = [
     #                             vs different doc-length distribution
     "q_vocab_growth",           # rank/cumsum self-joins and first-source
     #                             attribution vs a different source mix
+    "q_code_switch_audit",      # per-window lang-id transforms + md5
+    #                             injection shares vs a different corpus
 ]
 
 

@@ -189,6 +189,12 @@ QUERIES = [
     # term) distinct over token volume plus a term-keyed min aggregate
     # (risk: the distinct's shuffle over corpus token occurrences).
     "q_vocab_growth",
+    # round-7 registration: code-switching audit — per-window lang-id
+    # inside higher-order transforms, ~5 regex passes over corpus
+    # bytes, then one source-keyed aggregate (risk: the per-window
+    # regex work must stay proportional to corpus bytes; window arrays
+    # never leave the row).
+    "q_code_switch_audit",
 ]
 # Near-linear tolerance: shuffles and within-bucket verify grow a bit
 # superlinearly even in healthy plans; 3x headroom over proportional
