@@ -256,6 +256,18 @@ SHOWCASE = [
         "not once per reference) — a running total that never funnels "
         "data-scale rows through one partition.",
     ),
+    (
+        "q_code_switch_audit",
+        "Array-native per-window analytics (round 7): tokenization, "
+        "16-token window slicing, and per-window marker lang-id all "
+        "run inside higher-order transform/filter lambdas — token and "
+        "window arrays never leave the row, no explode, no UDF — "
+        "followed by ONE source-keyed partial_ (map-side combined) "
+        "aggregate. The whole plan is a single scan-shaped "
+        "WholeStageCodegen span plus one exchange on |sources| keys; "
+        "per-window regex work rides the scan, proportional to corpus "
+        "bytes.",
+    ),
 ]
 
 
