@@ -3557,6 +3557,9 @@ def q_ann_recall(spark, sf_dir):
         emb.select(F.col("vec_id").alias("__pid"))
         .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(20)
+        .persist()  # every scoring path re-joins it: one md5 order-by
+        # corpus scan, not one per path (the q_ivf_probe_recall
+        # ADVICE-r6 pattern)
     )
 
     def ranked_top(scored, sim_col):
@@ -4004,6 +4007,9 @@ def q_matryoshka_recall(spark, sf_dir):
         emb.select(F.col("vec_id").alias("__pid"))
         .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(20)
+        .persist()  # every scoring path re-joins it: one md5 order-by
+        # corpus scan, not one per path (the q_ivf_probe_recall
+        # ADVICE-r6 pattern)
     )
 
     def ranked_top(scored, sim_col):
