@@ -34,7 +34,7 @@ LLM_PREFIXES = (
     "q_zipf", "q_lsh_", "q_minhash_", "q_length_kl",
     "q_tokenizer_", "q_quality_calibration",
     "q_quality_lr_train", "q_filter_ablation",
-    "q_split_", "q_lang_confusion", "q_graph_",
+    "q_split_", "q_graph_",
     # round-6 eval/provenance/label-QA family
     "q_pass_at_k", "q_cross_source_", "q_annotator_", "q_ivf_",
 )

@@ -625,6 +625,42 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert [n for _, n in rows] == [1, 1], rows
 
 
+def test_pagerank_sim_graph_5_rounds_preserves_converged_ordering(spark):
+    """q_pagerank_sim_graph runs 5 power-iteration rounds on the claim
+    (A/B'd in BASELINE.md round 7) that the rank ORDERING — the
+    query's entire purpose, representative picking — already equals
+    the 10-round ordering on near-dup similarity graphs.  That claim
+    is corpus-dependent: this pins it against the actual test corpus,
+    so a testdata change that grows the graph's diameter past what 5
+    rounds stabilize fails HERE instead of silently degrading the
+    picks (the 5-level oracle would keep hash-matching either way)."""
+    from pyspark.sql import functions as F
+
+    from big_data_projects_spark.data import load_table
+    from big_data_projects_spark.operators import dedup as D
+    from big_data_projects_spark.operators.graph import pagerank_units
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    edges = (
+        D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.1)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    order = {}
+    for it in (5, 10):
+        rows = (
+            pagerank_units(edges, "doc_a", "doc_b", iterations=it)
+            .orderBy(F.desc("rank_units"), "node")
+            .collect()
+        )
+        order[it] = [r["node"] for r in rows]
+    edges.unpersist()
+    assert order[5] == order[10], (
+        "5-round pagerank ordering diverged from converged ordering on "
+        "this corpus — revisit q_pagerank_sim_graph's iteration count"
+    )
+
+
 def test_pagerank_star_graph(spark):
     """Star graph: the hub must outrank every leaf; undirected ranks
     sum to 1; structurally symmetric leaves get bit-identical ranks

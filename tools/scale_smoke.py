@@ -339,7 +339,14 @@ def main() -> None:
         per_row_ratio = (tm / max(nm, 1)) / (t1 / max(n1, 1))
         if wall_ratio <= replicas * SLACK:
             verdict = "ok"
-        elif per_row_ratio <= SLACK:
+        elif n1 >= 10 and nm > n1 * replicas and per_row_ratio <= SLACK:
+            # The escape hatch needs a REAL base output (n1 >= 10 — a
+            # zero/near-zero base fabricates the per-row cost via the
+            # max() guards) and output that genuinely outgrows the
+            # data (row_ratio > M).  Anything else superlinear stays
+            # SUPERLINEAR for human adjudication — including join
+            # fan-out bugs that inflate rows while per-row cost stays
+            # flat at small base outputs.
             verdict = "ok_output_driven"
         else:
             verdict = "SUPERLINEAR"
