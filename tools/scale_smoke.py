@@ -201,6 +201,21 @@ QUERIES = [
 # still fails hard on anything quadratic (which would show ~M x).
 SLACK = 3.0
 
+# Queries whose OUTPUT legitimately grows superlinearly with corpus
+# replication, eligible for the `ok_output_driven` verdict (r8; ADVICE
+# r7 #1).  Membership is a HUMAN adjudication, not a ratio inference:
+# a join fan-out bug also produces quadratic rows at flat per-row
+# cost, so the ratios alone can't distinguish it from legitimate
+# pair-emission — an unlisted query stays SUPERLINEAR for review even
+# if its per-row cost falls.  q_embed_lsh_neardup: emits all
+# within-threshold near-dup pairs; replicating the corpus M times
+# multiplies every duplicate cluster's pair count ~M^2 (measured
+# 110x rows at M=10, 990x at M=30, per-pair cost FALLING 16-33x —
+# BASELINE.md round-7 smoke sections).
+OUTPUT_SUPERLINEAR_ALLOWLIST = {
+    "q_embed_lsh_neardup",
+}
+
 
 def build_corpus(spark, replicas: int, out_dir: Path) -> None:
     from pyspark.sql import functions as F
@@ -339,14 +354,21 @@ def main() -> None:
         per_row_ratio = (tm / max(nm, 1)) / (t1 / max(n1, 1))
         if wall_ratio <= replicas * SLACK:
             verdict = "ok"
-        elif n1 >= 10 and nm > n1 * replicas and per_row_ratio <= SLACK:
+        elif (
+            name in OUTPUT_SUPERLINEAR_ALLOWLIST
+            and n1 >= 10
+            and nm > n1 * replicas
+            and per_row_ratio <= SLACK
+        ):
             # The escape hatch needs a REAL base output (n1 >= 10 — a
             # zero/near-zero base fabricates the per-row cost via the
-            # max() guards) and output that genuinely outgrows the
-            # data (row_ratio > M).  Anything else superlinear stays
-            # SUPERLINEAR for human adjudication — including join
-            # fan-out bugs that inflate rows while per-row cost stays
-            # flat at small base outputs.
+            # max() guards), output that genuinely outgrows the data
+            # (row_ratio > M), AND allowlist membership (r8): the
+            # ratios alone can't tell legitimate pair-emission from a
+            # join fan-out bug (both show quadratic rows at flat
+            # per-row cost), so legitimacy is declared per query, not
+            # inferred.  Anything else superlinear stays SUPERLINEAR
+            # for human adjudication.
             verdict = "ok_output_driven"
         else:
             verdict = "SUPERLINEAR"
