@@ -169,6 +169,9 @@ HEADLINE = HEADLINE_41 + GRADUATED_R4 + GRADUATED_R5 + GRADUATED_R6
 INCOMING = [
     # round-7 addition (graduates to HEADLINE at round 9)
     "q_code_switch_audit",
+    # round-8 additions (graduate to HEADLINE at round 10)
+    "q_dedup_merge_ingest",
+    "q_tokenizer_roundtrip",
 ]
 
 

@@ -335,6 +335,113 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_merge_ingest(
+    df: DataFrame,
+    batch_flag,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.1,
+    hasher: str = "md5",
+) -> DataFrame:
+    """MERGE an incoming batch into an existing corpus by fuzzy
+    near-dup identity — the incremental-ingest decision every
+    continuously-fed training corpus makes per delivery: which new
+    docs are (a) near-dups of something already ingested, (b) near-
+    dups of another doc in the same batch, (c) genuinely new.
+
+    ``batch_flag`` maps the id Column to a boolean Column (True =
+    incoming-batch row); it must be derivable from the id alone so
+    the split applies to the banded relation without an extra join.
+
+    Returns one row per BATCH doc: (id, verdict, canonical_id) with
+    verdict in {'dup_of_corpus', 'dup_in_batch', 'new'} and
+    canonical_id = the smallest verified-matching corpus id (corpus
+    matches take precedence), else the smallest verified-matching
+    earlier batch id, else NULL.  Matching = banded-LSH candidate
+    (shared (band, bucket)) + exact-Jaccard >= ``threshold``, the
+    same verify contract as minhash_lsh_pairs.
+
+    Scale shape: ONE corpus scan builds shingles; signatures are one
+    groupBy; candidates come from (band, bucket) equi-joins where one
+    side is always the batch (batch-bounded candidate mass, never a
+    corpus self-join); the verify touches candidate pairs only; the
+    output is batch-sized.  At 100 TB the corpus-side signatures and
+    band buckets would be a precomputed index relation — this
+    operator recomputes them from the unified table so the whole
+    decision is reproducible from one input, and the band join shape
+    is identical either way.
+    """
+    sh = shingles(df, id_col, text_col, n, hasher=hasher).persist()
+    sig = minhash_signatures(df, id_col, text_col, n, shingle_df=sh)
+    bands = band_buckets(sig, id_col=id_col, hasher=hasher)
+
+    is_batch = batch_flag(F.col(id_col))
+    batch_bands = bands.filter(is_batch).select(
+        F.col(id_col).alias("doc_b"), "band", "bucket"
+    )
+    corpus_bands = bands.filter(~is_batch).select(
+        F.col(id_col).alias("doc_o"), "band", "bucket"
+    )
+    within_bands = bands.filter(is_batch).select(
+        F.col(id_col).alias("doc_o"), "band", "bucket"
+    )
+    cand_corpus = (
+        batch_bands.join(corpus_bands, ["band", "bucket"])
+        .select("doc_b", "doc_o")
+        .distinct()
+        .withColumn("vs_corpus", F.lit(True))
+    )
+    cand_batch = (
+        batch_bands.join(within_bands, ["band", "bucket"])
+        .filter(F.col("doc_o") < F.col("doc_b"))
+        .select("doc_b", "doc_o")
+        .distinct()
+        .withColumn("vs_corpus", F.lit(False))
+    )
+    cand = cand_corpus.unionByName(cand_batch)
+
+    # Exact-Jaccard verify over per-doc shingle arrays — the same
+    # candidate-bounded shape as minhash_lsh_pairs (pair count ≪
+    # shingle count at any scale).
+    doc_arrays = sh.groupBy(id_col).agg(
+        F.collect_list("shingle").alias("arr")
+    )
+    arr_b = doc_arrays.select(
+        F.col(id_col).alias("doc_b"), F.col("arr").alias("arr_b")
+    )
+    arr_o = doc_arrays.select(
+        F.col(id_col).alias("doc_o"), F.col("arr").alias("arr_o")
+    )
+    n_common = F.size(F.array_intersect("arr_b", "arr_o"))
+    n_b, n_o = F.size("arr_b"), F.size("arr_o")
+    verified = (
+        cand.join(arr_b, "doc_b")
+        .join(arr_o, "doc_o")
+        .filter(n_common / (n_b + n_o - n_common) >= threshold)
+        .select("doc_b", "doc_o", "vs_corpus")
+    )
+    best = verified.groupBy("doc_b").agg(
+        F.min(F.when(F.col("vs_corpus"), F.col("doc_o"))).alias(
+            "__corpus_min"
+        ),
+        F.min(F.when(~F.col("vs_corpus"), F.col("doc_o"))).alias(
+            "__batch_min"
+        ),
+    )
+    batch_ids = df.filter(batch_flag(F.col(id_col))).select(
+        F.col(id_col).alias("doc_b")
+    )
+    return batch_ids.join(best, "doc_b", "left").select(
+        F.col("doc_b").alias(id_col),
+        F.when(F.col("__corpus_min").isNotNull(), F.lit("dup_of_corpus"))
+        .when(F.col("__batch_min").isNotNull(), F.lit("dup_in_batch"))
+        .otherwise(F.lit("new"))
+        .alias("verdict"),
+        F.coalesce("__corpus_min", "__batch_min").alias("canonical_id"),
+    )
+
+
 # 60 bits = 15 md5 hex chars: the widest md5 prefix that fits a SIGNED
 # int64 on both engines (16 chars could exceed 2^63 and overflow the
 # BIGINT cast) — same portability trick as the shingle ids above.

@@ -294,8 +294,15 @@ _ROUND8_QUEUE: list[str] = [
 # Registrations AFTER the round-8 window froze go here; the round-9
 # window builds from this list plus refreshes, same contract.
 # Seeded with the round-7 registration (intra-document code-switching
-# audit — per-window lang-id over higher-order transforms).
-_ROUND9_QUEUE: list[str] = ["q_code_switch_audit"]
+# audit — per-window lang-id over higher-order transforms), then the
+# round-8 registrations: the incremental-ingest near-dup MERGE and the
+# tokenizer encode→decode round-trip audit (VERDICT r7 item #6's two
+# named candidates).
+_ROUND9_QUEUE: list[str] = [
+    "q_code_switch_audit",
+    "q_dedup_merge_ingest",
+    "q_tokenizer_roundtrip",
+]
 
 
 # Round-8 window, pre-staged (gated on the driver-committed

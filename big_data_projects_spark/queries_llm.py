@@ -468,6 +468,137 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_pairs(docs, threshold=0.1, hasher="md5")
 
 
+def _merge_ingest_oracle() -> str:
+    # Same md5-portable signature/band CTEs as _minhash_lsh_oracle,
+    # then the MERGE split: batch docs (md5(doc_id) first hex char in
+    # d/e/f, ~19% of the corpus) are matched against corpus buckets
+    # and earlier-batch buckets, verified by exact Jaccard, and
+    # assigned a verdict + canonical id.  MATERIALIZED on the relations
+    # consumed more than once (DuckDB re-inlines CTEs otherwise — the
+    # round-5 unrolled-iteration lesson).
+    from big_data_projects_spark.operators.dedup import (
+        LSH_BANDS, LSH_ROWS, _MERSENNE31, _PERMS,
+    )
+
+    M = _MERSENNE31
+    mins = ",\n               ".join(
+        f"MIN((b * {a} + {bb}) % {M}) AS h{i}"
+        for i, (a, bb) in enumerate(_PERMS)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, CAST(('0x' || substr(md5("
+        + " || ':' || ".join(
+            f"CAST(h{i} AS VARCHAR)"
+            for i in range(b * LSH_ROWS, (b + 1) * LSH_ROWS)
+        )
+        + "), 1, 15)) AS BIGINT) AS bucket FROM sigs"
+        for b in range(LSH_BANDS)
+    )
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))
+                    AS BIGINT) AS shingle
+        FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
+        WHERE len(t) >= 3
+    ),
+    based AS (SELECT doc_id, shingle % {M} AS b FROM sh),
+    sigs AS MATERIALIZED (
+        SELECT doc_id,
+               {mins}
+        FROM based GROUP BY doc_id
+    ),
+    bands AS MATERIALIZED (
+        {band_selects}
+    ),
+    bb AS MATERIALIZED (
+        SELECT * FROM bands
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('d','e','f')
+    ),
+    cb AS (
+        SELECT * FROM bands
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) NOT IN ('d','e','f')
+    ),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT b.doc_id AS doc_b, o.doc_id AS doc_o,
+               TRUE AS vs_corpus
+        FROM bb b JOIN cb o ON b.band = o.band AND b.bucket = o.bucket
+        UNION ALL
+        SELECT DISTINCT b.doc_id, o.doc_id, FALSE
+        FROM bb b JOIN bb o ON b.band = o.band AND b.bucket = o.bucket
+                           AND o.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    common AS (
+        SELECT c.doc_b, c.doc_o, c.vs_corpus, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh s1 ON s1.doc_id = c.doc_b
+        JOIN sh s2 ON s2.doc_id = c.doc_o AND s2.shingle = s1.shingle
+        GROUP BY 1, 2, 3
+    ),
+    ver AS (
+        SELECT m.doc_b, m.doc_o, m.vs_corpus
+        FROM common m
+        JOIN sizes sa ON sa.doc_id = m.doc_b
+        JOIN sizes sb ON sb.doc_id = m.doc_o
+        WHERE m.n_common / (sa.n_sh + sb.n_sh - m.n_common) >= 0.1
+    ),
+    best AS (
+        SELECT doc_b,
+               MIN(CASE WHEN vs_corpus THEN doc_o END) AS corpus_min,
+               MIN(CASE WHEN NOT vs_corpus THEN doc_o END) AS batch_min
+        FROM ver GROUP BY doc_b
+    )
+    SELECT d.doc_id,
+           CASE WHEN corpus_min IS NOT NULL THEN 'dup_of_corpus'
+                WHEN batch_min IS NOT NULL THEN 'dup_in_batch'
+                ELSE 'new' END AS verdict,
+           COALESCE(corpus_min, batch_min) AS canonical_id
+    FROM (
+        SELECT doc_id FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('d','e','f')
+    ) d
+    LEFT JOIN best ON best.doc_b = d.doc_id
+    """
+
+
+def _merge_batch_flag(c):
+    """True = incoming-batch row: md5(doc_id) first hex char in d/e/f
+    (~19% of any corpus, deterministic, id-derivable — the same
+    md5-split convention as the eval panels)."""
+    return F.substring(F.md5(c.cast("string")), 1, 1).isin("d", "e", "f")
+
+
+@register("q_dedup_merge_ingest", oracle=_merge_ingest_oracle())
+def q_dedup_merge_ingest(spark, sf_dir):
+    """Incremental-ingest near-dup MERGE: a deterministic ~19% of the
+    corpus (md5(doc_id) prefix in d/e/f) plays the incoming batch; each
+    batch doc is verdicted 'dup_of_corpus' (verified LSH match to an
+    existing doc — canonical = smallest such id), 'dup_in_batch'
+    (verified match to a smaller-id batch doc), or 'new'.  This is the
+    per-delivery decision a continuously-fed training corpus makes —
+    the batch analogue of q_stream_fuzzy_dedup's corpus-index gate,
+    with full verify + canonical assignment (the MERGE half
+    q_incremental_dedup's exact-hash path can't express for fuzzy
+    matches).
+
+    Scale shape (operators/dedup.py minhash_merge_ingest): one corpus
+    scan → shingles → one signature groupBy → banded buckets; every
+    candidate join is (band, bucket) equi with the BATCH on one side
+    (candidate mass bounded by batch size, never a corpus self-join);
+    verify touches candidates only; output is batch-sized.  Registered
+    in md5-portable mode so signatures, banding, candidates, verify,
+    and verdict precedence all hash-match the SQL oracle end-to-end."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_merge_ingest(
+        docs, _merge_batch_flag, threshold=0.1, hasher="md5"
+    )
+
+
 def _simhash_pairs_oracle() -> str:
     # The pigeonhole blocking is COMPLETE for hamming <= 3 (4 segments,
     # so >= 1 must match exactly), which means the Spark result equals
@@ -3863,11 +3994,12 @@ def q_dataset_report(spark, sf_dir):
     )
 
 
-def _bpe_encode_oracle(n_steps: int = 8) -> str:
-    """Unrolled train-then-encode oracle: the same n-step merge CTE
-    chain as _bpe_train_oracle but carrying the term key, then the
-    final word states give per-term symbol counts joined back onto
-    every document's token stream."""
+def _bpe_term_cte_prefix(n_steps: int = 8) -> str:
+    """Shared unrolled BPE CTE chain CARRYING THE TERM KEY (the
+    _bpe_train_oracle chain drops it): ``WITH base, w0, p0, b0, w1,
+    ..., w{n_steps}`` — w{n_steps} holds each word type's final
+    space-delimited symbol string.  Tail-composed by
+    _bpe_encode_oracle and _bpe_roundtrip_oracle."""
     ctes = [r"""
     base AS (
         SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt,
@@ -3895,8 +4027,16 @@ def _bpe_encode_oracle(n_steps: int = 8) -> str:
                        ' ' || b{i}.a || b{i}.b || ' ') AS word
         FROM w{i} CROSS JOIN b{i}
     )""")
+    return "WITH" + ",".join(ctes)
+
+
+def _bpe_encode_oracle(n_steps: int = 8) -> str:
+    """Unrolled train-then-encode oracle: the same n-step merge CTE
+    chain as _bpe_train_oracle but carrying the term key, then the
+    final word states give per-term symbol counts joined back onto
+    every document's token stream."""
     return (
-        "WITH" + ",".join(ctes) + f""",
+        _bpe_term_cte_prefix(n_steps) + f""",
     enc AS (
         SELECT term,
                len(regexp_split_to_array(trim(word), ' ')) AS n_sym
@@ -3946,6 +4086,89 @@ def q_bpe_encode(spark, sf_dir):
     return toks.join(enc, "term").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_words"),
         F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def _bpe_roundtrip_oracle(n_steps: int = 8) -> str:
+    """Unrolled train→encode→DECODE oracle: the shared term-keyed merge
+    chain, then decode = concatenating each word type's final symbols
+    (stripping the delimiter spaces) compared against the original
+    term, aggregated per source."""
+    return (
+        _bpe_term_cte_prefix(n_steps) + rf""",
+    enc AS (
+        SELECT term,
+               len(regexp_split_to_array(trim(word), ' ')) AS n_sym,
+               replace(trim(word), ' ', '') AS decoded
+        FROM w{n_steps}
+    ),
+    toks AS (
+        SELECT source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 AS term
+        FROM documents
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_word_tokens,
+           CAST(SUM(CASE WHEN e.decoded = t.term THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_roundtrip_ok,
+           CAST(SUM(CASE WHEN e.n_sym < length(t.term) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_merged_tokens,
+           round(SUM(e.n_sym) / CAST(COUNT(*) AS DOUBLE), 8)
+             AS avg_syms_per_token
+    FROM toks t JOIN enc e USING (term)
+    GROUP BY t.source"""
+    )
+
+
+@register("q_tokenizer_roundtrip", oracle=_bpe_roundtrip_oracle())
+def q_tokenizer_roundtrip(spark, sf_dir):
+    """Tokenizer ROUND-TRIP audit — the encode→decode identity check a
+    training pipeline runs before trusting a tokenizer with its corpus
+    (a lossy tokenizer silently corrupts every downstream token count
+    and the training text itself).  After the 8 trained BPE merges,
+    each word type's symbol sequence is DECODED by concatenation and
+    compared to the original term; the audit reports, per source:
+    token-weighted round-trip exactness (must equal n_word_tokens —
+    a miss means merge application corrupted a symbol), merge
+    coverage (tokens whose type absorbed ≥1 merge), and mean symbols
+    per token (the compression the 8 merges actually bought on this
+    corpus).
+
+    Scale shape: training cost is the q_bpe_train corpus-collapse
+    (one token groupBy to the vocab-sized TYPE table; 8 bounded merge
+    rounds); decode + the identity compare run on the TYPE table
+    (vocab-sized, not corpus-sized); serving is ONE term-keyed
+    equi-join of the token stream against the type table (AQE
+    broadcasts it when it fits) and a source-keyed aggregate.  The
+    whole train→encode→decode trajectory hash-matches the unrolled
+    oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    merges, final_words, handles = _bpe_fit(docs)
+    for df in handles:
+        if df is not final_words:
+            df.unpersist()
+    enc = final_words.select(
+        "term",
+        F.size(F.split(F.trim(F.col("word")), " ")).alias("n_sym"),
+        F.replace(F.trim(F.col("word")), F.lit(" "), F.lit("")).alias(
+            "decoded"
+        ),
+    )
+    toks = docs.select(
+        "source", F.explode(T.tokens("text")).alias("term")
+    )
+    return toks.join(enc, "term").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_word_tokens"),
+        F.sum((F.col("decoded") == F.col("term")).cast("long")).alias(
+            "n_roundtrip_ok"
+        ),
+        F.sum((F.col("n_sym") < F.length("term")).cast("long")).alias(
+            "n_merged_tokens"
+        ),
+        F.round(
+            F.sum("n_sym").cast("double") / F.count(F.lit(1)), 8
+        ).alias("avg_syms_per_token"),
     )
 
 

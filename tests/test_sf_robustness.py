@@ -62,6 +62,14 @@ REPRESENTATIVES = [
     #                             attribution vs a different source mix
     "q_code_switch_audit",      # per-window lang-id transforms + md5
     #                             injection shares vs a different corpus
+    # round-8 additions
+    "q_dedup_merge_ingest",     # md5 d/e/f batch split + LSH verify +
+    #                             verdict precedence vs a different
+    #                             dup graph (batch share must not bake
+    #                             in a corpus size)
+    "q_tokenizer_roundtrip",    # trained-merge decode identity vs a
+    #                             different vocab (merge trajectory
+    #                             changes with the corpus)
 ]
 
 

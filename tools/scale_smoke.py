@@ -195,6 +195,20 @@ QUERIES = [
     # regex work must stay proportional to corpus bytes; window arrays
     # never leave the row).
     "q_code_switch_audit",
+    # round-8 registration: incremental-ingest near-dup MERGE — shares
+    # the shingle/signature/band machinery; candidates are batch-sided
+    # (band,bucket) equi-joins (risk: replication multiplies same-
+    # bucket occupancy, so batch×corpus candidate volume grows ~M² in
+    # a replicated corpus — output stays batch-sized, so a superlinear
+    # wall here means candidate mass, not output, and would NOT be
+    # excused by the output allowlist).
+    "q_dedup_merge_ingest",
+    # round-8 registration: tokenizer round-trip audit — q_bpe_train's
+    # corpus-collapse + 8 bounded rounds, then decode on the TYPE
+    # table and ONE term-keyed serving join (risk: the serving join's
+    # shuffle over corpus token occurrences; type table stays
+    # vocab-sized).
+    "q_tokenizer_roundtrip",
 ]
 # Near-linear tolerance: shuffles and within-bucket verify grow a bit
 # superlinearly even in healthy plans; 3x headroom over proportional
