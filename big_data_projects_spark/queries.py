@@ -335,6 +335,36 @@ _ROUND8_WINDOW = _ROUND8_QUEUE + [
 ]
 
 
+# Round-9 window, pre-staged (gated on the driver-committed
+# CORRECTNESS_r08.json): the 3-entry round-9 queue (the round-7
+# code-switch audit + the two round-8 registrations — after it lands,
+# every registered query has a driver row again), then 47 of the 50
+# round-3 rows — after round 8 they are the ONLY rows older than round
+# 4 (six rounds stale when this window runs).  The 3 r03 rows deferred
+# to round 10 (q_bloom_filter_join, q_interval_overlap, q_line_dedup)
+# are the ones with the strongest standing alternate signal: all three
+# sit in bench HEADLINE_41 (timed every round) on top of the local
+# differential sweep.
+_ROUND9_WINDOW = _ROUND9_QUEUE + [
+    "q_bigram_pmi", "q_bm25", "q_bpe_token_count", "q_bucketed_join",
+    "q_compaction", "q_contamination", "q_custom_sink",
+    "q_custom_source", "q_data_quality", "q_doc_chunking",
+    "q_domain_mix", "q_embed_decontaminate", "q_entropy", "q_funnel",
+    "q_hard_negatives", "q_hash_split", "q_merge_upsert",
+    "q_multimodal_bytes", "q_pii_redact", "q_pipeline_corpus_clean",
+    "q_quality_classifier", "q_quality_percentile",
+    "q_random_projection", "q_recursive_reachability", "q_repetition",
+    "q_retention_cohorts", "q_salted_agg", "q_salted_join",
+    "q_sample_per_group", "q_scan_binaryfile", "q_scan_json_corrupt",
+    "q_scan_json_schema", "q_scan_text_lines", "q_sequence_packing",
+    "q_shuffle_hash_hint", "q_stratified_sample", "q_stream_anti_dedup",
+    "q_stream_custom_source", "q_tfidf_top_terms", "q_triangle_count",
+    "q_udtf_spans", "q_unigram_ppl", "q_vocab_build",
+    "q_weighted_sample", "q_winnow_fingerprint", "q_zorder_layout",
+    "q_zscore_per_group",
+]
+
+
 # Round-7 window, pre-staged (gated on the driver-committed
 # CORRECTNESS_r06.json): the 15-entry round-7 queue (10 late-round-5
 # diagnostics + 5 round-6 registrations — after it lands, every
@@ -385,7 +415,18 @@ def _swept(round_no: int) -> bool:
 
 
 def _rotate_registry() -> None:
-    if _swept(7):  # round 8: pre-staged window to the front
+    if _swept(8):  # round 9: pre-staged window to the front
+        front, already = (
+            _ROUND9_WINDOW,
+            _ALREADY_DRIVER_CHECKED
+            + _ROUND3_WINDOW
+            + _ROUND4_WINDOW
+            + _ROUND5_WINDOW
+            + _ROUND6_WINDOW
+            + _ROUND7_WINDOW
+            + _ROUND8_WINDOW,
+        )
+    elif _swept(7):  # round 8: pre-staged window to the front
         front, already = (
             _ROUND8_WINDOW,
             _ALREADY_DRIVER_CHECKED

@@ -21,6 +21,7 @@ from big_data_projects_spark.queries import (
     _ROUND8_QUEUE,
     _ROUND8_WINDOW,
     _ROUND9_QUEUE,
+    _ROUND9_WINDOW,
     _swept,
 )
 
@@ -40,7 +41,7 @@ def _driver_checked() -> set[str]:
 def test_windows_are_well_formed():
     for window in (
         _ROUND3_WINDOW, _ROUND4_WINDOW, _ROUND5_WINDOW, _ROUND6_WINDOW,
-        _ROUND7_WINDOW, _ROUND8_WINDOW,
+        _ROUND7_WINDOW, _ROUND8_WINDOW, _ROUND9_WINDOW,
     ):
         assert len(window) == 50
         assert len(set(window)) == 50, "duplicate entry in a window"
@@ -50,7 +51,9 @@ def test_windows_are_well_formed():
 
 def test_active_window_is_at_the_front():
     names = list(REGISTRY)
-    if _swept(7):
+    if _swept(8):
+        expected = _ROUND9_WINDOW
+    elif _swept(7):
         expected = _ROUND8_WINDOW
     elif _swept(6):
         expected = _ROUND7_WINDOW
@@ -84,6 +87,39 @@ def test_round8_window_activates_when_r07_lands(monkeypatch):
         REGISTRY.update(real)
         Q._rotate_registry()
     assert list(REGISTRY)[:50] == list(real)[:50]
+
+
+def test_round9_window_activates_when_r08_lands(monkeypatch):
+    """Simulate the driver committing CORRECTNESS_r08.json: the rotation
+    must put the pre-staged round-9 window at the registry front.  The
+    registry is re-rotated back to the real state afterward."""
+    import big_data_projects_spark.queries as Q
+
+    real = dict(REGISTRY)
+    try:
+        monkeypatch.setattr(Q, "_swept", lambda r: r <= 8)
+        Q._rotate_registry()
+        assert list(REGISTRY)[:50] == _ROUND9_WINDOW
+    finally:
+        monkeypatch.undo()
+        REGISTRY.clear()
+        REGISTRY.update(real)
+        Q._rotate_registry()
+    assert list(REGISTRY)[:50] == list(real)[:50]
+
+
+def test_round9_window_refreshes_the_oldest_rows():
+    """The 47 non-queue r9 slots must be exactly 47 of the 50 round-3
+    rows (the oldest after round 8 lands), with the 3 deferred entries
+    all carrying standing bench-HEADLINE signal."""
+    import bench
+
+    refreshes = [n for n in _ROUND9_WINDOW if n not in _ROUND9_QUEUE]
+    r03 = set(_ROUND3_WINDOW)
+    assert all(n in r03 for n in refreshes)
+    deferred = sorted(r03 - set(refreshes))
+    assert len(deferred) == 3
+    assert all(n in bench.HEADLINE_41 for n in deferred), deferred
 
 
 def test_every_query_lands_under_a_driver_window():

@@ -268,6 +268,28 @@ SHOWCASE = [
         "per-window regex work rides the scan, proportional to corpus "
         "bytes.",
     ),
+    (
+        "q_dedup_merge_ingest",
+        "Incremental-ingest near-dup MERGE (round 8): one corpus scan "
+        "feeds the persisted shingle relation; signatures are a single "
+        "64-min groupBy; every candidate join is a (band, bucket) "
+        "equi-join with the ~19% batch on one side — the corpus is "
+        "never self-joined, so candidate mass is bounded by batch "
+        "size; the exact-Jaccard verify joins per-doc shingle ARRAYS "
+        "onto candidate pairs only, and the verdict is one batch-keyed "
+        "aggregate + left join. Output rows = batch rows at any "
+        "corpus size.",
+    ),
+    (
+        "q_tokenizer_roundtrip",
+        "Tokenizer round-trip audit (round 8): the corpus collapses to "
+        "the vocab-sized word-TYPE table in ONE token groupBy before "
+        "any iteration; the 8 merge rounds and the decode/identity "
+        "compare all run on that type table (control-plane sized at "
+        "any corpus scale); serving is ONE term-keyed equi-join of the "
+        "token stream (AQE broadcasts the type table when it fits) "
+        "plus a source-keyed partial_ aggregate.",
+    ),
 ]
 
 
