@@ -527,3 +527,26 @@ def test_round6_continuation_ops_invariant_under_partition_count(spark):
             assert a == b, f"{name}: result depends on partition count"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_round8_ops_invariant_under_partition_count(spark):
+    """Partition-count invariance for the round-8 registrations: the
+    MERGE verdict/canonical assignment (min aggregates over candidate
+    pairs must be layout-free) and the round-trip audit (the 8-round
+    argmax trajectory and the serving join under different layouts)."""
+    from big_data_projects_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        out = {}
+        for nparts in ("32", "7"):
+            spark.conf.set("spark.sql.shuffle.partitions", nparts)
+            for name in ("q_dedup_merge_ingest", "q_tokenizer_roundtrip"):
+                rows_ = REGISTRY[name].raw(spark, sf).collect()
+                key = sorted(tuple(str(v) for v in r) for r in rows_)
+                out.setdefault(name, []).append(key)
+        for name, (a, b) in out.items():
+            assert a == b, f"{name}: result depends on partition count"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
