@@ -16,11 +16,15 @@ benching right after its own 50-query sweep) inflates, never
 deflates, a run.  BENCH_r07 demonstrated the failure mode: median
 headline_41 printed 68.4 s for a tree whose idle line is 38.6-43.8 s
 because the driver environment was loaded; the min of the same three
-runs is far closer to the tree's true cost.  The artifact is also
+runs is far closer to the tree's true cost.  A transient that spans
+all three back-to-back runs (invisible to the spread ratio) is caught
+by a SECOND full single-run pass minutes later — per-query min across
+both passes is the reported figure.  The artifact is also
 self-adjudicating now: it records /proc/loadavg at start and end,
-page-cache occupancy, and per-query max/min spread ratios, so a
-reader can mechanically discount an inflated reading instead of
-chasing a phantom regression (VERDICT r7 item #2).
+page-cache occupancy, per-query max/min spread ratios, and the
+second-pass improvement mass, so a reader can mechanically discount
+an inflated reading instead of chasing a phantom regression (VERDICT
+r7 item #2).
 """
 
 from __future__ import annotations
@@ -275,12 +279,35 @@ def main() -> None:
     spreads: dict[str, float] = {}
     timings = run_set(HEADLINE, spreads)
     incoming = run_set([n for n in INCOMING if n in REGISTRY], spreads)
+    # Second full pass, single-run (round 8): a transient that spans
+    # all three back-to-back runs of a query (suite-artifact writeback,
+    # a passing background task) inflates even the min, and the spread
+    # ratio stays LOW so it is invisible to the noise record — observed
+    # as q_tpch_q5 reading 4.4 s (all three runs) in an early bench
+    # section whose 15-min loadavg still carried a just-finished test
+    # suite, vs 1.1 s idle.  Re-measuring every query ONCE, minutes
+    # later in wall-clock, gives each a sample at two well-separated
+    # times; min() absorbs whichever window was quiet.  This is the
+    # best-of-two-full-passes estimator VERDICT r7 item #2 asked for,
+    # with pass 2 at a third of the cost.
+    pass2_gain = 0.0
+    pass2_improved = 0
+    for name, bucket in [(n, timings) for n in timings] + [
+        (n, incoming) for n in incoming
+    ]:
+        t = round(run_once(name), 3)
+        if t < bucket[name]:
+            pass2_gain += bucket[name] - t
+            pass2_improved += 1
+            bucket[name] = t
     env = {
         "load_start": load_start,
         "load_end": _read_loadavg(),
         "cached_kb_start": cached_kb_start,
         "cached_kb_end": _read_cached_kb(),
         "cpus": cpus,
+        "pass2_gain_sec": round(pass2_gain, 3),
+        "pass2_improved": pass2_improved,
     }
     full, summary = build_output(timings, incoming, sf_dir, spreads, env)
     print(json.dumps(full))
@@ -349,7 +376,7 @@ def build_output(
         "headline_78": headline_78,
         "incoming": incoming,
         "incoming_total": round(sum(incoming.values()), 3),
-        "estimator": "min_of_3",
+        "estimator": "min_of_3_plus_pass2",
         "noise_median_ratio": noise_median,
         "noisy_queries": noisy,
         "env": env,
@@ -369,7 +396,7 @@ def build_output(
         "n_headline": len(timings),
         "n_incoming": len(incoming),
         "top5": top5,
-        "estimator": "min_of_3",
+        "estimator": "min_of_3_plus_pass2",
         "noise_median_ratio": noise_median,
         "n_noisy": len(noisy),
         "env": env,
