@@ -304,6 +304,12 @@ _ROUND9_QUEUE: list[str] = [
     "q_tokenizer_roundtrip",
 ]
 
+# Registrations AFTER the round-9 window froze go here; the round-10
+# window builds from this list plus refreshes (the 3 r03 rows deferred
+# by round 9 — q_bloom_filter_join, q_interval_overlap, q_line_dedup —
+# then the oldest r04 rows), same contract.
+_ROUND10_QUEUE: list[str] = []
+
 
 # Round-8 window, pre-staged (gated on the driver-committed
 # CORRECTNESS_r07.json): the 9-entry round-8 queue (the late-round-6

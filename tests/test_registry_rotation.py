@@ -22,6 +22,7 @@ from big_data_projects_spark.queries import (
     _ROUND8_WINDOW,
     _ROUND9_QUEUE,
     _ROUND9_WINDOW,
+    _ROUND10_QUEUE,
     _swept,
 )
 
@@ -138,6 +139,8 @@ def test_every_query_lands_under_a_driver_window():
         | set(_ROUND8_QUEUE)
         | set(_ROUND8_WINDOW)
         | set(_ROUND9_QUEUE)
+        | set(_ROUND9_WINDOW)
+        | set(_ROUND10_QUEUE)
     )
     uncovered = [n for n in REGISTRY if n not in covered]
     assert not uncovered, (
