@@ -326,6 +326,13 @@ def time_queries(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
         n = REGISTRY[name].spark(spark, sf_dir).count()
         out[name] = (time.perf_counter() - t0, n)
         spark.catalog.clearCache()
+        # Shuffle files are deleted by the ContextCleaner only after a
+        # JVM GC collects the dropped RDD/shuffle references; without
+        # this, residue from consecutive heavy queries accumulates for
+        # the whole session and an M=100 pass can fill local disk
+        # (observed: SPILL_OUT_OF_MEMORY / no-space at x100 with 7
+        # pair-heavy queries in one session).
+        spark.sparkContext._jvm.System.gc()
     return out
 
 
