@@ -207,8 +207,16 @@ def _read_cached_kb() -> int | None:
 
 
 def main() -> None:
+    t_start = time.perf_counter()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 4)
+    # Wall budget for the OPTIONAL second pass (see below): idle runs
+    # finish pass 1 in ~19 min and pass 2 adds ~5; a loaded driver
+    # host could stretch both, so pass 2 stops early rather than risk
+    # an external timeout eating the whole artifact.  The skip count
+    # is recorded — a partially-skipped pass 2 is still a valid
+    # best-of-available estimator per query.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "2100"))
 
     from big_data_projects_spark.session import ensure_runtime_conf, get_spark
     from big_data_projects_spark.queries import REGISTRY
@@ -292,9 +300,13 @@ def main() -> None:
     # with pass 2 at a third of the cost.
     pass2_gain = 0.0
     pass2_improved = 0
+    pass2_skipped = 0
     for name, bucket in [(n, timings) for n in timings] + [
         (n, incoming) for n in incoming
     ]:
+        if time.perf_counter() - t_start > budget_s:
+            pass2_skipped += 1
+            continue
         t = round(run_once(name), 3)
         if t < bucket[name]:
             pass2_gain += bucket[name] - t
@@ -308,6 +320,8 @@ def main() -> None:
         "cpus": cpus,
         "pass2_gain_sec": round(pass2_gain, 3),
         "pass2_improved": pass2_improved,
+        "pass2_skipped": pass2_skipped,
+        "wall_sec": round(time.perf_counter() - t_start, 1),
     }
     full, summary = build_output(timings, incoming, sf_dir, spreads, env)
     print(json.dumps(full))
