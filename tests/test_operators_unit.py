@@ -1384,3 +1384,70 @@ def test_byte_dhash_matches_python_reference(spark):
             for c in range(8)
         )
         assert got[i] == want, (i, got[i], want)
+
+
+def test_minhash_merge_ingest_verdict_precedence(spark):
+    """Pins the MERGE contract on constructed cases: corpus matches
+    take precedence over within-batch matches, canonical is the
+    smallest matching id, within-batch matches only look at
+    SMALLER-id batch docs, and shingle-less (< n tokens) batch docs
+    come out 'new' rather than being dropped."""
+    from big_data_projects_spark.operators.dedup import minhash_merge_ingest
+
+    rows = [
+        # corpus
+        (1, "a b c d e f g h"),
+        (2, "z y x w v u t s"),
+        # batch (id >= 100)
+        (101, "a b c d e f g h"),   # dup of corpus doc 1
+        (102, "a b c d e f g h"),   # matches 1 AND 101 -> corpus wins
+        (103, "m n o p q r s t"),   # no smaller match -> new
+        (104, "m n o p q r s t"),   # dup of batch doc 103
+        (105, "unique text nothing shares this"),  # new
+        (106, "hi yo"),             # < 3 tokens: no shingles -> new
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["verdict"], r["canonical_id"])
+        for r in minhash_merge_ingest(
+            df, lambda c: c >= 100, threshold=0.5
+        ).collect()
+    }
+    assert got == {
+        101: ("dup_of_corpus", 1),
+        102: ("dup_of_corpus", 1),
+        103: ("new", None),
+        104: ("dup_in_batch", 103),
+        105: ("new", None),
+        106: ("new", None),
+    }
+
+
+def test_bpe_merge_application_preserves_characters(spark):
+    """The round-trip identity behind q_tokenizer_roundtrip, pinned at
+    the operator level: after any number of merge rounds, stripping
+    the symbol delimiters from each word type's state reconstructs
+    the original term exactly (space-delimited replace can corrupt a
+    symbol only by matching across the padding spaces — this guards
+    that)."""
+    from big_data_projects_spark.queries_llm import _bpe_fit
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low lower lowest low low"),
+            (2, "new newer newest new wide wider"),
+            (3, "ab ab ab abab abab b a"),
+        ],
+        "doc_id long, text string",
+    )
+    merges, final_words, handles = _bpe_fit(docs, n_steps=6)
+    bad = (
+        final_words.filter(
+            F.replace(F.trim(F.col("word")), F.lit(" "), F.lit(""))
+            != F.col("term")
+        )
+    ).collect()
+    for df in handles:
+        df.unpersist()
+    assert bad == [], bad
+    assert len(merges) == 6
