@@ -371,6 +371,14 @@ def minhash_merge_ingest(
     operator recomputes them from the unified table so the whole
     decision is reproducible from one input, and the band join shape
     is identical either way.
+
+    Caching contract (same as ngram_jaccard_pairs): the shingle
+    relation feeds three consumers (signatures, both verify sides) so
+    it is persisted for the duration of the computation; the handle
+    is plan-keyed and stays in the session cache after the caller
+    evaluates the result.  Long-lived sessions composing many calls
+    should ``spark.catalog.clearCache()`` between them (bench.py and
+    the driver sweep already do; ADVICE r8 #2).
     """
     sh = shingles(df, id_col, text_col, n, hasher=hasher).persist()
     sig = minhash_signatures(df, id_col, text_col, n, shingle_df=sh)

@@ -42,7 +42,20 @@ def test_headline_78_is_a_prefix_of_headline():
     era78 = bench.HEADLINE_41 + bench.GRADUATED_R4 + bench.GRADUATED_R5
     assert len(era78) == 78
     assert bench.HEADLINE[: len(era78)] == era78
-    assert len(bench.HEADLINE) == 94  # + the 16 r6 graduates
+
+
+def test_headline_94_is_a_prefix_of_headline():
+    """Round-9 era: headline_41 + r4 + r5 + r6 graduates stay in place
+    as the r7 batch (and later) graduate."""
+    era94 = (
+        bench.HEADLINE_41
+        + bench.GRADUATED_R4
+        + bench.GRADUATED_R5
+        + bench.GRADUATED_R6
+    )
+    assert len(era94) == 94
+    assert bench.HEADLINE[: len(era94)] == era94
+    assert len(bench.HEADLINE) == 95  # + the r7 graduate
 
 
 def test_bench_summary_line_is_self_contained():
@@ -55,15 +68,22 @@ def test_bench_summary_line_is_self_contained():
     incoming = {n: 2.0 for n in bench.INCOMING}
     spreads = {n: 1.1 for n in bench.HEADLINE + bench.INCOMING}
     spreads[bench.HEADLINE[0]] = 2.0  # one noisy query
+    medians = {n: 1.5 for n in bench.HEADLINE + bench.INCOMING}
     env = {"load_start": [1.0, 1.0, 1.0], "cpus": 32}
     full, summary = bench.build_output(
-        timings, incoming, "/x/sf0.1", spreads, env
+        timings, incoming, "/x/sf0.1", spreads, env, medians
     )
     summary = json.loads(json.dumps(summary))
     assert summary["value"] == full["value"] == len(bench.HEADLINE) * 1.0
     assert summary["headline_41"] == 41.0
     assert summary["headline_56"] == 56.0
     assert summary["headline_78"] == 78.0
+    assert summary["headline_94"] == 94.0
+    # Median series (ADVICE r8 #1): pass-1 median-of-3 per query rides
+    # in the full line; the like-for-like 41-query median subtotal
+    # rides in BOTH lines so the r1-r7 median history stays comparable.
+    assert full["queries_median"] == medians
+    assert summary["headline_41_median"] == full["headline_41_median"] == 61.5
     assert summary["incoming_total"] == len(bench.INCOMING) * 2.0
     assert summary["n_headline"] == len(bench.HEADLINE)
     assert summary["sf"] == 0.1
@@ -88,5 +108,36 @@ def test_build_output_defaults_without_instrumentation():
     )
     assert full["noise_median_ratio"] is None
     assert full["noisy_queries"] == {}
+    assert full["queries_median"] == {}
+    assert full["headline_41_median"] is None
     assert summary["env"] is None
     assert summary["sf"] == 0.01
+
+
+def test_pass2_budget_skips_are_enumerated_by_name():
+    """VERDICT r8 "what's wrong" #1: when the pass-2 wall budget is
+    exhausted, the skipped queries must be enumerable BY NAME in the
+    artifact — a future loaded run can't silently degrade the
+    estimator unlabeled.  Also pins the estimator semantics: a pass-2
+    sample below the pass-1 min counts as improvement mass, and every
+    taken sample lands in the run record (so the final spread ratio is
+    denominated in the final min — ADVICE r8 #3)."""
+    names = ["qa", "qb", "qc", "qd"]
+    all_runs = {n: [2.0, 3.0, 4.0] for n in names}
+    calls = {"n": 0}
+
+    def over_budget():
+        return calls["n"] >= 2  # budget dies after two pass-2 runs
+
+    def run_once(name):
+        calls["n"] += 1
+        return 1.0 if name == "qa" else 5.0
+
+    gain, improved, skipped = bench.run_pass2(
+        names, all_runs, run_once, over_budget
+    )
+    assert skipped == ["qc", "qd"]  # enumerated, in order
+    assert improved == 1 and gain == 1.0  # qa: 2.0 -> 1.0
+    assert all_runs["qa"] == [2.0, 3.0, 4.0, 1.0]  # sample recorded
+    assert all_runs["qb"] == [2.0, 3.0, 4.0, 5.0]  # slower run too
+    assert all_runs["qc"] == [2.0, 3.0, 4.0]  # skipped: untouched
