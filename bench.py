@@ -182,6 +182,8 @@ INCOMING = [
     # round-8 additions (graduate to HEADLINE at round 10)
     "q_dedup_merge_ingest",
     "q_tokenizer_roundtrip",
+    # round-9 addition (graduates to HEADLINE at round 11)
+    "q_ivf_merge_ingest",
 ]
 
 

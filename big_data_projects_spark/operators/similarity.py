@@ -127,6 +127,177 @@ def blocked_neardup_pairs(
     )
 
 
+def part_centroids(
+    emb: DataFrame, part_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """One centroid row per partition key: the elementwise mean of the
+    partition's vectors, computed distributively (posexplode →
+    groupBy(part, pos) → decimal-accumulated mean → re-assembled in pos
+    order).  Decimal accumulation makes the means identical under any
+    partitioning/merge order, so consumers hash-match SQL oracles.
+    Output is k rows (control-plane sized) — always broadcastable."""
+    return (
+        emb.select(F.col(part_col), F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy(part_col, "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(38,10)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .groupBy(part_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            part_col,
+            F.expr("transform(pm, x -> x.m)").alias("centroid"),
+        )
+    )
+
+
+def ivf_merge_ingest(
+    emb: DataFrame,
+    batch_flag,
+    n_probe: int = 2,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    part_col: str = "label",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """MERGE an incoming vector batch into an existing IVF index
+    WITHOUT retraining — the vector-side twin of
+    dedup.minhash_merge_ingest (the corpus-that-grows decision, on the
+    embedding column): route each new vector to its nearest existing
+    cell, probe its ``n_probe`` closest cells for verified near-dups,
+    and verdict it before it joins the index.
+
+    ``batch_flag`` maps the id Column to a boolean Column (True =
+    incoming-batch row), id-derivable so the split applies anywhere
+    without an extra join.
+
+    The index is FROZEN at ingest time: cell centroids are computed
+    from CORPUS vectors only (per-cell decimal-accumulated elementwise
+    means — the ivf_topk coarse stage), exactly what "inserting into an
+    already-trained IVF index" means.  Earlier batch vectors (smaller
+    id) count as already inserted AT THEIR ROUTED CELL, so a batch is
+    internally deduped in id order, matching the dedup MERGE contract.
+
+    Returns one row per batch vector: (id, cell, verdict, canonical_id)
+    with cell = the routed (top-1) cell, verdict in {'dup_of_corpus',
+    'dup_in_batch', 'new'} and canonical_id = the smallest verified
+    match (cosine ≥ ``threshold`` within the probed cells; corpus
+    matches take precedence), else NULL.
+
+    Scale shape: centroids are k rows (control-plane) → broadcast;
+    routing is a broadcast join + a per-vector window over k rows
+    (fine-grained keys, fully parallel); every candidate join is a
+    cell-equi join with the BATCH on one side (candidate mass bounded
+    by |batch| × n_probe × cell size, never a corpus self-join); the
+    verify touches candidates only; the output is batch-sized.  At
+    100 TB the centroid relation would be the stored index metadata —
+    this operator recomputes it from the unified table so the whole
+    decision is reproducible from one input; the join shape is
+    identical either way.
+
+    Caching contract (same as minhash_merge_ingest): the routed
+    relation feeds three consumers so it is persisted for the duration
+    of the computation; long-lived sessions composing many calls
+    should ``spark.catalog.clearCache()`` between them.
+    """
+    is_batch = batch_flag(F.col(id_col))
+    corpus = emb.filter(~is_batch)
+    batch = emb.filter(is_batch)
+
+    # The routing codebook: frozen corpus-trained centroids by default;
+    # injectable (``centroids``) for callers holding a precomputed
+    # index-metadata relation — or, in tests, a retrained one to
+    # compare freeze-vs-rebuild recall.
+    if centroids is None:
+        centroids = part_centroids(corpus, part_col=part_col, vec_col=vec_col)
+
+    # Coarse routing: rank the k frozen centroids per batch vector
+    # (csim desc, cell asc) — rn=1 is where the vector is inserted,
+    # rn<=n_probe are the cells probed for near-dups.
+    rn = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(
+            F.col("__csim").desc(), F.col(part_col)
+        )
+    )
+    routes = (
+        batch.select(id_col, vec_col)
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            id_col,
+            part_col,
+            F.col(vec_col),
+            cosine_sim(F.col("centroid"), F.col(vec_col)).alias("__csim"),
+        )
+        .select(id_col, part_col, vec_col, rn.alias("rn"))
+        .filter(F.col("rn") <= n_probe)
+        .persist()
+    )
+    probed = routes.select(
+        F.col(id_col).alias("__b_id"),
+        part_col,
+        F.col(vec_col).alias("__b_v"),
+    )
+    corpus_cells = corpus.select(
+        F.col(id_col).alias("__o_id"),
+        part_col,
+        F.col(vec_col).alias("__o_v"),
+    )
+    # Earlier batch vectors live at their ROUTED cell (rn=1) once
+    # inserted — that relation is the batch side of the within-batch
+    # check.
+    batch_cells = routes.filter(F.col("rn") == 1).select(
+        F.col(id_col).alias("__o_id"),
+        part_col,
+        F.col(vec_col).alias("__o_v"),
+    )
+    sim = cosine_sim(F.col("__b_v"), F.col("__o_v"))
+    ver_corpus = (
+        probed.join(corpus_cells, part_col)
+        .filter(sim >= threshold)
+        .select("__b_id", "__o_id", F.lit(True).alias("__vs_corpus"))
+    )
+    ver_batch = (
+        probed.join(batch_cells, part_col)
+        .filter(F.col("__o_id") < F.col("__b_id"))
+        .filter(sim >= threshold)
+        .select("__b_id", "__o_id", F.lit(False).alias("__vs_corpus"))
+    )
+    best = (
+        ver_corpus.unionByName(ver_batch)
+        .groupBy("__b_id")
+        .agg(
+            F.min(
+                F.when(F.col("__vs_corpus"), F.col("__o_id"))
+            ).alias("__corpus_min"),
+            F.min(
+                F.when(~F.col("__vs_corpus"), F.col("__o_id"))
+            ).alias("__batch_min"),
+        )
+    )
+    routed = routes.filter(F.col("rn") == 1).select(
+        id_col, F.col(part_col).alias("cell")
+    )
+    return (
+        routed.join(best, F.col(id_col) == F.col("__b_id"), "left")
+        .select(
+            id_col,
+            "cell",
+            F.when(
+                F.col("__corpus_min").isNotNull(), F.lit("dup_of_corpus")
+            )
+            .when(F.col("__batch_min").isNotNull(), F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            F.coalesce("__corpus_min", "__batch_min").alias("canonical_id"),
+        )
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_id: int,
@@ -147,23 +318,7 @@ def ivf_topk(
     """
     q = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("__qv"))
 
-    centroids = (
-        emb.select(F.col(part_col), F.posexplode(vec_col).alias("pos", "v"))
-        .groupBy(part_col, "pos")
-        .agg(
-            (
-                F.sum(F.col("v").cast("double").cast("decimal(38,10)"))
-                .cast("double")
-                / F.count(F.lit(1))
-            ).alias("m")
-        )
-        .groupBy(part_col)
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select(
-            part_col,
-            F.expr("transform(pm, x -> x.m)").alias("centroid"),
-        )
-    )
+    centroids = part_centroids(emb, part_col=part_col, vec_col=vec_col)
     probed = (
         centroids.crossJoin(F.broadcast(q))
         .select(part_col, cosine_sim(F.col("centroid"), F.col("__qv")).alias("csim"))

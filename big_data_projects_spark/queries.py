@@ -308,7 +308,12 @@ _ROUND9_QUEUE: list[str] = [
 # window builds from this list plus refreshes (the 3 r03 rows deferred
 # by round 9 — q_bloom_filter_join, q_interval_overlap, q_line_dedup —
 # then the oldest r04 rows), same contract.
-_ROUND10_QUEUE: list[str] = []
+# Seeded with the round-9 registration: the incremental ANN index
+# MERGE (VERDICT r8 item #6's named candidate — the embedding twin of
+# q_dedup_merge_ingest).
+_ROUND10_QUEUE: list[str] = [
+    "q_ivf_merge_ingest",
+]
 
 
 # Round-8 window, pre-staged (gated on the driver-committed

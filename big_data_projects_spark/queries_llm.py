@@ -736,6 +736,101 @@ def q_knn_ivf(spark, sf_dir):
     return S.ivf_topk(emb, query_id=0, k=10, n_probe=3)
 
 
+def _ivf_merge_oracle() -> str:
+    # The same md5 d/e/f batch-split convention as _merge_ingest_oracle
+    # and the same frozen-centroid CTEs as the q_knn_ivf oracle, but
+    # computed over CORPUS rows only (the index predates the batch);
+    # routing = row_number over the per-vector centroid ranking;
+    # verify = naive cosine (both engines fold sequentially on
+    # DOUBLE[], so routing ranks, sims, and verdicts all reproduce).
+    cos = (
+        "list_dot_product({a},{b}) / (sqrt(list_dot_product({a},{a})) * "
+        "sqrt(list_dot_product({b},{b})))"
+    )
+    return f"""
+    WITH pos AS (
+        SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+        WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) NOT IN ('d','e','f')
+    ),
+    cent AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS c
+        FROM pos GROUP BY 1, 2
+    ),
+    cvec AS MATERIALIZED (
+        SELECT label, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label
+    ),
+    batch AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('d','e','f')
+    ),
+    corpus AS MATERIALIZED (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) NOT IN ('d','e','f')
+    ),
+    routes AS MATERIALIZED (
+        SELECT b.vec_id, c.label, b.v, ROW_NUMBER() OVER (
+            PARTITION BY b.vec_id
+            ORDER BY {cos.format(a="c.centroid", b="b.v")} DESC, c.label
+        ) AS rn
+        FROM batch b CROSS JOIN cvec c
+    ),
+    ver AS (
+        SELECT r.vec_id AS b_id, o.vec_id AS o_id, TRUE AS vs_corpus
+        FROM routes r JOIN corpus o ON o.label = r.label
+        WHERE r.rn <= 2 AND {cos.format(a="r.v", b="o.v")} >= 0.3
+        UNION ALL
+        SELECT r.vec_id, ro.vec_id, FALSE
+        FROM routes r
+        JOIN routes ro ON ro.label = r.label AND ro.rn = 1
+                      AND ro.vec_id < r.vec_id
+        WHERE r.rn <= 2 AND {cos.format(a="r.v", b="ro.v")} >= 0.3
+    ),
+    best AS (
+        SELECT b_id,
+               MIN(CASE WHEN vs_corpus THEN o_id END) AS corpus_min,
+               MIN(CASE WHEN NOT vs_corpus THEN o_id END) AS batch_min
+        FROM ver GROUP BY 1
+    )
+    SELECT r.vec_id, r.label AS cell,
+           CASE WHEN corpus_min IS NOT NULL THEN 'dup_of_corpus'
+                WHEN batch_min IS NOT NULL THEN 'dup_in_batch'
+                ELSE 'new' END AS verdict,
+           COALESCE(corpus_min, batch_min) AS canonical_id
+    FROM routes r LEFT JOIN best ON best.b_id = r.vec_id
+    WHERE r.rn = 1
+    """
+
+
+@register("q_ivf_merge_ingest", oracle=_ivf_merge_oracle())
+def q_ivf_merge_ingest(spark, sf_dir):
+    """Incremental ANN index MERGE: a deterministic ~19% of the vectors
+    (md5(vec_id) prefix in d/e/f — the q_dedup_merge_ingest batch
+    convention) plays the incoming batch; each is routed into the
+    EXISTING IVF index (cell centroids frozen over corpus vectors only
+    — no retraining), its top-2 nearest cells are probed for verified
+    near-dups (cosine ≥ 0.3), and it is verdicted 'dup_of_corpus'
+    (canonical = smallest verified corpus id), 'dup_in_batch'
+    (verified match to a smaller-id batch vector at its routed cell),
+    or 'new' — the vector-side half of the corpus-that-grows story
+    (the embedding twin of q_dedup_merge_ingest).
+
+    Scale shape (operators/similarity.py ivf_merge_ingest): centroids
+    are k control-plane rows → broadcast; routing is one broadcast
+    join + a per-vector window over k rows; every candidate join is a
+    cell-equi join with the batch on one side (candidate mass is
+    batch-bounded, never a corpus self-join); output is batch-sized.
+    Decimal-accumulated centroid means + sequential-fold cosines make
+    routing, verification, and verdicts hash-match the SQL oracle
+    end-to-end.  Recall vs the full-rebuild index and vs exact NN is
+    pinned in tests/test_operators_unit.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_merge_ingest(
+        emb, _merge_batch_flag, n_probe=2, threshold=0.3
+    )
+
+
 def _embed_lsh_oracle() -> str:
     # Same literal-hyperplane trick as _hn_ann_oracle: the seeded
     # planes embed as exact string-cast DOUBLE[] literals, both engines

@@ -542,7 +542,10 @@ def test_round8_ops_invariant_under_partition_count(spark):
         out = {}
         for nparts in ("32", "7"):
             spark.conf.set("spark.sql.shuffle.partitions", nparts)
-            for name in ("q_dedup_merge_ingest", "q_tokenizer_roundtrip"):
+            for name in ("q_dedup_merge_ingest", "q_tokenizer_roundtrip",
+                         # round-9 registration: routing window +
+                         # min-agg verdicts must be layout-free too
+                         "q_ivf_merge_ingest"):
                 rows_ = REGISTRY[name].raw(spark, sf).collect()
                 key = sorted(tuple(str(v) for v in r) for r in rows_)
                 out.setdefault(name, []).append(key)

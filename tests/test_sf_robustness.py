@@ -70,6 +70,11 @@ REPRESENTATIVES = [
     "q_tokenizer_roundtrip",    # trained-merge decode identity vs a
     #                             different vocab (merge trajectory
     #                             changes with the corpus)
+    # round-9 addition
+    "q_ivf_merge_ingest",       # frozen-centroid routing + verdicts vs
+    #                             a different corpus/batch split (cell
+    #                             means, probe ranking, and verdict mix
+    #                             must not bake in a corpus size)
 ]
 
 

@@ -209,6 +209,15 @@ QUERIES = [
     # shuffle over corpus token occurrences; type table stays
     # vocab-sized).
     "q_tokenizer_roundtrip",
+    # round-9 registration: incremental ANN index MERGE — frozen
+    # corpus-only centroids (k control-plane rows, broadcast), routing
+    # window over k rows per batch vector, then cell-equi candidate
+    # joins with the batch on one side (risk: replication grows both
+    # cell occupancy and batch size, so batch×corpus candidate volume
+    # within probed cells grows ~M² in a replicated corpus — output
+    # stays batch-sized, so a superlinear wall here means candidate
+    # mass and would NOT be excused by the output allowlist).
+    "q_ivf_merge_ingest",
 ]
 # Near-linear tolerance: shuffles and within-bucket verify grow a bit
 # superlinearly even in healthy plans; 3x headroom over proportional
