@@ -315,6 +315,46 @@ _ROUND10_QUEUE: list[str] = [
     "q_ivf_merge_ingest",
 ]
 
+# Registrations AFTER the round-10 window froze go here; the round-11
+# window builds from this list plus refreshes (the 4 r04 rows deferred
+# by round 10 — q_knn_pq, q_interpolate_linear, q_sketch_top_terms,
+# q_stats_moments — then the oldest r05 rows), same contract.
+_ROUND11_QUEUE: list[str] = []
+
+
+# Round-10 window, pre-staged (gated on the driver-committed
+# CORRECTNESS_r09.json): the 1-entry round-10 queue (the round-9 ANN
+# MERGE registration — after it lands, every registered query has a
+# driver row again), then the 3 r03 rows round 9 deliberately deferred
+# (q_bloom_filter_join, q_interval_overlap, q_line_dedup — VERDICT r8
+# "what's missing" #2: they must not slip past r10), then 46 of the 50
+# round-4 rows — after round 9 they are the OLDEST remaining driver
+# rows (six rounds stale when this window runs).  The 4 r04 rows
+# deferred to round 11 (q_knn_pq, q_interpolate_linear,
+# q_sketch_top_terms, q_stats_moments) are the ones with the strongest
+# standing alternate signal: all four sit in bench HEADLINE_41 (timed
+# every round), and the first two are sf-robustness representatives
+# besides.
+_ROUND10_WINDOW = _ROUND10_QUEUE + [
+    "q_bloom_filter_join", "q_interval_overlap", "q_line_dedup",
+    # r04 refreshes (latest row: round 4)
+    "q_array_ops", "q_bitwise_agg", "q_cdc_apply", "q_containment_pairs",
+    "q_date_arith", "q_drift_psi", "q_dup_span", "q_ewma",
+    "q_explode_terms", "q_feature_store_join", "q_grouping_id",
+    "q_grouping_sets", "q_hard_negatives_ann", "q_hll_uniques",
+    "q_incremental_dedup", "q_incremental_rollup", "q_inverted_index",
+    "q_json_extract", "q_label_propagation", "q_lateral_topn",
+    "q_map_ops", "q_max_by", "q_mmr_diversity", "q_mode_per_group",
+    "q_multimodal_decode", "q_ntile_cume", "q_null_ordering",
+    "q_order_limit", "q_pipeline_web_corpus", "q_prefix_dedup",
+    "q_profile_columns", "q_range_join", "q_rank_fusion",
+    "q_running_count_distinct", "q_scalar_iter_udf",
+    "q_shard_assignment", "q_snapshot_diff", "q_stream_drift_psi",
+    "q_stream_fuzzy_dedup", "q_string_funcs", "q_tfidf_cosine_pairs",
+    "q_try_arith", "q_unpivot", "q_user_gap_features", "q_variant_json",
+    "q_window_ignore_nulls",
+]
+
 
 # Round-8 window, pre-staged (gated on the driver-committed
 # CORRECTNESS_r07.json): the 9-entry round-8 queue (the late-round-6
@@ -426,7 +466,19 @@ def _swept(round_no: int) -> bool:
 
 
 def _rotate_registry() -> None:
-    if _swept(8):  # round 9: pre-staged window to the front
+    if _swept(9):  # round 10: pre-staged window to the front
+        front, already = (
+            _ROUND10_WINDOW,
+            _ALREADY_DRIVER_CHECKED
+            + _ROUND3_WINDOW
+            + _ROUND4_WINDOW
+            + _ROUND5_WINDOW
+            + _ROUND6_WINDOW
+            + _ROUND7_WINDOW
+            + _ROUND8_WINDOW
+            + _ROUND9_WINDOW,
+        )
+    elif _swept(8):  # round 9: pre-staged window to the front
         front, already = (
             _ROUND9_WINDOW,
             _ALREADY_DRIVER_CHECKED

@@ -23,6 +23,8 @@ from big_data_projects_spark.queries import (
     _ROUND9_QUEUE,
     _ROUND9_WINDOW,
     _ROUND10_QUEUE,
+    _ROUND10_WINDOW,
+    _ROUND11_QUEUE,
     _swept,
 )
 
@@ -42,7 +44,7 @@ def _driver_checked() -> set[str]:
 def test_windows_are_well_formed():
     for window in (
         _ROUND3_WINDOW, _ROUND4_WINDOW, _ROUND5_WINDOW, _ROUND6_WINDOW,
-        _ROUND7_WINDOW, _ROUND8_WINDOW, _ROUND9_WINDOW,
+        _ROUND7_WINDOW, _ROUND8_WINDOW, _ROUND9_WINDOW, _ROUND10_WINDOW,
     ):
         assert len(window) == 50
         assert len(set(window)) == 50, "duplicate entry in a window"
@@ -52,7 +54,9 @@ def test_windows_are_well_formed():
 
 def test_active_window_is_at_the_front():
     names = list(REGISTRY)
-    if _swept(8):
+    if _swept(9):
+        expected = _ROUND10_WINDOW
+    elif _swept(8):
         expected = _ROUND9_WINDOW
     elif _swept(7):
         expected = _ROUND8_WINDOW
@@ -109,6 +113,45 @@ def test_round9_window_activates_when_r08_lands(monkeypatch):
     assert list(REGISTRY)[:50] == list(real)[:50]
 
 
+def test_round10_window_activates_when_r09_lands(monkeypatch):
+    """Simulate the driver committing CORRECTNESS_r09.json: the rotation
+    must put the pre-staged round-10 window at the registry front.  The
+    registry is re-rotated back to the real state afterward."""
+    import big_data_projects_spark.queries as Q
+
+    real = dict(REGISTRY)
+    try:
+        monkeypatch.setattr(Q, "_swept", lambda r: r <= 9)
+        Q._rotate_registry()
+        assert list(REGISTRY)[:50] == _ROUND10_WINDOW
+    finally:
+        monkeypatch.undo()
+        REGISTRY.clear()
+        REGISTRY.update(real)
+        Q._rotate_registry()
+    assert list(REGISTRY)[:50] == list(real)[:50]
+
+
+def test_round10_window_carries_the_deferred_r03_rows_and_oldest_r04():
+    """The r10 window must retire the round-9 deferral (VERDICT r8
+    "what's missing" #2): the 3 bench-covered r03 rows lead the
+    refresh slots, and the remaining slots are exactly 46 of the 50
+    round-4 rows (the oldest after round 9 lands), with the 4 deferred
+    entries all carrying standing bench-HEADLINE signal."""
+    import bench
+
+    refreshes = [n for n in _ROUND10_WINDOW if n not in _ROUND10_QUEUE]
+    deferred_r03 = {"q_bloom_filter_join", "q_interval_overlap",
+                    "q_line_dedup"}
+    assert set(refreshes[:3]) == deferred_r03
+    r04 = set(_ROUND4_WINDOW)
+    rest = refreshes[3:]
+    assert all(n in r04 for n in rest)
+    deferred_r04 = sorted(r04 - set(rest))
+    assert len(deferred_r04) == 4
+    assert all(n in bench.HEADLINE_41 for n in deferred_r04), deferred_r04
+
+
 def test_round9_window_refreshes_the_oldest_rows():
     """The 47 non-queue r9 slots must be exactly 47 of the 50 round-3
     rows (the oldest after round 8 lands), with the 3 deferred entries
@@ -141,6 +184,8 @@ def test_every_query_lands_under_a_driver_window():
         | set(_ROUND9_QUEUE)
         | set(_ROUND9_WINDOW)
         | set(_ROUND10_QUEUE)
+        | set(_ROUND10_WINDOW)
+        | set(_ROUND11_QUEUE)
     )
     uncovered = [n for n in REGISTRY if n not in covered]
     assert not uncovered, (
