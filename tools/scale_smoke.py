@@ -243,6 +243,17 @@ OUTPUT_SUPERLINEAR_ALLOWLIST = {
 def build_corpus(spark, replicas: int, out_dir: Path) -> None:
     from pyspark.sql import functions as F
 
+    # One-query-per-session discipline at M=100 means several
+    # invocations over the SAME corpus; rebuilding 500k docs / 200k
+    # vectors per process is pure waste.  Opt-in reuse (the corpus is
+    # deterministic in `replicas`, so an existing build is identical):
+    if os.environ.get("SPARK_GRAFT_SMOKE_REUSE") and (
+        out_dir / "_built.json"
+    ).exists():
+        built = json.loads((out_dir / "_built.json").read_text())
+        if built.get("replicas") == replicas and built.get("src") == SRC_SF:
+            return
+
     docs = spark.read.parquet(f"{SRC_SF}/documents.parquet")
     embs = spark.read.parquet(f"{SRC_SF}/embeddings.parquet")
     dim = len(embs.select("embedding").first()[0])
@@ -311,6 +322,9 @@ def build_corpus(spark, replicas: int, out_dir: Path) -> None:
         dst = out_dir / f"{t}.parquet"
         if not dst.exists():
             shutil.copyfile(f"{SRC_SF}/{t}.parquet", dst)
+    (out_dir / "_built.json").write_text(
+        json.dumps({"replicas": replicas, "src": SRC_SF})
+    )
 
 
 def _selected() -> list[str]:
