@@ -430,3 +430,18 @@ def test_round4_operator_plan_shapes(spark):
     dh = plan_of(spark, "q_multimodal_dhash")
     assert "EvalPython" not in dh
     assert "CartesianProduct" not in dh
+
+
+def test_ivf_merge_ingest_plan_shape(spark):
+    """Round-9 ANN MERGE keeps its scale contract: the k-row frozen
+    codebook reaches the batch via a BROADCAST (the crossJoin must be
+    a BroadcastNestedLoopJoin of the control-plane centroid relation,
+    never a CartesianProduct); the routing window partitions by vec_id
+    (no single-partition exchange); everything stays JVM-side."""
+    plan = plan_of(spark, "q_ivf_merge_ingest")
+    assert "BroadcastNestedLoopJoin" in plan, (
+        "centroid codebook not broadcast to the batch"
+    )
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "EvalPython" not in plan

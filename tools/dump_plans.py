@@ -290,6 +290,18 @@ SHOWCASE = [
         "token stream (AQE broadcasts the type table when it fits) "
         "plus a source-keyed partial_ aggregate.",
     ),
+    (
+        "q_ivf_merge_ingest",
+        "Incremental ANN index MERGE (round 9): the frozen codebook is "
+        "a k-row centroid aggregate (control-plane sized) BROADCAST to "
+        "the batch for routing; the routing window partitions by "
+        "vec_id (k rows per key — fine-grained, fully parallel, never "
+        "a single-partition exchange); every candidate join is a "
+        "cell-equi join with the ~19% batch on one side, so candidate "
+        "mass is batch-bounded and the corpus is never self-joined; "
+        "the verdict is one batch-keyed min-aggregate + left join. "
+        "Output rows = batch rows at any corpus size.",
+    ),
 ]
 
 
