@@ -25,6 +25,15 @@ page-cache occupancy, per-query max/min spread ratios, and the
 second-pass improvement mass, so a reader can mechanically discount
 an inflated reading instead of chasing a phantom regression (VERDICT
 r7 item #2).
+
+Round 9 (ADVICE r8): alongside the min, every query's pass-1
+median-of-3 is emitted (queries_median + the headline_41_median
+subtotal) so the r1-r7 median history stays comparable and
+variance-type regressions stay visible; spread ratios are computed
+over ALL samples including pass 2 (denominated in the final reported
+min); and pass-2 budget skips are enumerated by name
+(env.pass2_skipped_names), so a degraded estimator is labeled
+per-query, never silent.
 """
 
 from __future__ import annotations
