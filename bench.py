@@ -5,7 +5,10 @@ ONE JSON line: {"metric": ..., "value": N, "unit": "sec", "queries":
 {name: sec, ...}, "sf": ...}.
 
 Timing excludes JVM/session startup; each query is forced end-to-end
-with .count() (full compute, no driver transfer of result payloads).
+with measure.force_count (count + an all-columns hash aggregate: full
+compute, no driver transfer of result payloads — a bare .count() lets
+Catalyst prune output-only columns/windows and eliminate joins to
+unique-key aggregates, which un-measured 29 plans; round-9 audit).
 The cache is cleared after every run so persisted intermediates from
 one query never occupy executor memory during the next, and every
 query reports the MIN of 3 runs (round 8; was median-of-3).  Min is
@@ -235,6 +238,7 @@ def main() -> None:
     # best-of-available estimator per query.
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "2100"))
 
+    from big_data_projects_spark.measure import force_count
     from big_data_projects_spark.session import ensure_runtime_conf, get_spark
     from big_data_projects_spark.queries import REGISTRY
 
@@ -274,7 +278,12 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
         builder = q.raw or q.spark
         t0 = time.perf_counter()
-        builder(spark, sf_dir).count()
+        # force_count, not count(): under count() Catalyst prunes
+        # output-only columns/windows and eliminates joins to
+        # unique-key aggregates — 29 benched/smoked plans lost work
+        # that way, up to bare-scan for the merge-ingest shapes
+        # (round-9 audit; see big_data_projects_spark/measure.py).
+        force_count(builder(spark, sf_dir))
         dt = time.perf_counter() - t0
         # Conf hygiene: a builder that overrides session confs for its
         # own plan (q_bloom_filter_join, q_bucketed_join) relies on the
@@ -477,7 +486,7 @@ def build_output(
         "headline_41_median": headline_41_median,
         "incoming": incoming,
         "incoming_total": round(sum(incoming.values()), 3),
-        "estimator": "min_of_3_plus_pass2",
+        "estimator": "min_of_3_plus_pass2_allcols",
         "noise_median_ratio": noise_median,
         "noisy_queries": noisy,
         "env": env,
@@ -499,7 +508,7 @@ def build_output(
         "n_headline": len(timings),
         "n_incoming": len(incoming),
         "top5": top5,
-        "estimator": "min_of_3_plus_pass2",
+        "estimator": "min_of_3_plus_pass2_allcols",
         "noise_median_ratio": noise_median,
         "n_noisy": len(noisy),
         "env": env,

@@ -93,7 +93,7 @@ def test_bench_summary_line_is_self_contained():
     # Self-adjudication fields survive in BOTH lines (the driver's tail
     # capture may truncate the full line — VERDICT r7 item #2).
     for rec in (full, summary):
-        assert rec["estimator"] == "min_of_3_plus_pass2"
+        assert rec["estimator"] == "min_of_3_plus_pass2_allcols"
         assert rec["noise_median_ratio"] == 1.1
         assert rec["env"]["load_start"] == [1.0, 1.0, 1.0]
     assert full["noisy_queries"] == {bench.HEADLINE[0]: 2.0}

@@ -341,12 +341,17 @@ def _selected() -> list[str]:
 
 
 def time_queries(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
+    from big_data_projects_spark.measure import force_count
     from big_data_projects_spark.queries import REGISTRY
 
     out = {}
     for name in _selected():
         t0 = time.perf_counter()
-        n = REGISTRY[name].spark(spark, sf_dir).count()
+        # force_count, not count(): under count() Catalyst eliminated
+        # up to the entire candidate/verify machinery of the
+        # merge-ingest shapes (round-9 audit) — the smoke would time a
+        # scan and call it scaling evidence.
+        n = force_count(REGISTRY[name].spark(spark, sf_dir))
         out[name] = (time.perf_counter() - t0, n)
         spark.catalog.clearCache()
         # Shuffle files are deleted by the ContextCleaner only after a
