@@ -127,6 +127,22 @@ def blocked_neardup_pairs(
     )
 
 
+# Recall at similarity s follows the LSH S-curve 1-(1-p^bits)^bands,
+# p = 1 - acos(s)/pi: with 8-bit bands, 6 bands hold recall >= 0.85
+# for s >= 0.9 (measured 0.92 at 10x corpus — the near-dup regime the
+# operator is FOR) while recall at s ~ 0.3 is intentionally low: catching
+# low-similarity pairs with LSH requires ~100 bands or near-quadratic
+# bucket occupancy; route those workloads through kmeans/semdedup
+# blocking instead. Pinned by test_lsh_neardup_recall_at_10x_corpus.
+DEFAULT_LSH_BANDS = 6
+# Bucket-occupancy target used when bits_per_band is derived from the
+# corpus size: E[bucket size] = n / 2^bits ≤ this, so within-bucket
+# verify work stays ~linear in n instead of quadratic.
+_LSH_TARGET_BUCKET = 64
+_LSH_MIN_BITS, _LSH_MAX_BITS = 8, 24
+
+
+
 def part_centroids(
     emb: DataFrame, part_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -158,8 +174,11 @@ def part_centroids(
 def ivf_merge_ingest(
     emb: DataFrame,
     batch_flag,
+    dim: int,
     n_probe: int = 2,
     threshold: float = 0.3,
+    bits_per_band: int = 8,
+    n_bands: int = DEFAULT_LSH_BANDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     part_col: str = "label",
@@ -169,8 +188,8 @@ def ivf_merge_ingest(
     WITHOUT retraining — the vector-side twin of
     dedup.minhash_merge_ingest (the corpus-that-grows decision, on the
     embedding column): route each new vector to its nearest existing
-    cell, probe its ``n_probe`` closest cells for verified near-dups,
-    and verdict it before it joins the index.
+    cell, find verified near-dup candidates inside its ``n_probe``
+    closest cells, and verdict it before it joins the index.
 
     ``batch_flag`` maps the id Column to a boolean Column (True =
     incoming-batch row), id-derivable so the split applies anywhere
@@ -183,27 +202,43 @@ def ivf_merge_ingest(
     id) count as already inserted AT THEIR ROUTED CELL, so a batch is
     internally deduped in id order, matching the dedup MERGE contract.
 
+    Candidate generation is (cell ∧ LSH bucket), NOT cell alone: a
+    probed cell's whole occupancy as the candidate set is quadratic
+    whenever cell count doesn't grow with the corpus (the round-9
+    scale smoke measured 209× wall at 30× data for the cell-only
+    variant on the fixed-10-label corpus).  Inside each probed cell,
+    candidates must also share one of ``n_bands`` sign-hyperplane
+    band buckets (the q_embed_lsh_neardup / hard_negatives_ann
+    machinery, same seeded planes), then exact cosine ≥ ``threshold``
+    verifies.  Matching = LSH-candidate + verified, the same contract
+    as the dedup twin (banded-LSH candidates + exact-Jaccard verify);
+    recall follows the band S-curve — high in the near-dup regime the
+    gate is for, deliberately low near orthogonality.  Production
+    callers should scale ``bits_per_band`` with corpus size
+    (``lsh_bits_for``) to hold bucket occupancy constant.
+
     Returns one row per batch vector: (id, cell, verdict, canonical_id)
     with cell = the routed (top-1) cell, verdict in {'dup_of_corpus',
     'dup_in_batch', 'new'} and canonical_id = the smallest verified
-    match (cosine ≥ ``threshold`` within the probed cells; corpus
-    matches take precedence), else NULL.
+    match (corpus matches take precedence), else NULL.
 
     Scale shape: centroids are k rows (control-plane) → broadcast;
     routing is a broadcast join + a per-vector window over k rows
-    (fine-grained keys, fully parallel); every candidate join is a
-    cell-equi join with the BATCH on one side (candidate mass bounded
-    by |batch| × n_probe × cell size, never a corpus self-join); the
-    verify touches candidates only; the output is batch-sized.  At
-    100 TB the centroid relation would be the stored index metadata —
-    this operator recomputes it from the unified table so the whole
-    decision is reproducible from one input; the join shape is
-    identical either way.
+    (fine-grained keys, fully parallel); band signatures are in-row
+    projections; every candidate join is a (cell, band, bucket)
+    equi-join with the BATCH on one side (candidate mass bounded by
+    batch size × bands × bucket occupancy, never a corpus self-join);
+    the verify touches distinct candidate pairs only; the output is
+    batch-sized.  At 100 TB the centroid relation would be the stored
+    index metadata — this operator recomputes it from the unified
+    table so the whole decision is reproducible from one input; the
+    join shape is identical either way.
 
-    Caching contract (same as minhash_merge_ingest): the routed
-    relation feeds three consumers so it is persisted for the duration
-    of the computation; long-lived sessions composing many calls
-    should ``spark.catalog.clearCache()`` between them.
+    Caching contract (same as minhash_merge_ingest): the signed batch
+    and routed relations each feed several consumers so they are
+    persisted for the duration of the computation; long-lived sessions
+    composing many calls should ``spark.catalog.clearCache()`` between
+    them.
     """
     is_batch = batch_flag(F.col(id_col))
     corpus = emb.filter(~is_batch)
@@ -216,6 +251,14 @@ def ivf_merge_ingest(
     if centroids is None:
         centroids = part_centroids(corpus, part_col=part_col, vec_col=vec_col)
 
+    sigs = band_signature_cols(dim, bits_per_band, n_bands, vec_col=vec_col)
+    # One in-row signature projection per batch vector, shared by the
+    # routing, both candidate sides, and the verify.
+    batch_sig = batch.select(id_col, vec_col, *sigs).persist()
+    bucket_explode = F.posexplode(
+        F.array(*[F.col(f"b{j}") for j in range(n_bands)])
+    ).alias("band", "bucket")
+
     # Coarse routing: rank the k frozen centroids per batch vector
     # (csim desc, cell asc) — rn=1 is where the vector is inserted,
     # rn<=n_probe are the cells probed for near-dups.
@@ -225,59 +268,68 @@ def ivf_merge_ingest(
         )
     )
     routes = (
-        batch.select(id_col, vec_col)
+        batch_sig.select(id_col, vec_col)
         .crossJoin(F.broadcast(centroids))
         .select(
             id_col,
             part_col,
-            F.col(vec_col),
             cosine_sim(F.col("centroid"), F.col(vec_col)).alias("__csim"),
         )
-        .select(id_col, part_col, vec_col, rn.alias("rn"))
+        .select(id_col, part_col, rn.alias("rn"))
         .filter(F.col("rn") <= n_probe)
         .persist()
     )
-    probed = routes.select(
-        F.col(id_col).alias("__b_id"),
-        part_col,
-        F.col(vec_col).alias("__b_v"),
+    batch_bands = batch_sig.select(id_col, bucket_explode)
+    # Probed (cell, band, bucket) keys per batch vector — the batch
+    # side of every candidate join.
+    probed = (
+        routes.join(batch_bands, id_col)
+        .select(F.col(id_col).alias("__b_id"), part_col, "band", "bucket")
     )
-    corpus_cells = corpus.select(
-        F.col(id_col).alias("__o_id"),
-        part_col,
-        F.col(vec_col).alias("__o_v"),
+    corpus_bands = corpus.select(id_col, part_col, *sigs).select(
+        F.col(id_col).alias("__o_id"), part_col, bucket_explode
     )
     # Earlier batch vectors live at their ROUTED cell (rn=1) once
     # inserted — that relation is the batch side of the within-batch
     # check.
-    batch_cells = routes.filter(F.col("rn") == 1).select(
-        F.col(id_col).alias("__o_id"),
-        part_col,
-        F.col(vec_col).alias("__o_v"),
+    within_bands = (
+        routes.filter(F.col("rn") == 1)
+        .join(batch_bands, id_col)
+        .select(F.col(id_col).alias("__o_id"), part_col, "band", "bucket")
     )
-    sim = cosine_sim(F.col("__b_v"), F.col("__o_v"))
-    ver_corpus = (
-        probed.join(corpus_cells, part_col)
-        .filter(sim >= threshold)
-        .select("__b_id", "__o_id", F.lit(True).alias("__vs_corpus"))
-    )
-    ver_batch = (
-        probed.join(batch_cells, part_col)
-        .filter(F.col("__o_id") < F.col("__b_id"))
-        .filter(sim >= threshold)
-        .select("__b_id", "__o_id", F.lit(False).alias("__vs_corpus"))
-    )
-    best = (
-        ver_corpus.unionByName(ver_batch)
-        .groupBy("__b_id")
-        .agg(
-            F.min(
-                F.when(F.col("__vs_corpus"), F.col("__o_id"))
-            ).alias("__corpus_min"),
-            F.min(
-                F.when(~F.col("__vs_corpus"), F.col("__o_id"))
-            ).alias("__batch_min"),
+    cand = (
+        probed.join(corpus_bands, [part_col, "band", "bucket"])
+        .select("__b_id", "__o_id")
+        .distinct()
+        .withColumn("__vs_corpus", F.lit(True))
+        .unionByName(
+            probed.join(within_bands, [part_col, "band", "bucket"])
+            .filter(F.col("__o_id") < F.col("__b_id"))
+            .select("__b_id", "__o_id")
+            .distinct()
+            .withColumn("__vs_corpus", F.lit(False))
         )
+    )
+    # Exact-cosine verify over distinct candidate pairs only.
+    b_vecs = batch_sig.select(
+        F.col(id_col).alias("__b_id"), F.col(vec_col).alias("__b_v")
+    )
+    o_vecs = corpus.select(id_col, vec_col).unionByName(
+        batch_sig.select(id_col, vec_col)
+    ).select(F.col(id_col).alias("__o_id"), F.col(vec_col).alias("__o_v"))
+    verified = (
+        cand.join(b_vecs, "__b_id")
+        .join(o_vecs, "__o_id")
+        .filter(cosine_sim(F.col("__b_v"), F.col("__o_v")) >= threshold)
+        .select("__b_id", "__o_id", "__vs_corpus")
+    )
+    best = verified.groupBy("__b_id").agg(
+        F.min(
+            F.when(F.col("__vs_corpus"), F.col("__o_id"))
+        ).alias("__corpus_min"),
+        F.min(
+            F.when(~F.col("__vs_corpus"), F.col("__o_id"))
+        ).alias("__batch_min"),
     )
     routed = routes.filter(F.col("rn") == 1).select(
         id_col, F.col(part_col).alias("cell")
@@ -333,21 +385,6 @@ def ivf_topk(
         .select(F.col(id_col), cosine_sim(F.col(vec_col), F.col("__qv")).alias("sim"))
     )
     return fine.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
-
-
-# Recall at similarity s follows the LSH S-curve 1-(1-p^bits)^bands,
-# p = 1 - acos(s)/pi: with 8-bit bands, 6 bands hold recall >= 0.85
-# for s >= 0.9 (measured 0.92 at 10x corpus — the near-dup regime the
-# operator is FOR) while recall at s ~ 0.3 is intentionally low: catching
-# low-similarity pairs with LSH requires ~100 bands or near-quadratic
-# bucket occupancy; route those workloads through kmeans/semdedup
-# blocking instead. Pinned by test_lsh_neardup_recall_at_10x_corpus.
-DEFAULT_LSH_BANDS = 6
-# Bucket-occupancy target used when bits_per_band is derived from the
-# corpus size: E[bucket size] = n / 2^bits ≤ this, so within-bucket
-# verify work stays ~linear in n instead of quadratic.
-_LSH_TARGET_BUCKET = 64
-_LSH_MIN_BITS, _LSH_MAX_BITS = 8, 24
 
 
 def _hyperplanes(dim: int, n: int) -> list[list[float]]:

@@ -737,16 +737,42 @@ def q_knn_ivf(spark, sf_dir):
 
 
 def _ivf_merge_oracle() -> str:
-    # The same md5 d/e/f batch-split convention as _merge_ingest_oracle
-    # and the same frozen-centroid CTEs as the q_knn_ivf oracle, but
-    # computed over CORPUS rows only (the index predates the batch);
-    # routing = row_number over the per-vector centroid ranking;
-    # verify = naive cosine (both engines fold sequentially on
-    # DOUBLE[], so routing ranks, sims, and verdicts all reproduce).
+    # The same md5 d/e/f batch-split convention as _merge_ingest_oracle,
+    # the frozen-centroid CTEs of the q_knn_ivf oracle computed over
+    # CORPUS rows only (the index predates the batch), and the
+    # literal-hyperplane band expressions of _embed_lsh_oracle (same
+    # seeded planes): routing = row_number over the per-vector centroid
+    # ranking; candidates = shared (probed cell, band, bucket); verify
+    # = naive cosine.  Both engines fold sequentially on DOUBLE[], so
+    # routing ranks, buckets, sims, and verdicts all reproduce.
+    bits, n_bands = 8, S.DEFAULT_LSH_BANDS
+    planes = S._hyperplanes(64, bits * n_bands)
     cos = (
         "list_dot_product({a},{b}) / (sqrt(list_dot_product({a},{a})) * "
         "sqrt(list_dot_product({b},{b})))"
     )
+
+    def band_expr(tbl: str, j: int) -> str:
+        terms = []
+        for i in range(bits):
+            lit = ", ".join("'" + repr(w) + "'" for w in planes[j * bits + i])
+            terms.append(
+                f"(CASE WHEN list_dot_product({tbl}.v, [{lit}]::DOUBLE[]) > 0"
+                f" THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    def sig_cols(tbl: str) -> str:
+        return ", ".join(
+            f"{band_expr(tbl, j)} AS b{j}" for j in range(n_bands)
+        )
+
+    def band_union(src: str) -> str:
+        return "\n        UNION ALL ".join(
+            f"SELECT vec_id, {j} AS band, b{j} AS bucket FROM {src}"
+            for j in range(n_bands)
+        )
+
     return f"""
     WITH pos AS (
         SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
@@ -761,31 +787,57 @@ def _ivf_merge_oracle() -> str:
     cvec AS MATERIALIZED (
         SELECT label, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label
     ),
-    batch AS MATERIALIZED (
+    batch0 AS MATERIALIZED (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('d','e','f')
     ),
-    corpus AS MATERIALIZED (
+    bsig AS MATERIALIZED (SELECT vec_id, v, {sig_cols("batch0")} FROM batch0),
+    bband AS MATERIALIZED ({band_union("bsig")}),
+    corpus0 AS MATERIALIZED (
         SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
         WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) NOT IN ('d','e','f')
     ),
+    csig AS MATERIALIZED (
+        SELECT vec_id, label, v, {sig_cols("corpus0")} FROM corpus0
+    ),
     routes AS MATERIALIZED (
-        SELECT b.vec_id, c.label, b.v, ROW_NUMBER() OVER (
+        SELECT b.vec_id, c.label, ROW_NUMBER() OVER (
             PARTITION BY b.vec_id
             ORDER BY {cos.format(a="c.centroid", b="b.v")} DESC, c.label
         ) AS rn
-        FROM batch b CROSS JOIN cvec c
+        FROM bsig b CROSS JOIN cvec c
+    ),
+    probed AS MATERIALIZED (
+        SELECT r.vec_id, r.label, s.band, s.bucket
+        FROM routes r JOIN bband s ON s.vec_id = r.vec_id
+        WHERE r.rn <= 2
+    ),
+    cband AS (
+        SELECT c.vec_id, c.label, s.band, s.bucket
+        FROM csig c JOIN ({band_union("csig")}) s ON s.vec_id = c.vec_id
+    ),
+    within AS (
+        SELECT r.vec_id, r.label, s.band, s.bucket
+        FROM routes r JOIN bband s ON s.vec_id = r.vec_id
+        WHERE r.rn = 1
+    ),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT b.vec_id AS b_id, o.vec_id AS o_id, TRUE AS vs_corpus
+        FROM probed b JOIN cband o
+          ON o.label = b.label AND o.band = b.band AND o.bucket = b.bucket
+        UNION ALL
+        SELECT DISTINCT b.vec_id, o.vec_id, FALSE
+        FROM probed b JOIN within o
+          ON o.label = b.label AND o.band = b.band AND o.bucket = b.bucket
+             AND o.vec_id < b.vec_id
     ),
     ver AS (
-        SELECT r.vec_id AS b_id, o.vec_id AS o_id, TRUE AS vs_corpus
-        FROM routes r JOIN corpus o ON o.label = r.label
-        WHERE r.rn <= 2 AND {cos.format(a="r.v", b="o.v")} >= 0.3
-        UNION ALL
-        SELECT r.vec_id, ro.vec_id, FALSE
-        FROM routes r
-        JOIN routes ro ON ro.label = r.label AND ro.rn = 1
-                      AND ro.vec_id < r.vec_id
-        WHERE r.rn <= 2 AND {cos.format(a="r.v", b="ro.v")} >= 0.3
+        SELECT c.b_id, c.o_id, c.vs_corpus
+        FROM cand c
+        JOIN bsig b ON b.vec_id = c.b_id
+        JOIN (SELECT vec_id, v FROM csig
+              UNION ALL SELECT vec_id, v FROM bsig) o ON o.vec_id = c.o_id
+        WHERE {cos.format(a="b.v", b="o.v")} >= 0.3
     ),
     best AS (
         SELECT b_id,
@@ -809,25 +861,32 @@ def q_ivf_merge_ingest(spark, sf_dir):
     (md5(vec_id) prefix in d/e/f — the q_dedup_merge_ingest batch
     convention) plays the incoming batch; each is routed into the
     EXISTING IVF index (cell centroids frozen over corpus vectors only
-    — no retraining), its top-2 nearest cells are probed for verified
-    near-dups (cosine ≥ 0.3), and it is verdicted 'dup_of_corpus'
-    (canonical = smallest verified corpus id), 'dup_in_batch'
-    (verified match to a smaller-id batch vector at its routed cell),
-    or 'new' — the vector-side half of the corpus-that-grows story
-    (the embedding twin of q_dedup_merge_ingest).
+    — no retraining), near-dup candidates are generated inside its
+    top-2 cells via shared hyperplane-LSH band buckets (the
+    q_embed_lsh_neardup machinery — cell alone is NOT a bounded
+    candidate set: the cell-only variant measured 209x wall at 30x
+    data on the fixed-cell smoke corpus), exact cosine >= 0.3
+    verifies, and the vector is verdicted 'dup_of_corpus' (canonical =
+    smallest verified corpus id), 'dup_in_batch' (verified match to a
+    smaller-id batch vector at its routed cell), or 'new' — the
+    vector-side half of the corpus-that-grows story (the embedding
+    twin of q_dedup_merge_ingest, with the same candidates+verify
+    contract).
 
     Scale shape (operators/similarity.py ivf_merge_ingest): centroids
-    are k control-plane rows → broadcast; routing is one broadcast
-    join + a per-vector window over k rows; every candidate join is a
-    cell-equi join with the batch on one side (candidate mass is
-    batch-bounded, never a corpus self-join); output is batch-sized.
-    Decimal-accumulated centroid means + sequential-fold cosines make
-    routing, verification, and verdicts hash-match the SQL oracle
-    end-to-end.  Recall vs the full-rebuild index and vs exact NN is
-    pinned in tests/test_operators_unit.py."""
+    are k control-plane rows -> broadcast; routing is one broadcast
+    join + a per-vector window over k rows; band signatures are
+    in-row; every candidate join is (cell, band, bucket)-equi with the
+    batch on one side (candidate mass bounded by batch size x bands x
+    bucket occupancy, never a corpus self-join); output is
+    batch-sized.  Decimal-accumulated centroid means, literal seeded
+    hyperplanes, and sequential-fold cosines make routing, bucketing,
+    verification, and verdicts hash-match the SQL oracle end-to-end.
+    Recall vs the full-rebuild index is pinned in
+    tests/test_operators_unit.py."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.ivf_merge_ingest(
-        emb, _merge_batch_flag, n_probe=2, threshold=0.3
+        emb, _merge_batch_flag, dim=64, n_probe=2, threshold=0.3
     )
 
 
