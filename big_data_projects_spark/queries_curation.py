@@ -1905,7 +1905,11 @@ def q_dedup_cluster_stats(spark, sf_dir):
         comps.groupBy("comp")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .coalesce(1)  # control-plane sized; see q_graph_modularity note
-        .persist()  # feeds the distribution AND the covered-mass scalar
+        # localCheckpoint, not persist: both consumers (distribution +
+        # covered-mass scalar) would otherwise re-analyze the whole
+        # jaccard + CC lineage per action (the q_graph_modularity
+        # round-9 finding, 2-branch edition).
+        .localCheckpoint()
     )
     dist = clusters.groupBy(
         F.col("n_docs").cast("long").alias("cluster_size")
@@ -2135,17 +2139,23 @@ def q_graph_modularity(spark, sf_dir):
     # yet land spread over shuffle-partition-many partitions; coalesce
     # before the 4-branch fan-out so every downstream stage runs a
     # handful of tasks instead of 32 empty ones per branch (narrow
-    # coalesce — no exchange, linter-clean).
+    # coalesce — no exchange, linter-clean).  localCheckpoint, not
+    # persist: persist caches the ROWS but every one of the four
+    # downstream branches still carries (and re-analyzes) the whole
+    # jaccard + CC lineage in its plan — measured 10-12 s per run at
+    # sf0.1 vs 4.3-5.6 s with the lineage truncated (round 9; the
+    # same Catalyst-analysis-dominates regime as the round-6
+    # checkpoint-cadence negative result, from the other side).
     edges = (
         D.ngram_jaccard_pairs(docs, threshold=0.1)
         .select("doc_a", "doc_b")
         .coalesce(1)
-        .persist()  # feeds m, intra, and (twice) the degree relation
+        .localCheckpoint()  # feeds m, intra, and (twice) the degrees
     )
     comp = (
         connected_components(edges, src="doc_a", dst="doc_b")
         .coalesce(1)
-        .persist()
+        .localCheckpoint()
     )
     m = edges.agg(F.count(F.lit(1)).cast("long").alias("m"))
     ca = comp.select(F.col("node").alias("doc_a"), F.col("comp").alias("c_a"))
