@@ -2926,9 +2926,16 @@ def q_dedup_threshold_sweep(spark, sf_dir):
     from big_data_projects_spark.operators import dedup as D
 
     docs = _t(spark, sf_dir, "documents")
+    # localCheckpoint, not persist: six count branches (two per sweep
+    # point) would each re-analyze the full shingle-join lineage per
+    # action (the q_graph_modularity round-9 finding; ~20% here).
+    # q_lsh_quality measured the same swap NEUTRAL-to-worse — its
+    # consumers join pair relations rather than re-aggregate them, so
+    # eager materialization blocks the pipeline instead of saving
+    # analysis — and keeps persist.
     pairs = D.ngram_jaccard_pairs(
         docs, threshold=DEDUP_THRESHOLD_SWEEP[0]
-    ).persist()  # every sweep point filters this one relation
+    ).localCheckpoint()  # every sweep point filters this one relation
     tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
     parts = []
     for t in DEDUP_THRESHOLD_SWEEP:
