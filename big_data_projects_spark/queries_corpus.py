@@ -110,32 +110,43 @@ def q_contamination(spark, sf_dir):
 
     Scale shape: the eval shingle set is orders of magnitude smaller
     than the training corpus, so the membership probe is a broadcast-
-    able semi-ish join — AQE picks broadcast when it fits, shuffle-hash
+    able LEFT join — AQE picks broadcast when it fits, shuffle-hash
     otherwise (policy: no manual hint, eval size is data-dependent).
-    The ratio is bigint/bigint → IEEE double, identical cross-engine.
+    Total and contaminated counts come from ONE doc-keyed aggregate
+    over the probed rows (count(*) vs count(hit-marker)) — the
+    sizes⋈hits two-aggregate shape this replaces shuffled the train
+    relation by doc_id twice and joined the results, a full extra
+    train-sized exchange for the same arithmetic. The ratio is
+    bigint/bigint → IEEE double, identical cross-engine.
     """
     docs = _t(spark, sf_dir, "documents")
     sh = D.shingles(docs, "doc_id", "text", 3).persist()
     is_eval = F.col("doc_id") % 10 == 0
-    eval_sh = sh.filter(is_eval).select("shingle").distinct()
+    eval_sh = (
+        sh.filter(is_eval)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
     train = sh.filter(~is_eval)
-    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (
-        train.join(eval_sh, "shingle")
+    # eval_sh is distinct on the join key, so the left join never fans
+    # out: count(*) per doc is the doc's shingle count and count(__hit)
+    # counts exactly the occurrences that hit the eval set.
+    per_doc = (
+        train.join(eval_sh, "shingle", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_contaminated"),
+        )
     )
     ratio = F.col("n_contaminated") / F.col("n_shingles")
-    return (
-        sizes.join(hits, "doc_id", "left")
-        .withColumn("n_contaminated", F.coalesce("n_contaminated", F.lit(0)))
-        .select(
-            "doc_id",
-            "n_shingles",
-            "n_contaminated",
-            ratio.alias("contamination_ratio"),
-            (ratio >= 0.5).alias("is_contaminated"),
-        )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        ratio.alias("contamination_ratio"),
+        (ratio >= 0.5).alias("is_contaminated"),
     )
 
 
