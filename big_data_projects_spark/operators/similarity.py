@@ -222,9 +222,10 @@ def ivf_merge_ingest(
     'dup_in_batch', 'new'} and canonical_id = the smallest verified
     match (corpus matches take precedence), else NULL.
 
-    Scale shape: centroids are k rows (control-plane) → broadcast;
-    routing is a broadcast join + a per-vector window over k rows
-    (fine-grained keys, fully parallel); band signatures are in-row
+    Scale shape: centroids are k rows (control-plane) → packed into
+    ONE broadcast row; routing is ranked IN-ROW (array_sort over
+    struct(-csim, cell), the kmeans_assign in-row-argmin pattern) so
+    the batch is never shuffled for it; band signatures are in-row
     projections; every candidate join is a (cell, band, bucket)
     equi-join with the BATCH on one side (candidate mass bounded by
     batch size × bands × bucket occupancy, never a corpus self-join);
@@ -261,22 +262,45 @@ def ivf_merge_ingest(
 
     # Coarse routing: rank the k frozen centroids per batch vector
     # (csim desc, cell asc) — rn=1 is where the vector is inserted,
-    # rn<=n_probe are the cells probed for near-dups.
-    rn = F.row_number().over(
-        Window.partitionBy(id_col).orderBy(
-            F.col("__csim").desc(), F.col(part_col)
-        )
+    # rn<=n_probe are the cells probed for near-dups.  The k centroids
+    # are packed into ONE broadcast row (array_sort(collect_list) — a
+    # k-row control-plane aggregate, no driver collect) and the ranking
+    # is computed IN-ROW: struct(-csim, cell) ascending reproduces
+    # (csim desc, cell asc) exactly (IEEE negation is sign-flip-exact,
+    # ±0.0 order flips symmetrically), so the probe set is identical to
+    # the batch×k crossJoin + per-id row_number window this replaces —
+    # which shuffled a batch-sized relation for an argmin over k rows
+    # that never needed to leave the scan task (the kmeans_assign
+    # in-row-argmin pattern).
+    packed = centroids.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(part_col).alias("cell"), F.col("centroid"))
+            )
+        ).alias("__cents")
+    )
+    vec = F.col(vec_col)
+    scored = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            (-cosine_sim(c["centroid"], vec)).alias("negsim"),
+            c["cell"].alias("cell"),
+        ),
     )
     routes = (
         batch_sig.select(id_col, vec_col)
-        .crossJoin(F.broadcast(centroids))
+        .crossJoin(F.broadcast(packed))
         .select(
             id_col,
-            part_col,
-            cosine_sim(F.col("centroid"), F.col(vec_col)).alias("__csim"),
+            F.posexplode(F.slice(F.array_sort(scored), 1, n_probe)).alias(
+                "__pos", "__rc"
+            ),
         )
-        .select(id_col, part_col, rn.alias("rn"))
-        .filter(F.col("rn") <= n_probe)
+        .select(
+            id_col,
+            F.col("__rc.cell").alias(part_col),
+            (F.col("__pos") + 1).alias("rn"),
+        )
         .persist()
     )
     batch_bands = batch_sig.select(id_col, bucket_explode)

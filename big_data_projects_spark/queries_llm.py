@@ -874,8 +874,9 @@ def q_ivf_merge_ingest(spark, sf_dir):
     contract).
 
     Scale shape (operators/similarity.py ivf_merge_ingest): centroids
-    are k control-plane rows -> broadcast; routing is one broadcast
-    join + a per-vector window over k rows; band signatures are
+    are k control-plane rows packed into ONE broadcast row; routing is
+    ranked IN-ROW (array_sort over struct(-csim, cell) — no batch
+    shuffle, no window); band signatures are
     in-row; every candidate join is (cell, band, bucket)-equi with the
     batch on one side (candidate mass bounded by batch size x bands x
     bucket occupancy, never a corpus self-join); output is

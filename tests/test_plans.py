@@ -433,15 +433,19 @@ def test_round4_operator_plan_shapes(spark):
 
 
 def test_ivf_merge_ingest_plan_shape(spark):
-    """Round-9 ANN MERGE keeps its scale contract: the k-row frozen
-    codebook reaches the batch via a BROADCAST (the crossJoin must be
-    a BroadcastNestedLoopJoin of the control-plane centroid relation,
-    never a CartesianProduct); the routing window partitions by vec_id
-    (no single-partition exchange); everything stays JVM-side."""
+    """Round-9 ANN MERGE keeps its scale contract: the packed k-row
+    frozen codebook reaches the batch via a BROADCAST (the crossJoin
+    must be a BroadcastNestedLoopJoin of the one-row control-plane
+    relation, never a CartesianProduct); routing is ranked IN-ROW
+    (array_sort over struct(-csim, cell)) so the plan has NO window
+    exchange for it — the only SinglePartition exchange is the k-row
+    codebook-packing aggregate; everything stays JVM-side."""
     plan = plan_of(spark, "q_ivf_merge_ingest")
     assert "BroadcastNestedLoopJoin" in plan, (
         "centroid codebook not broadcast to the batch"
     )
     assert "CartesianProduct" not in plan
-    assert "Exchange SinglePartition" not in plan
+    # The in-row routing must not reintroduce a per-vector window: no
+    # Window operator anywhere in the MERGE plan.
+    assert "Window" not in plan, "routing regressed to a window shuffle"
     assert "EvalPython" not in plan

@@ -543,7 +543,7 @@ def test_round8_ops_invariant_under_partition_count(spark):
         for nparts in ("32", "7"):
             spark.conf.set("spark.sql.shuffle.partitions", nparts)
             for name in ("q_dedup_merge_ingest", "q_tokenizer_roundtrip",
-                         # round-9 registration: routing window +
+                         # round-9 registration: in-row routing +
                          # min-agg verdicts must be layout-free too
                          "q_ivf_merge_ingest"):
                 rows_ = REGISTRY[name].raw(spark, sf).collect()

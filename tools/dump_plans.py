@@ -293,10 +293,11 @@ SHOWCASE = [
     (
         "q_ivf_merge_ingest",
         "Incremental ANN index MERGE (round 9): the frozen codebook is "
-        "a k-row centroid aggregate (control-plane sized) BROADCAST to "
-        "the batch for routing; the routing window partitions by "
-        "vec_id (k rows per key — fine-grained, fully parallel, never "
-        "a single-partition exchange); every candidate join is a "
+        "a k-row centroid aggregate (control-plane sized) packed into "
+        "ONE row and BROADCAST to the batch; routing is ranked IN-ROW "
+        "(array_sort over struct(-csim, cell)) — no batch shuffle, no "
+        "window, no single-partition exchange on the data path; every "
+        "candidate join is a "
         "cell-equi join with the ~19% batch on one side, so candidate "
         "mass is batch-bounded and the corpus is never self-joined; "
         "the verdict is one batch-keyed min-aggregate + left join. "
