@@ -146,6 +146,12 @@ QUERIES = [
     "q_dedup_clusters",
     "q_dedup_cluster_stats",
     "q_graph_modularity",
+    # round-9 addition: the remaining untracked heavy iterative plan —
+    # 5 integer-unit PageRank rounds over the Jaccard similarity graph
+    # (risk: edge volume × a fixed round count of join+agg stages; the
+    # smoke corpus holds duplicate density constant, so edges — and
+    # hence per-round join cost — must stay ~linear in M).
+    "q_pagerank_sim_graph",
     # round-6 registration: shares the shingle-pair machinery, adds two
     # doc-keyed source-attachment joins of the pair list (risk: pair
     # volume × join fanout if a corpus is one giant near-dup family).
