@@ -382,7 +382,12 @@ def minhash_merge_ingest(
     """
     sh = shingles(df, id_col, text_col, n, hasher=hasher).persist()
     sig = minhash_signatures(df, id_col, text_col, n, shingle_df=sh)
-    bands = band_buckets(sig, id_col=id_col, hasher=hasher)
+    # Three filter branches (batch×2 joins, corpus, within) consume the
+    # banded relation; without persist each re-runs the 64-min
+    # signature groupBy — the same per-branch recomputation
+    # minhash_lsh_pairs already persists against.  docs×LSH_BANDS
+    # narrow rows: small at any corpus size relative to shingles.
+    bands = band_buckets(sig, id_col=id_col, hasher=hasher).persist()
 
     is_batch = batch_flag(F.col(id_col))
     batch_bands = bands.filter(is_batch).select(
