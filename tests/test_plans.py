@@ -449,3 +449,23 @@ def test_ivf_merge_ingest_plan_shape(spark):
     # Window operator anywhere in the MERGE plan.
     assert "Window" not in plan, "routing regressed to a window shuffle"
     assert "EvalPython" not in plan
+
+
+def test_contamination_single_doc_aggregate(spark):
+    """Round-9 continuation: the membership probe is ONE left join to
+    the distinct eval set followed by ONE doc-keyed aggregate — the
+    old sizes⋈hits shape shuffled the train shingle relation by
+    doc_id twice and joined the two aggregates.  Pin that exactly one
+    doc_id exchange remains so the extra train-sized shuffle cannot
+    quietly come back."""
+    import re
+
+    plan = plan_of(spark, "q_contamination")
+    # doc_id-ONLY exchanges (the per-(doc,shingle) dedup exchange inside
+    # shingles() keys on both columns and is not the one under test).
+    doc_exchanges = re.findall(r"hashpartitioning\(doc_id#\d+L?, \d+\)", plan)
+    assert len(doc_exchanges) == 1, (
+        f"contamination regressed to {len(doc_exchanges)} doc-keyed "
+        "exchanges (expected the single fused aggregate)"
+    )
+    assert "CartesianProduct" not in plan
