@@ -321,6 +321,12 @@ _ROUND10_QUEUE: list[str] = [
 # q_stats_moments — then the oldest r05 rows), same contract.
 _ROUND11_QUEUE: list[str] = []
 
+# Registrations AFTER the round-11 window froze go here; the round-12
+# window builds from this list plus refreshes (the 4 r05 rows deferred
+# by round 11 — see _R11_DEFERRED_R05 — then the oldest r06 rows),
+# same contract.
+_ROUND12_QUEUE: list[str] = []
+
 
 # Round-10 window, pre-staged (gated on the driver-committed
 # CORRECTNESS_r09.json): the 1-entry round-10 queue (the round-9 ANN
@@ -354,6 +360,32 @@ _ROUND10_WINDOW = _ROUND10_QUEUE + [
     "q_try_arith", "q_unpivot", "q_user_gap_features", "q_variant_json",
     "q_window_ignore_nulls",
 ]
+
+
+# The 4 round-5 rows round 11 defers to round 12 — chosen for the
+# strongest standing alternate signal: q_global_shuffle and
+# q_skipgram_pairs sit in bench HEADLINE_41 (timed every round);
+# q_semdedup is scale-smoke-tracked with a fresh M=100 record; and
+# q_kmeans_clusters' machinery (kmeans_assign) is exercised every
+# bench round by q_cluster_purity (HEADLINE + its own M=100 record).
+_R11_DEFERRED_R05 = [
+    "q_global_shuffle", "q_skipgram_pairs", "q_semdedup",
+    "q_kmeans_clusters",
+]
+
+# Round-11 window, pre-staged (gated on the driver-committed
+# CORRECTNESS_r10.json): the round-11 queue (empty unless something
+# registers after the round-10 window froze), then the 4 r04 rows
+# round 10 deliberately deferred (all bench-HEADLINE_41 — they must
+# not slip past r11), then 46 of the 50 round-5 rows — after round 10
+# they are the OLDEST remaining driver rows (six rounds stale when
+# this window runs).  Derived from _ROUND5_WINDOW so a drifted name
+# can't silently orphan a row; the rotation meta-tests pin size,
+# uniqueness, and registration.
+_ROUND11_WINDOW = _ROUND11_QUEUE + [
+    "q_knn_pq", "q_interpolate_linear", "q_sketch_top_terms",
+    "q_stats_moments",
+] + [n for n in _ROUND5_WINDOW if n not in _R11_DEFERRED_R05]
 
 
 # Round-8 window, pre-staged (gated on the driver-committed
@@ -466,7 +498,20 @@ def _swept(round_no: int) -> bool:
 
 
 def _rotate_registry() -> None:
-    if _swept(9):  # round 10: pre-staged window to the front
+    if _swept(10):  # round 11: pre-staged window to the front
+        front, already = (
+            _ROUND11_WINDOW,
+            _ALREADY_DRIVER_CHECKED
+            + _ROUND3_WINDOW
+            + _ROUND4_WINDOW
+            + _ROUND5_WINDOW
+            + _ROUND6_WINDOW
+            + _ROUND7_WINDOW
+            + _ROUND8_WINDOW
+            + _ROUND9_WINDOW
+            + _ROUND10_WINDOW,
+        )
+    elif _swept(9):  # round 10: pre-staged window to the front
         front, already = (
             _ROUND10_WINDOW,
             _ALREADY_DRIVER_CHECKED

@@ -25,6 +25,9 @@ from big_data_projects_spark.queries import (
     _ROUND10_QUEUE,
     _ROUND10_WINDOW,
     _ROUND11_QUEUE,
+    _ROUND11_WINDOW,
+    _ROUND12_QUEUE,
+    _R11_DEFERRED_R05,
     _swept,
 )
 
@@ -33,7 +36,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def _driver_checked() -> set[str]:
     names: set[str] = set()
-    for r in range(1, 10):
+    for r in range(1, 12):
         p = os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json")
         if os.path.exists(p):
             with open(p) as f:
@@ -45,6 +48,7 @@ def test_windows_are_well_formed():
     for window in (
         _ROUND3_WINDOW, _ROUND4_WINDOW, _ROUND5_WINDOW, _ROUND6_WINDOW,
         _ROUND7_WINDOW, _ROUND8_WINDOW, _ROUND9_WINDOW, _ROUND10_WINDOW,
+        _ROUND11_WINDOW,
     ):
         assert len(window) == 50
         assert len(set(window)) == 50, "duplicate entry in a window"
@@ -54,7 +58,9 @@ def test_windows_are_well_formed():
 
 def test_active_window_is_at_the_front():
     names = list(REGISTRY)
-    if _swept(9):
+    if _swept(10):
+        expected = _ROUND11_WINDOW
+    elif _swept(9):
         expected = _ROUND10_WINDOW
     elif _swept(8):
         expected = _ROUND9_WINDOW
@@ -132,6 +138,54 @@ def test_round10_window_activates_when_r09_lands(monkeypatch):
     assert list(REGISTRY)[:50] == list(real)[:50]
 
 
+def test_round11_window_activates_when_r10_lands(monkeypatch):
+    """Simulate the driver committing CORRECTNESS_r10.json: the rotation
+    must put the pre-staged round-11 window at the registry front.  The
+    registry is re-rotated back to the real state afterward."""
+    import big_data_projects_spark.queries as Q
+
+    real = dict(REGISTRY)
+    try:
+        monkeypatch.setattr(Q, "_swept", lambda r: r <= 10)
+        Q._rotate_registry()
+        assert list(REGISTRY)[:50] == _ROUND11_WINDOW
+    finally:
+        monkeypatch.undo()
+        REGISTRY.clear()
+        REGISTRY.update(real)
+        Q._rotate_registry()
+    assert list(REGISTRY)[:50] == list(real)[:50]
+
+
+def test_round11_window_carries_the_deferred_r04_rows_and_oldest_r05():
+    """The r11 window must retire the round-10 deferral: the 4
+    bench-HEADLINE_41 r04 rows lead the refresh slots, and the
+    remaining slots are exactly 46 of the 50 round-5 rows (the oldest
+    after round 10 lands), with the 4 deferred r05 entries all
+    carrying standing alternate signal (bench HEADLINE_41 membership
+    or a scale-smoke row / machinery exercised under one)."""
+    import bench
+    from tools.scale_smoke import QUERIES as SMOKE
+
+    refreshes = [n for n in _ROUND11_WINDOW if n not in _ROUND11_QUEUE]
+    deferred_r04 = {"q_knn_pq", "q_interpolate_linear",
+                    "q_sketch_top_terms", "q_stats_moments"}
+    assert set(refreshes[:4]) == deferred_r04
+    assert all(n in bench.HEADLINE_41 for n in deferred_r04)
+    r05 = set(_ROUND5_WINDOW)
+    rest = refreshes[4:]
+    assert all(n in r05 for n in rest)
+    deferred_r05 = sorted(r05 - set(rest))
+    assert deferred_r05 == sorted(_R11_DEFERRED_R05)
+    covered_by_machinery = {"q_kmeans_clusters"}  # via q_cluster_purity
+    for n in deferred_r05:
+        assert (
+            n in bench.HEADLINE_41
+            or n in SMOKE
+            or n in covered_by_machinery
+        ), f"deferred r05 row without standing signal: {n}"
+
+
 def test_round10_window_carries_the_deferred_r03_rows_and_oldest_r04():
     """The r10 window must retire the round-9 deferral (VERDICT r8
     "what's missing" #2): the 3 bench-covered r03 rows lead the
@@ -186,6 +240,8 @@ def test_every_query_lands_under_a_driver_window():
         | set(_ROUND10_QUEUE)
         | set(_ROUND10_WINDOW)
         | set(_ROUND11_QUEUE)
+        | set(_ROUND11_WINDOW)
+        | set(_ROUND12_QUEUE)
     )
     uncovered = [n for n in REGISTRY if n not in covered]
     assert not uncovered, (
