@@ -398,8 +398,8 @@ def q_median(spark, sf_dir):
            CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
              AS sum_1h
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
-                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     """,
 )
 def q_rolling_time_window(spark, sf_dir):
@@ -407,15 +407,19 @@ def q_rolling_time_window(spark, sf_dir):
     value sum. RANGE frames bound by *values* of the ordering key (all
     events within the trailing hour), unlike ROWS frames which bound by
     position — the standard shape for rate limiting / rolling metrics.
-    Ordered on epoch seconds so both engines share frame edges exactly;
-    events at identical timestamps are RANGE peers and aggregate
-    together regardless of tie order, so no tiebreak column is needed
-    for determinism."""
+    Ordered on integer epoch MICROSECONDS on both engines: Spark's
+    unix_timestamp() truncates sub-second components while DuckDB's
+    epoch() keeps them, so a seconds-keyed frame silently disagreed at
+    the hour boundary once the testdata carried fractional timestamps
+    — unix_micros ↔ epoch_us are exact int64 on both sides. Events at
+    identical timestamps are RANGE peers and aggregate together
+    regardless of tie order, so no tiebreak column is needed for
+    determinism."""
     ev = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, Window.currentRow)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1000000, Window.currentRow)
     )
     return ev.select(
         "event_id",

@@ -361,9 +361,9 @@ def q_salted_agg(spark, sf_dir):
     ),
     n AS (SELECT user_id, CAST(SUM(k) AS BIGINT) AS n FROM c GROUP BY 1)
     SELECT c.user_id,
-           round(-SUM(CAST(round((k / CAST(n AS DOUBLE))
-                                 * ln(k / CAST(n AS DOUBLE)), 12)
-                           AS DECIMAL(38,18))), 10) AS entropy
+           CAST(-SUM(CAST(round((k / CAST(n AS DOUBLE))
+                                * ln(k / CAST(n AS DOUBLE)) * 1e9)
+                          AS BIGINT)) AS DOUBLE) / 1e9 AS entropy
     FROM c JOIN n ON c.user_id = n.user_id
     GROUP BY c.user_id
     """,
@@ -371,19 +371,36 @@ def q_salted_agg(spark, sf_dir):
 def q_entropy(spark, sf_dir):
     """Per-user Shannon entropy of the event-type mix — the diversity
     score a curation pipeline uses to find single-behavior bots (H→0)
-    vs uniform explorers (H→ln 5). Each p·ln p term is a fixed-shape
-    double expression rounded to 12 decimals, then summed as DECIMAL
-    so the per-user total is order-independent; the final value rounds
-    to 10. Two bounded-key aggregates, no window."""
+    vs uniform explorers (H→ln 5). Two bounded-key aggregates, no
+    window.
+
+    Determinism is the pagerank_units recipe, not the round-then-
+    decimal-sum one: each p·ln p term is quantized to INTEGER
+    nano-units (round(t·1e9) → BIGINT — one shared double multiply,
+    then a round whose non-tie result is engine-independent because
+    both engines see the same binary double and ties need the double
+    EXACTLY on k+0.5, a measure-zero grid hit), int64-summed (exact,
+    order-free), and converted once at the end by the same
+    int→double÷1e9 op on both engines.  The previous shape — terms
+    round(·,12)→DECIMAL(38,18), final round(·,10) — died on a
+    testdata refresh: sums of exact 9/12-decimal terms land on the
+    final round's tie ("…50") with P ≈ 1e-2 per user, and AT a tie
+    the engines disagree because Spark casts double→decimal via the
+    shortest decimal rendering while DuckDB expands the binary value
+    (the pagerank_units docstring's 18th-digit note), flipping the
+    last kept digit.  Integer units have no second round, so no tie
+    to disagree on."""
     ev = _t(spark, sf_dir, "events")
     c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("k"))
     n = c.groupBy("user_id").agg(F.sum("k").alias("n"))
     p = F.col("k") / F.col("n").cast("double")
-    term = F.round(p * F.log(p), 12).cast("decimal(38,18)")
+    units = F.round(p * F.log(p) * F.lit(1e9)).cast("long")
     return (
         c.join(n, "user_id")
         .groupBy("user_id")
-        .agg(F.round(-F.sum(term), 10).cast("double").alias("entropy"))
+        .agg(
+            ((-F.sum(units)).cast("double") / F.lit(1e9)).alias("entropy")
+        )
     )
 
 

@@ -549,12 +549,12 @@ _PSI_BINS = 10
     )
     SELECT c.event_type,
            CAST(t.nr AS BIGINT) AS n_ref, CAST(t.nc AS BIGINT) AS n_cur,
-           round(SUM(CAST(round(
+           CAST(SUM(CAST(round(
                ((kc + 0.5) / (t.nc + {_PSI_BINS} * 0.5)
                 - (kr + 0.5) / (t.nr + {_PSI_BINS} * 0.5))
                * ln(((kc + 0.5) / (t.nc + {_PSI_BINS} * 0.5))
-                    / ((kr + 0.5) / (t.nr + {_PSI_BINS} * 0.5))), 12)
-             AS DECIMAL(38,18))), 10) AS psi
+                    / ((kr + 0.5) / (t.nr + {_PSI_BINS} * 0.5))) * 1e12)
+             AS BIGINT)) AS DOUBLE) / 1e12 AS psi
     FROM counts c JOIN tot t USING (event_type)
     GROUP BY c.event_type, t.nr, t.nc
     """,
@@ -572,8 +572,14 @@ def q_drift_psi(spark, sf_dir):
     the midpoint and per-type edges are tiny aggregates broadcast back;
     per-(type,bin,half) counts are one uniform groupBy; everything
     after is control-plane sized (types × 10 rows). Float determinism:
-    each PSI term is a fixed-shape double expression rounded to 12,
-    decimal-summed, rounded to 10 — the q_entropy recipe."""
+    each PSI term is quantized to INTEGER pico-units
+    (round(t·1e12) → BIGINT), int64-summed, and converted once by the
+    same int→double÷1e12 op on both engines — the integer-units
+    q_entropy recipe. (The earlier round-12→decimal-sum→round-10
+    shape leaves the final round a tie with P ≈ 1e-2 per output row,
+    where Spark's shortest-repr double→decimal cast and DuckDB's
+    binary expansion disagree — the failure a testdata refresh
+    surfaced on q_entropy.)"""
     ev = _t(spark, sf_dir, "events")
     nb = _PSI_BINS
     b = ev.select(
@@ -634,9 +640,9 @@ def q_drift_psi(spark, sf_dir):
     smooth = F.lit(nb * 0.5)
     pr = (F.col("kr") + 0.5) / (F.col("nr") + smooth)
     pc = (F.col("kc") + 0.5) / (F.col("nc") + smooth)
-    term = F.round((pc - pr) * F.log(pc / pr), 12).cast("decimal(38,18)")
+    units = F.round((pc - pr) * F.log(pc / pr) * F.lit(1e12)).cast("long")
     return j.groupBy("event_type", "nr", "nc").agg(
-        F.round(F.sum(term), 10).cast("double").alias("psi")
+        (F.sum(units).cast("double") / F.lit(1e12)).alias("psi")
     ).select(
         "event_type",
         F.col("nr").cast("long").alias("n_ref"),
@@ -1020,7 +1026,12 @@ def q_shard_assignment(spark, sf_dir):
     ).cast("long")
     d = docs.select("doc_id", dpos.alias("dpos")).join(F.broadcast(ring))
     cand = F.filter("ring", lambda x: x["vpos"] >= F.col("dpos"))
-    shard = F.coalesce(F.element_at(cand, 1), F.col("ring")[0])["s"]
+    # try_element_at, not element_at: a document hashed past the LAST
+    # vnode has an EMPTY candidate list (the wrap-around case), and
+    # under ANSI mode element_at(empty, 1) throws before the coalesce
+    # can wrap to the ring minimum — latent until a testdata refresh
+    # produced doc ids whose positions exceed the top vnode.
+    shard = F.coalesce(F.try_element_at(cand, F.lit(1)), F.col("ring")[0])["s"]
     counts = d.select(shard.alias("shard")).groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs")
     )

@@ -393,12 +393,12 @@ def q_stream_file_ingest(spark, sf_dir):
     )
     SELECT c.event_type,
            CAST(t.nr AS BIGINT) AS n_ref, CAST(t.nc AS BIGINT) AS n_cur,
-           round(SUM(CAST(round(
+           CAST(SUM(CAST(round(
                ((kc + 0.5) / (t.nc + 5.0)
                 - (kr + 0.5) / (t.nr + 5.0))
                * ln(((kc + 0.5) / (t.nc + 5.0))
-                    / ((kr + 0.5) / (t.nr + 5.0))), 12)
-             AS DECIMAL(38,18))), 10) AS psi
+                    / ((kr + 0.5) / (t.nr + 5.0))) * 1e12)
+             AS BIGINT)) AS DOUBLE) / 1e12 AS psi
     FROM counts c JOIN tot t USING (event_type)
     GROUP BY c.event_type, t.nr, t.nc
     """,
@@ -494,10 +494,14 @@ def q_stream_drift_psi(spark, sf_dir):
     j = counts.join(F.broadcast(tot), "event_type")
     pr = (F.col("kr") + 0.5) / (F.col("nr") + F.lit(5.0))
     pc = (F.col("kc") + 0.5) / (F.col("nc") + F.lit(5.0))
-    term = F.round((pc - pr) * F.log(pc / pr), 12).cast("decimal(38,18)")
+    # Integer pico-units, not round->decimal-sum->round: the final
+    # round of that shape ties with P ~ 1e-2 per row, where Spark's
+    # shortest-repr double->decimal cast and DuckDB's binary expansion
+    # disagree (the q_entropy refresh failure; see q_drift_psi).
+    units = F.round((pc - pr) * F.log(pc / pr) * F.lit(1e12)).cast("long")
     return (
         j.groupBy("event_type", "nr", "nc")
-        .agg(F.round(F.sum(term), 10).cast("double").alias("psi"))
+        .agg((F.sum(units).cast("double") / F.lit(1e12)).alias("psi"))
         .select(
             "event_type",
             F.col("nr").cast("long").alias("n_ref"),
