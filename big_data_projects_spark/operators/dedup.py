@@ -373,12 +373,14 @@ def minhash_merge_ingest(
     is identical either way.
 
     Caching contract (same as ngram_jaccard_pairs): the shingle
-    relation feeds three consumers (signatures, both verify sides) so
-    it is persisted for the duration of the computation; the handle
-    is plan-keyed and stays in the session cache after the caller
-    evaluates the result.  Long-lived sessions composing many calls
-    should ``spark.catalog.clearCache()`` between them (bench.py and
-    the driver sweep already do; ADVICE r8 #2).
+    relation feeds three consumers (signatures, both verify sides) and
+    the banded relation three filter branches, so BOTH are persisted
+    for the duration of the computation (docs×LSH_BANDS narrow rows
+    for the bands — small relative to shingles at any corpus size);
+    the handles are plan-keyed and stay in the session cache after the
+    caller evaluates the result.  Long-lived sessions composing many
+    calls should ``spark.catalog.clearCache()`` between them (bench.py
+    and the driver sweep already do; ADVICE r8 #2, r9 #3).
     """
     sh = shingles(df, id_col, text_col, n, hasher=hasher).persist()
     sig = minhash_signatures(df, id_col, text_col, n, shingle_df=sh)

@@ -224,8 +224,11 @@ def ivf_merge_ingest(
 
     Scale shape: centroids are k rows (control-plane) → packed into
     ONE broadcast row; routing is ranked IN-ROW (array_sort over
-    struct(-csim, cell), the kmeans_assign in-row-argmin pattern) so
-    the batch is never shuffled for it; band signatures are in-row
+    struct(-csim, cell), the kmeans_assign in-row-argmin pattern —
+    exact vs the window it replaced for FINITE similarities;
+    degenerate csims from zero-norm vectors/centroids (NaN) or NULL
+    operands are pinned to -inf so they deterministically rank last)
+    so the batch is never shuffled for it; band signatures are in-row
     projections; every candidate join is a (cell, band, bucket)
     equi-join with the BATCH on one side (candidate mass bounded by
     batch size × bands × bucket occupancy, never a corpus self-join);
@@ -266,9 +269,10 @@ def ivf_merge_ingest(
     # are packed into ONE broadcast row (array_sort(collect_list) — a
     # k-row control-plane aggregate, no driver collect) and the ranking
     # is computed IN-ROW: struct(-csim, cell) ascending reproduces
-    # (csim desc, cell asc) exactly (IEEE negation is sign-flip-exact,
-    # ±0.0 order flips symmetrically), so the probe set is identical to
-    # the batch×k crossJoin + per-id row_number window this replaces —
+    # (csim desc, cell asc) exactly for FINITE csims (IEEE negation is
+    # sign-flip-exact, ±0.0 order flips symmetrically; NaN/NULL csims
+    # are pinned to -inf below), so the probe set matches the batch×k
+    # crossJoin + per-id row_number window this replaces —
     # which shuffled a batch-sized relation for an argmin over k rows
     # that never needed to leave the scan task (the kmeans_assign
     # in-row-argmin pattern).
@@ -280,10 +284,34 @@ def ivf_merge_ingest(
         ).alias("__cents")
     )
     vec = F.col(vec_col)
+    # Degenerate-similarity guard (ADVICE r9 #1): cosine to a
+    # zero-norm vector or centroid divides by zero — an ANSI-mode
+    # runtime abort (Spark 4 default), or NaN under legacy semantics,
+    # where the window this replaces ranked NaN FIRST (largest double
+    # under csim DESC) while struct(-csim) ASC ranks it last.  None of
+    # those behaviors is meaningful — a zero-norm vector is near
+    # NOTHING under cosine — so the routing division is made TOTAL
+    # (try_divide: NULL on /0, bit-identical to `/` otherwise) and
+    # degenerate csims (NULL or NaN) are pinned to -inf: they
+    # deterministically rank LAST, with the cell-asc tiebreak keeping
+    # the route well-defined even when every similarity is degenerate.
+    # For finite similarities the in-row ranking is exact vs the
+    # replaced window (IEEE negation is sign-flip-exact, ±0.0 order
+    # flips symmetrically).
+    neg_inf = F.lit(float("-inf"))
+
+    def _total_cosine(a, b):
+        return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
+
+    def _guarded_sim(c):
+        return F.coalesce(
+            F.nanvl(_total_cosine(c["centroid"], vec), neg_inf), neg_inf
+        )
+
     scored = F.transform(
         F.col("__cents"),
         lambda c: F.struct(
-            (-cosine_sim(c["centroid"], vec)).alias("negsim"),
+            (-_guarded_sim(c)).alias("negsim"),
             c["cell"].alias("cell"),
         ),
     )
@@ -341,10 +369,14 @@ def ivf_merge_ingest(
     o_vecs = corpus.select(id_col, vec_col).unionByName(
         batch_sig.select(id_col, vec_col)
     ).select(F.col(id_col).alias("__o_id"), F.col(vec_col).alias("__o_v"))
+    # The verify division is total for the same reason as the routing:
+    # a candidate pair involving a zero-norm vector yields NULL (not an
+    # ANSI abort), and NULL >= threshold filters it out — a zero-norm
+    # vector matches nothing.  Identical to cosine_sim on finite input.
     verified = (
         cand.join(b_vecs, "__b_id")
         .join(o_vecs, "__o_id")
-        .filter(cosine_sim(F.col("__b_v"), F.col("__o_v")) >= threshold)
+        .filter(_total_cosine(F.col("__b_v"), F.col("__o_v")) >= threshold)
         .select("__b_id", "__o_id", "__vs_corpus")
     )
     best = verified.groupBy("__b_id").agg(

@@ -1470,6 +1470,44 @@ def test_ivf_merge_ingest_verdict_precedence_and_routing(spark):
     assert all(cell in (0, 1) for cell, _, _ in got.values())
 
 
+def test_ivf_merge_ingest_degenerate_similarity_routes_last(spark):
+    """ADVICE r9 #1: cosine to a zero-norm centroid (or from a
+    zero-norm vector) is NaN (0/0); unguarded, Spark ranks NaN as the
+    LARGEST double, which would route every vector into the degenerate
+    cell.  The in-row routing pins NaN/NULL csims to -inf, so (a) a
+    finite batch vector never routes to a zero-norm cell and (b) an
+    all-degenerate ranking falls back to the deterministic cell-asc
+    tiebreak."""
+    from big_data_projects_spark.operators.similarity import (
+        ivf_merge_ingest,
+    )
+
+    rows = [
+        # cell 0: zero-norm centroid (all-zero corpus vectors).
+        (1, [0.0, 0.0], 0),
+        (2, [0.0, 0.0], 0),
+        # cells 1 and 2: finite, orthogonal.
+        (3, [1.0, 0.0], 1),
+        (4, [0.0, 1.0], 2),
+        # batch: one finite vector near cell 1, one zero-norm vector.
+        (101, [0.9, 0.1], 9),
+        (102, [0.0, 0.0], 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_merge_ingest(
+            df, lambda c: c >= 100, dim=2, n_probe=1, threshold=0.95
+        ).collect()
+    }
+    # NaN-vs-cell-0 must not outrank the real similarity to cell 1.
+    assert got[101] == 1
+    # Every csim NaN -> every score -inf -> smallest cell id wins.
+    assert got[102] == 0
+
+
 def test_ivf_merge_frozen_index_recall_vs_full_rebuild(spark):
     """The merge-without-retraining claim, pinned by measurement at
     sf0.001: verified-dup recall of the FROZEN index (centroids from

@@ -468,4 +468,13 @@ def test_contamination_single_doc_aggregate(spark):
         f"contamination regressed to {len(doc_exchanges)} doc-keyed "
         "exchanges (expected the single fused aggregate)"
     )
+    # Structural twin of the exchange-count pin (ADVICE r9 #2: the
+    # regex above is explain-format-sensitive): exactly ONE
+    # partial+final HashAggregate pair keyed on doc_id ALONE — the
+    # fused probe aggregate.  The old sizes⋈hits shape had two pairs.
+    doc_aggs = re.findall(r"Keys \[1\]: \[doc_id#\d+L?\]", plan)
+    assert len(doc_aggs) == 2, (
+        f"expected one partial+final doc_id HashAggregate pair, found "
+        f"{len(doc_aggs)} doc_id-keyed HashAggregates"
+    )
     assert "CartesianProduct" not in plan
