@@ -59,6 +59,15 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def cosine_sim_total(a: Column, b: Column) -> Column:
+    """cosine_sim with a TOTAL division: NULL (not an ANSI-mode abort,
+    not NaN) when either vector has zero norm — bit-identical to
+    cosine_sim on finite input.  Consumers that rank or threshold
+    similarities use this so degenerate vectors compare as
+    nothing-is-near rather than erroring (ADVICE r9 #1)."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
+
+
 def topk_cosine(
     emb: DataFrame,
     query_id: int,
@@ -300,12 +309,9 @@ def ivf_merge_ingest(
     # flips symmetrically).
     neg_inf = F.lit(float("-inf"))
 
-    def _total_cosine(a, b):
-        return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
-
     def _guarded_sim(c):
         return F.coalesce(
-            F.nanvl(_total_cosine(c["centroid"], vec), neg_inf), neg_inf
+            F.nanvl(cosine_sim_total(c["centroid"], vec), neg_inf), neg_inf
         )
 
     scored = F.transform(
@@ -376,7 +382,7 @@ def ivf_merge_ingest(
     verified = (
         cand.join(b_vecs, "__b_id")
         .join(o_vecs, "__o_id")
-        .filter(_total_cosine(F.col("__b_v"), F.col("__o_v")) >= threshold)
+        .filter(cosine_sim_total(F.col("__b_v"), F.col("__o_v")) >= threshold)
         .select("__b_id", "__o_id", "__vs_corpus")
     )
     best = verified.groupBy("__b_id").agg(

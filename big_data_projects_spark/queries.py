@@ -319,10 +319,16 @@ _ROUND10_QUEUE: list[str] = [
 # window builds from this list plus refreshes (the 4 r04 rows deferred
 # by round 10 — q_knn_pq, q_interpolate_linear, q_sketch_top_terms,
 # q_stats_moments — then the oldest r05 rows), same contract.
-_ROUND11_QUEUE: list[str] = []
+# Seeded with the round-10 registration: the streaming ANN near-dup
+# gate (VERDICT r9 item #6's named candidate — the vector-side
+# streaming twin of q_stream_fuzzy_dedup, deploying q_ivf_merge_ingest's
+# frozen index against a vector stream).
+_ROUND11_QUEUE: list[str] = [
+    "q_stream_ivf_gate",
+]
 
 # Registrations AFTER the round-11 window froze go here; the round-12
-# window builds from this list plus refreshes (the 4 r05 rows deferred
+# window builds from this list plus refreshes (the 5 r05 rows deferred
 # by round 11 — see _R11_DEFERRED_R05 — then the oldest r06 rows),
 # same contract.
 _ROUND12_QUEUE: list[str] = []
@@ -362,26 +368,30 @@ _ROUND10_WINDOW = _ROUND10_QUEUE + [
 ]
 
 
-# The 4 round-5 rows round 11 defers to round 12 — chosen for the
+# The 5 round-5 rows round 11 defers to round 12 — chosen for the
 # strongest standing alternate signal: q_global_shuffle and
 # q_skipgram_pairs sit in bench HEADLINE_41 (timed every round);
-# q_semdedup is scale-smoke-tracked with a fresh M=100 record; and
+# q_semdedup is scale-smoke-tracked with a fresh M=100 record;
 # q_kmeans_clusters' machinery (kmeans_assign) is exercised every
-# bench round by q_cluster_purity (HEADLINE + its own M=100 record).
+# bench round by q_cluster_purity (HEADLINE + its own M=100 record);
+# and q_gopher_rules' rule set (shared GOPHER_STOPWORDS + the same
+# three in-row rules) is re-evaluated every bench round by the
+# HEADLINE q_stream_gopher_gate.  The 5th deferral makes room for the
+# round-10 registration at the queue front (windows are exactly 50).
 _R11_DEFERRED_R05 = [
     "q_global_shuffle", "q_skipgram_pairs", "q_semdedup",
-    "q_kmeans_clusters",
+    "q_kmeans_clusters", "q_gopher_rules",
 ]
 
 # Round-11 window, pre-staged (gated on the driver-committed
-# CORRECTNESS_r10.json): the round-11 queue (empty unless something
-# registers after the round-10 window froze), then the 4 r04 rows
-# round 10 deliberately deferred (all bench-HEADLINE_41 — they must
-# not slip past r11), then 46 of the 50 round-5 rows — after round 10
-# they are the OLDEST remaining driver rows (six rounds stale when
-# this window runs).  Derived from _ROUND5_WINDOW so a drifted name
-# can't silently orphan a row; the rotation meta-tests pin size,
-# uniqueness, and registration.
+# CORRECTNESS_r10.json): the round-11 queue (the round-10 streaming
+# ANN gate registration), then the 4 r04 rows round 10 deliberately
+# deferred (all bench-HEADLINE_41 — they must not slip past r11),
+# then 45 of the 50 round-5 rows — after round 10 they are the OLDEST
+# remaining driver rows (six rounds stale when this window runs).
+# Derived from _ROUND5_WINDOW so a drifted name can't silently orphan
+# a row; the rotation meta-tests pin size, uniqueness, registration,
+# and the deferred rows' standing alternate signal.
 _ROUND11_WINDOW = _ROUND11_QUEUE + [
     "q_knn_pq", "q_interpolate_linear", "q_sketch_top_terms",
     "q_stats_moments",

@@ -732,6 +732,237 @@ def q_stream_fuzzy_dedup(spark, sf_dir):
     return j
 
 
+def _stream_ivf_oracle() -> str:
+    # The _ivf_merge_oracle CTE structure (queries_llm.py) with the
+    # streaming family's vec_id % 3 split: frozen corpus-only
+    # centroids, row_number routing per stream vector, (probed cell ∧
+    # band bucket) candidates, naive-cosine verify.  Both engines fold
+    # dots sequentially on DOUBLE[], so routing ranks, buckets, sims —
+    # the whole gate — reproduce bit-for-bit in SQL.
+    from big_data_projects_spark.operators import similarity as S
+
+    bits, n_bands, n_probe = 8, S.DEFAULT_LSH_BANDS, 2
+    planes = S._hyperplanes(64, bits * n_bands)
+    cos = (
+        "list_dot_product({a},{b}) / (sqrt(list_dot_product({a},{a})) * "
+        "sqrt(list_dot_product({b},{b})))"
+    )
+
+    def band_expr(tbl: str, j: int) -> str:
+        terms = []
+        for i in range(bits):
+            lit = ", ".join("'" + repr(w) + "'" for w in planes[j * bits + i])
+            terms.append(
+                f"(CASE WHEN list_dot_product({tbl}.v, [{lit}]::DOUBLE[]) > 0"
+                f" THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    def sig_cols(tbl: str) -> str:
+        return ", ".join(
+            f"{band_expr(tbl, j)} AS b{j}" for j in range(n_bands)
+        )
+
+    def band_union(src: str) -> str:
+        return "\n        UNION ALL ".join(
+            f"SELECT vec_id, {j} AS band, b{j} AS bucket FROM {src}"
+            for j in range(n_bands)
+        )
+
+    return f"""
+    WITH pos AS (
+        SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+        WHERE vec_id % 3 != 0
+    ),
+    cent AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS c
+        FROM pos GROUP BY 1, 2
+    ),
+    cvec AS MATERIALIZED (
+        SELECT label, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label
+    ),
+    sin0 AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE vec_id % 3 = 0
+    ),
+    ssig AS MATERIALIZED (SELECT vec_id, v, {sig_cols("sin0")} FROM sin0),
+    sband AS MATERIALIZED ({band_union("ssig")}),
+    corpus0 AS MATERIALIZED (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE vec_id % 3 != 0
+    ),
+    csig AS MATERIALIZED (
+        SELECT vec_id, label, v, {sig_cols("corpus0")} FROM corpus0
+    ),
+    routes AS MATERIALIZED (
+        SELECT s.vec_id, c.label, ROW_NUMBER() OVER (
+            PARTITION BY s.vec_id
+            ORDER BY {cos.format(a="c.centroid", b="s.v")} DESC, c.label
+        ) AS rn
+        FROM ssig s CROSS JOIN cvec c
+    ),
+    probed AS MATERIALIZED (
+        SELECT r.vec_id, r.label, s.band, s.bucket
+        FROM routes r JOIN sband s ON s.vec_id = r.vec_id
+        WHERE r.rn <= {n_probe}
+    ),
+    cband AS (
+        SELECT c.vec_id, c.label, s.band, s.bucket
+        FROM csig c JOIN ({band_union("csig")}) s ON s.vec_id = c.vec_id
+    ),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT b.vec_id AS in_vec, o.vec_id AS corpus_vec
+        FROM probed b JOIN cband o
+          ON o.label = b.label AND o.band = b.band AND o.bucket = b.bucket
+    )
+    SELECT c.in_vec, c.corpus_vec, {cos.format(a="a.v", b="b.v")} AS sim
+    FROM cand c
+    JOIN ssig a ON a.vec_id = c.in_vec
+    JOIN csig b ON b.vec_id = c.corpus_vec
+    WHERE {cos.format(a="a.v", b="b.v")} >= 0.3
+    """
+
+
+@register("q_stream_ivf_gate", oracle=_stream_ivf_oracle())
+def q_stream_ivf_gate(spark, sf_dir):
+    """Streaming ANN near-dup gate — the vector-side twin of
+    q_stream_fuzzy_dedup and the streaming deployment of
+    q_ivf_merge_ingest's frozen index (VERDICT r9 #6): a STATIC
+    IVF+LSH index built from the existing corpus (vec_id % 3 != 0 —
+    frozen centroids + the corpus (cell, band, bucket) relation) gates
+    a STREAM of incoming vectors.  Per micro-batch, each incoming
+    vector computes its hyperplane band signatures and its IVF routing
+    ENTIRELY IN-ROW (the k frozen centroids arrive packed in ONE
+    broadcast row — a stream-static join on a literal key — and
+    array_sort over struct(-csim, cell) ranks them with the
+    degenerate-sim guard of operators/similarity.py ivf_merge_ingest;
+    no window, no stream shuffle, no state), explodes its top-2 probed
+    cells x band buckets, and stream-static equi-joins the corpus
+    index on (cell, band, bucket).  Candidates drain through a
+    foreachBatch parquet sink into a DISTRIBUTED batch DataFrame
+    (candidate volume scales with batch x bucket overlap — never
+    collected to the driver), and exact cosine >= 0.3 verifies
+    batch-side: the same candidates+verify contract as the batch MERGE.
+
+    At 100 TB the corpus index is a stored table (not broadcast —
+    only the k-row packed codebook is) and each micro-batch shuffles
+    only itself; the in-row signature + routing is the key property:
+    incoming vectors reach the index lookup without any groupBy.
+    Returns (in_vec, corpus_vec, sim) verified matches.  The oracle
+    reconstructs the whole gate in SQL — frozen centroids, routing
+    ranks, buckets, candidate set, verify — and hash-matches."""
+    from big_data_projects_spark.data import load_table
+    from big_data_projects_spark.operators import similarity as S
+    from big_data_projects_spark.streaming.core import (
+        run_to_distributed_batch,
+    )
+
+    ensure_runtime_conf(spark)
+    threshold = 0.3
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") % 3 != 0)
+    matches = _ivf_gate_match_stream(spark, sf_dir)
+    drained = run_to_distributed_batch(matches)
+
+    # Batch-side exact verify over the drained candidate set.
+    cand = drained.distinct()
+    s_vecs = emb.where(F.col("vec_id") % 3 == 0).select(
+        F.col("vec_id").alias("in_vec"), F.col("embedding").alias("__sv")
+    )
+    o_vecs = corpus.select(
+        F.col("vec_id").alias("corpus_vec"), F.col("embedding").alias("__ov")
+    )
+    return (
+        cand.join(s_vecs, "in_vec")
+        .join(o_vecs, "corpus_vec")
+        .select(
+            "in_vec",
+            "corpus_vec",
+            S.cosine_sim_total(F.col("__sv"), F.col("__ov")).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def _ivf_gate_match_stream(spark, sf_dir):
+    """The stream side of q_stream_ivf_gate up to the candidate join —
+    factored out so the statelessness/plan pins can inspect the
+    STREAMING DataFrame without driving it (tests/test_plans.py)."""
+    from big_data_projects_spark.data import load_table
+    from big_data_projects_spark.operators import similarity as S
+    from big_data_projects_spark.streaming.core import embeddings_stream
+
+    dim, bits, n_bands, n_probe = 64, 8, S.DEFAULT_LSH_BANDS, 2
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") % 3 != 0)
+    sigs = S.band_signature_cols(dim, bits, n_bands)
+
+    # Frozen index (static side): k centroids packed into ONE row
+    # (control-plane aggregate, no driver collect) + the corpus
+    # (cell, band, bucket) relation.
+    packed = (
+        S.part_centroids(corpus)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("label").alias("cell"), F.col("centroid"))
+                )
+            ).alias("__cents")
+        )
+        .withColumn("__one", F.lit(1))
+    )
+    bucket_explode = F.posexplode(
+        F.array(*[F.col(f"b{j}") for j in range(n_bands)])
+    ).alias("band", "bucket")
+    corpus_index = corpus.select("vec_id", "label", *sigs).select(
+        F.col("vec_id").alias("corpus_vec"), "label", bucket_explode
+    )
+
+    # Stream side: in-row signatures + in-row routing (stateless).
+    stream = embeddings_stream(spark, sf_dir).where(F.col("vec_id") % 3 == 0)
+    vec = F.col("embedding")
+    neg_inf = F.lit(float("-inf"))
+    scored = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            (
+                -F.coalesce(
+                    F.nanvl(S.cosine_sim_total(c["centroid"], vec), neg_inf),
+                    neg_inf,
+                )
+            ).alias("negsim"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    stream_keys = (
+        stream.select("vec_id", "embedding", *sigs)
+        .withColumn("__one", F.lit(1))
+        .join(F.broadcast(packed), "__one")
+        .select(
+            F.col("vec_id").alias("in_vec"),
+            F.transform(
+                F.slice(F.array_sort(scored), 1, n_probe),
+                lambda rc: rc["cell"],
+            ).alias("__cells"),
+            F.array(*[F.col(f"b{j}") for j in range(n_bands)]).alias(
+                "__buckets"
+            ),
+        )
+        .select("in_vec", F.explode("__cells").alias("label"), "__buckets")
+        .select(
+            "in_vec",
+            "label",
+            F.posexplode("__buckets").alias("band", "bucket"),
+        )
+    )
+    return stream_keys.join(
+        corpus_index, ["label", "band", "bucket"]
+    ).select("in_vec", "corpus_vec")
+
+
 @register(
     "q_stream_bloom_dedup",
     oracle=r"""

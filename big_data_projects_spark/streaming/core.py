@@ -26,17 +26,34 @@ _STAGE_CACHE: dict[str, str] = {}
 
 
 def _staged_source(src: str, prefix: str) -> str:
-    """Return a directory containing (a symlink to) ``src``, creating
-    it on first use and reusing it afterwards."""
+    """Return a directory containing (symlinks to) ``src``'s data
+    file(s), creating it on first use and reusing it afterwards.
+
+    ``src`` may be a single parquet file (the driver testdata shape)
+    or a Spark-written DIRECTORY of part files (the scale-smoke
+    corpora): the file-stream source lists only the top level of its
+    path — a symlinked subdirectory is silently skipped and the
+    stream reads ZERO rows (caught by the round-10 smoke run of
+    q_stream_ivf_gate) — so directory sources are flattened by
+    symlinking each part file directly into the stage dir."""
     stage = _STAGE_CACHE.get(src)
     if stage is not None and os.path.isdir(stage):
         return stage
     stage = tempfile.mkdtemp(prefix=prefix)
-    link = os.path.join(stage, os.path.basename(src))
-    try:
-        os.symlink(src, link)
-    except OSError:
-        shutil.copy(src, link)
+    if os.path.isdir(src):
+        entries = [
+            os.path.join(src, f)
+            for f in os.listdir(src)
+            if not f.startswith("_") and not f.startswith(".")
+        ]
+    else:
+        entries = [src]
+    for i, path in enumerate(entries):
+        link = os.path.join(stage, f"{i:05d}_{os.path.basename(path)}")
+        try:
+            os.symlink(path, link)
+        except OSError:
+            shutil.copy(path, link)
     _STAGE_CACHE[src] = stage
     return stage
 
@@ -157,4 +174,16 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = f"{sf_dir}/documents.parquet"
     batch_schema = spark.read.parquet(src).schema
     stage = _staged_source(src, "bdp_stream_docs_")
+    return spark.readStream.schema(batch_schema).parquet(stage)
+
+
+def embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the embeddings table (bounded backfill), same
+    staging trick as documents_stream. No event time — vector-gate
+    consumers run stateless in-row projections + stream-static joins
+    in append mode."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = f"{sf_dir}/embeddings.parquet"
+    batch_schema = spark.read.parquet(src).schema
+    stage = _staged_source(src, "bdp_stream_emb_")
     return spark.readStream.schema(batch_schema).parquet(stage)

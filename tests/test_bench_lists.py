@@ -55,7 +55,21 @@ def test_headline_94_is_a_prefix_of_headline():
     )
     assert len(era94) == 94
     assert bench.HEADLINE[: len(era94)] == era94
-    assert len(bench.HEADLINE) == 95  # + the r7 graduate
+
+
+def test_headline_95_is_a_prefix_of_headline():
+    """Round-10 era: headline_41 + r4 + r5 + r6 + r7 graduates stay in
+    place as the r8 batch (and later) graduate."""
+    era95 = (
+        bench.HEADLINE_41
+        + bench.GRADUATED_R4
+        + bench.GRADUATED_R5
+        + bench.GRADUATED_R6
+        + bench.GRADUATED_R7
+    )
+    assert len(era95) == 95
+    assert bench.HEADLINE[: len(era95)] == era95
+    assert len(bench.HEADLINE) == 97  # + the two r8 graduates
 
 
 def test_bench_summary_line_is_self_contained():
@@ -79,6 +93,7 @@ def test_bench_summary_line_is_self_contained():
     assert summary["headline_56"] == 56.0
     assert summary["headline_78"] == 78.0
     assert summary["headline_94"] == 94.0
+    assert summary["headline_95"] == 95.0
     # Median series (ADVICE r8 #1): pass-1 median-of-3 per query rides
     # in the full line; the like-for-like 41-query median subtotal
     # rides in BOTH lines so the r1-r7 median history stays comparable.
@@ -112,6 +127,68 @@ def test_build_output_defaults_without_instrumentation():
     assert full["headline_41_median"] is None
     assert summary["env"] is None
     assert summary["sf"] == 0.01
+
+
+def test_spreads_are_denominated_in_the_final_min():
+    """VERDICT r9 item #3 unit pin: the noise/spread record derives
+    from ALL samples (pass 1 + pass 2), so a pass-2-improved query's
+    ratio uses the FINAL reported min as its denominator — the fields
+    can never disagree with the reported timing."""
+    all_runs = {
+        "qa": [4.0, 4.0, 4.0, 1.0],  # pass 2 improved the min 4x
+        "qb": [2.0, 2.0, 2.0],       # quiet query, no pass-2 gain
+    }
+    spreads = bench.compute_spreads(all_runs)
+    assert spreads["qa"] == 4.0  # max 4.0 / FINAL min 1.0 — not 4/4
+    assert spreads["qb"] == 1.0
+
+
+def test_baseline_current_record_shape_and_provenance():
+    """The consolidated reference (VERDICT r9 item #2) must carry one
+    {min, median} row per benched query (headline + incoming), the
+    estimator string (so a future estimator change can't be compared
+    across eras silently), and the generating run's env fields."""
+    timings = {n: 1.0 for n in bench.HEADLINE}
+    incoming = {n: 2.0 for n in bench.INCOMING}
+    medians = {n: 1.5 for n in bench.HEADLINE + bench.INCOMING}
+    env = {"load_start": [1.0, 1.0, 1.0], "cpus": 32}
+    full, _ = bench.build_output(
+        timings, incoming, "/x/sf0.1", {}, env, medians
+    )
+    rec = bench.baseline_current_record(full)
+    assert rec["estimator"] == "min_of_3_plus_pass2_allcols"
+    assert rec["sf"] == 0.1
+    assert rec["env"]["cpus"] == 32
+    assert set(rec["queries"]) == set(bench.HEADLINE) | set(bench.INCOMING)
+    assert rec["queries"][bench.HEADLINE[0]] == {"min": 1.0, "median": 1.5}
+    assert rec["queries"][bench.INCOMING[0]] == {"min": 2.0, "median": 1.5}
+
+
+def test_committed_baseline_current_covers_the_headline():
+    """BASELINE_CURRENT.json (the committed consolidated reference) must
+    stay diffable against the live bench lists: every HEADLINE query
+    has a reference row, and every reference row is a benched query —
+    newly-registered INCOMING entries may lag until the next idle
+    regeneration, but a graduated or renamed query must fail HERE."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(bench.__file__), "BASELINE_CURRENT.json")
+    with open(path) as f:
+        rec = json.load(f)
+    assert rec["estimator"] == "min_of_3_plus_pass2_allcols"
+    keys = set(rec["queries"])
+    assert set(bench.HEADLINE) <= keys, (
+        f"headline queries without a reference row: "
+        f"{sorted(set(bench.HEADLINE) - keys)}"
+    )
+    allowed = set(bench.HEADLINE) | set(bench.INCOMING)
+    assert keys <= allowed, (
+        f"stale reference rows (renamed/dropped queries): "
+        f"{sorted(keys - allowed)}"
+    )
+    for row in rec["queries"].values():
+        assert row["min"] > 0
 
 
 def test_pass2_budget_skips_are_enumerated_by_name():

@@ -451,6 +451,26 @@ def test_ivf_merge_ingest_plan_shape(spark):
     assert "EvalPython" not in plan
 
 
+def test_stream_ivf_gate_stream_side_is_stateless_and_windowless(spark):
+    """The streaming ANN gate's key scale property: each incoming
+    vector's band signatures AND its IVF routing are computed IN-ROW
+    (packed broadcast codebook + array_sort over struct(-csim, cell)),
+    so the stream side up to the candidate join is a stateless
+    stream-static join — no Window (routing regressed to per-vector
+    ranking), no streaming Aggregate (state).  The static codebook
+    sub-plan's one control-plane aggregate is expected; a WINDOW
+    anywhere, or failure to stay a streaming plan, is the regression
+    this pins against."""
+    from big_data_projects_spark.queries_streaming import (
+        _ivf_gate_match_stream,
+    )
+
+    m = _ivf_gate_match_stream(spark, SF)
+    assert m.isStreaming, "gate stream side must be a streaming plan"
+    plan = m._jdf.queryExecution().analyzed().toString()
+    assert "Window" not in plan, "routing regressed to a window"
+
+
 def test_contamination_single_doc_aggregate(spark):
     """Round-9 continuation: the membership probe is ONE left join to
     the distinct eval set followed by ONE doc-keyed aggregate — the

@@ -177,7 +177,10 @@ def test_round11_window_carries_the_deferred_r04_rows_and_oldest_r05():
     assert all(n in r05 for n in rest)
     deferred_r05 = sorted(r05 - set(rest))
     assert deferred_r05 == sorted(_R11_DEFERRED_R05)
-    covered_by_machinery = {"q_kmeans_clusters"}  # via q_cluster_purity
+    covered_by_machinery = {
+        "q_kmeans_clusters",  # kmeans_assign via HEADLINE q_cluster_purity
+        "q_gopher_rules",     # rule set via HEADLINE q_stream_gopher_gate
+    }
     for n in deferred_r05:
         assert (
             n in bench.HEADLINE_41

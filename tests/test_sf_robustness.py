@@ -75,6 +75,11 @@ REPRESENTATIVES = [
     #                             a different corpus/batch split (cell
     #                             means, probe ranking, and verdict mix
     #                             must not bake in a corpus size)
+    # round-10 addition
+    "q_stream_ivf_gate",        # streaming twin: frozen index + in-row
+    #                             routing + stream-static candidates vs
+    #                             a different corpus (drain + verify
+    #                             must not bake in a batch size)
 ]
 
 

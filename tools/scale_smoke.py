@@ -224,7 +224,35 @@ QUERIES = [
     # stays batch-sized, so a superlinear wall here means candidate
     # mass and would NOT be excused by the output allowlist).
     "q_ivf_merge_ingest",
+    # round-10 registration: streaming ANN near-dup gate — the
+    # streaming deployment of the frozen IVF+band index (risk: the
+    # same batch×corpus candidate volume inside probed cells as the
+    # batch MERGE, plus the per-micro-batch drain; candidate mass,
+    # not output, drives any superlinear wall — not allowlistable).
+    "q_stream_ivf_gate",
 ]
+
+# Non-registry measurement variants: production-mode parameterizations
+# whose REGISTERED twin pins a constant for oracle determinism.  Keyed
+# like queries; selectable via SPARK_GRAFT_SMOKE_ONLY.
+#   x_embed_lsh_neardup_scaled — q_embed_lsh_neardup with
+#   bits_per_band derived from the corpus size (lsh_bits_for, the
+#   documented production mode) instead of the oracle-pinned 8 bits:
+#   the M=100 disk blow-up of the pinned variant (bucket occupancy
+#   x100 ⇒ verify mass ~x10^4, exceeding this box's ~79 GB scratch) is
+#   exactly what the scaling rule exists to prevent — this measures
+#   the fix instead of asserting it (VERDICT r9 item #4).
+def _embed_lsh_scaled(spark, sf_dir):
+    from big_data_projects_spark.data import load_table
+    from big_data_projects_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_neardup_pairs(emb, dim=64, threshold=0.3)
+
+
+EXTRA_BUILDERS = {
+    "x_embed_lsh_neardup_scaled": _embed_lsh_scaled,
+}
 # Near-linear tolerance: shuffles and within-bucket verify grow a bit
 # superlinearly even in healthy plans; 3x headroom over proportional
 # still fails hard on anything quadratic (which would show ~M x).
@@ -243,6 +271,10 @@ SLACK = 3.0
 # BASELINE.md round-7 smoke sections).
 OUTPUT_SUPERLINEAR_ALLOWLIST = {
     "q_embed_lsh_neardup",
+    # Same legitimate pair-emission growth as its pinned twin; the
+    # scaled signature width bounds the CANDIDATE mass (verify work),
+    # not the true near-dup pair count the corpus actually contains.
+    "x_embed_lsh_neardup_scaled",
 }
 
 
@@ -340,9 +372,11 @@ def _selected() -> list[str]:
     if not only:
         return QUERIES
     picked = [n for n in only.split(",") if n]
-    unknown = [n for n in picked if n not in QUERIES]
+    unknown = [
+        n for n in picked if n not in QUERIES and n not in EXTRA_BUILDERS
+    ]
     if unknown:
-        raise SystemExit(f"not in QUERIES: {unknown}")
+        raise SystemExit(f"not in QUERIES or EXTRA_BUILDERS: {unknown}")
     return picked
 
 
@@ -357,7 +391,12 @@ def time_queries(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
         # up to the entire candidate/verify machinery of the
         # merge-ingest shapes (round-9 audit) — the smoke would time a
         # scan and call it scaling evidence.
-        n = force_count(REGISTRY[name].spark(spark, sf_dir))
+        builder = (
+            EXTRA_BUILDERS[name]
+            if name in EXTRA_BUILDERS
+            else REGISTRY[name].spark
+        )
+        n = force_count(builder(spark, sf_dir))
         out[name] = (time.perf_counter() - t0, n)
         spark.catalog.clearCache()
         # Shuffle files are deleted by the ContextCleaner only after a
