@@ -303,6 +303,19 @@ SHOWCASE = [
         "the verdict is one batch-keyed min-aggregate + left join. "
         "Output rows = batch rows at any corpus size.",
     ),
+    (
+        "q_stream_ivf_gate",
+        "Streaming ANN near-dup gate (round 10): the dumped plan is the "
+        "BATCH verify stage over the drained candidate parquet (two "
+        "id-equi joins + the exact-cosine filter — candidate-bounded); "
+        "the STREAM side is stateless and windowless by construction "
+        "(in-row band signatures + in-row routing against the one-row "
+        "broadcast codebook, then a stream-static (cell, band, bucket) "
+        "equi-join; pinned by tests/test_plans.py "
+        "test_stream_ivf_gate_stream_side_is_stateless_and_windowless). "
+        "Per micro-batch only the batch itself shuffles; the corpus "
+        "index is a stored relation at scale.",
+    ),
 ]
 
 

