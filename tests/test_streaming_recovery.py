@@ -206,9 +206,35 @@ def test_staged_source_dir_is_reused_per_process():
     assert a == b
     import os
 
-    assert os.path.islink(os.path.join(a, "events.parquet")) or os.path.isfile(
-        os.path.join(a, "events.parquet")
+    entries = [e for e in os.listdir(a) if "events.parquet" in e]
+    assert len(entries) == 1
+    link = os.path.join(a, entries[0])
+    assert os.path.islink(link) or os.path.isfile(link)
+
+
+def test_staged_source_flattens_directory_sources(tmp_path, spark):
+    """A Spark-written DIRECTORY source must be flattened into the stage
+    dir (one symlink per part file, metadata files skipped): the
+    file-stream source does not descend into a symlinked subdirectory
+    and silently read ZERO rows from the round-10 smoke corpora."""
+    import os
+
+    from big_data_projects_spark.streaming.core import _staged_source
+
+    src = str(tmp_path / "emb.parquet")
+    spark.range(10).repartition(2).write.parquet(src)
+    stage = _staged_source(src, "bdp_test_stage_dir_")
+    staged = os.listdir(stage)
+    # every entry is a data file (no _SUCCESS, no nested dir)
+    assert staged and all("part-" in e for e in staged)
+    assert all(
+        not os.path.isdir(os.path.join(stage, e)) or
+        not os.path.islink(os.path.join(stage, e))
+        for e in staged
     )
+    assert len([e for e in staged if "part-" in e]) >= 2
+    back = spark.read.parquet(stage)
+    assert back.count() == 10
 
 
 def test_distributed_drain_handles_empty_stream(spark):
