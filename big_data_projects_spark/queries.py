@@ -498,6 +498,28 @@ _ROUND6_WINDOW = _ROUND6_QUEUE + _ROUND5_BATCH + [
 ]
 
 
+# The 5 round-6 rows round 12 defers to round 13 — all five sit in
+# bench HEADLINE (timed every round; GRADUATED_R4/R5 members), and
+# four carry their own M=100 scale-smoke ledger rows besides.
+_R12_DEFERRED_R06 = [
+    "q_kn_bigram_ppl", "q_bpe_train", "q_ann_recall",
+    "q_cluster_purity", "q_multimodal_dhash",
+]
+
+# Round-12 window, pre-staged (gated on the driver-committed
+# CORRECTNESS_r11.json): the round-12 queue (registrations after the
+# round-11 window froze), then the 5 r05 rows round 11 deliberately
+# deferred (all carrying standing bench/smoke/machinery signal — they
+# must not slip past r12), then 45 of the 50 round-6 rows — after
+# round 11 they are the OLDEST remaining driver rows.  Derived from
+# _ROUND6_WINDOW so a drifted name can't silently orphan a row; if
+# anything registers into _ROUND12_QUEUE, defer equally many further
+# r06 rows (the meta-test pins len == 50).
+_ROUND12_WINDOW = _ROUND12_QUEUE + _R11_DEFERRED_R05 + [
+    n for n in _ROUND6_WINDOW if n not in _R12_DEFERRED_R06
+]
+
+
 def _swept(round_no: int) -> bool:
     import os
 
@@ -508,7 +530,21 @@ def _swept(round_no: int) -> bool:
 
 
 def _rotate_registry() -> None:
-    if _swept(10):  # round 11: pre-staged window to the front
+    if _swept(11):  # round 12: pre-staged window to the front
+        front, already = (
+            _ROUND12_WINDOW,
+            _ALREADY_DRIVER_CHECKED
+            + _ROUND3_WINDOW
+            + _ROUND4_WINDOW
+            + _ROUND5_WINDOW
+            + _ROUND6_WINDOW
+            + _ROUND7_WINDOW
+            + _ROUND8_WINDOW
+            + _ROUND9_WINDOW
+            + _ROUND10_WINDOW
+            + _ROUND11_WINDOW,
+        )
+    elif _swept(10):  # round 11: pre-staged window to the front
         front, already = (
             _ROUND11_WINDOW,
             _ALREADY_DRIVER_CHECKED

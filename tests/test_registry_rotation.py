@@ -27,7 +27,9 @@ from big_data_projects_spark.queries import (
     _ROUND11_QUEUE,
     _ROUND11_WINDOW,
     _ROUND12_QUEUE,
+    _ROUND12_WINDOW,
     _R11_DEFERRED_R05,
+    _R12_DEFERRED_R06,
     _swept,
 )
 
@@ -48,7 +50,7 @@ def test_windows_are_well_formed():
     for window in (
         _ROUND3_WINDOW, _ROUND4_WINDOW, _ROUND5_WINDOW, _ROUND6_WINDOW,
         _ROUND7_WINDOW, _ROUND8_WINDOW, _ROUND9_WINDOW, _ROUND10_WINDOW,
-        _ROUND11_WINDOW,
+        _ROUND11_WINDOW, _ROUND12_WINDOW,
     ):
         assert len(window) == 50
         assert len(set(window)) == 50, "duplicate entry in a window"
@@ -155,6 +157,43 @@ def test_round11_window_activates_when_r10_lands(monkeypatch):
         REGISTRY.update(real)
         Q._rotate_registry()
     assert list(REGISTRY)[:50] == list(real)[:50]
+
+
+def test_round12_window_activates_when_r11_lands(monkeypatch):
+    """Simulate the driver committing CORRECTNESS_r11.json: the rotation
+    must put the pre-staged round-12 window at the registry front.  The
+    registry is re-rotated back to the real state afterward."""
+    import big_data_projects_spark.queries as Q
+
+    real = dict(REGISTRY)
+    try:
+        monkeypatch.setattr(Q, "_swept", lambda r: r <= 11)
+        Q._rotate_registry()
+        assert list(REGISTRY)[:50] == _ROUND12_WINDOW
+    finally:
+        monkeypatch.undo()
+        REGISTRY.clear()
+        REGISTRY.update(real)
+        Q._rotate_registry()
+    assert list(REGISTRY)[:50] == list(real)[:50]
+
+
+def test_round12_window_carries_the_deferred_r05_rows_and_oldest_r06():
+    """The r12 window must retire the round-11 deferral: the 5 deferred
+    r05 rows lead the refresh slots, and the remaining slots are
+    exactly 45 of the 50 round-6 rows (the oldest after round 11
+    lands), with the 5 deferred r06 entries all in bench HEADLINE
+    (timed every round)."""
+    import bench
+
+    refreshes = [n for n in _ROUND12_WINDOW if n not in _ROUND12_QUEUE]
+    assert refreshes[:5] == _R11_DEFERRED_R05
+    r06 = set(_ROUND6_WINDOW)
+    rest = refreshes[5:]
+    assert all(n in r06 for n in rest)
+    deferred_r06 = sorted(r06 - set(rest))
+    assert deferred_r06 == sorted(_R12_DEFERRED_R06)
+    assert all(n in bench.HEADLINE for n in deferred_r06), deferred_r06
 
 
 def test_round11_window_carries_the_deferred_r04_rows_and_oldest_r05():
