@@ -24,9 +24,16 @@
 
 No Python in the similarity hot loop: folds are Catalyst higher-order
 functions. A Pandas-UDF matmul variant is deliberately *not* the
-default — for top-k against a handful of queries the fold is
-shuffle-free and code-gen'd; swap in numpy only for large query
-batches (q×n matmul), where it wins on arithmetic density.
+default — the sequential fold is what makes signs/sims reproduce
+bit-for-bit in the DuckDB oracles (matmul reorders additions, so a
+near-zero dot can flip sign cross-engine) — but it is the documented
+production path once arithmetic density dominates: measured head-to-
+head on the 48-plane signature projection at 200k×64-dim vectors
+(tools/scale_smoke.py x_lsh_sig_hof vs x_lsh_sig_arrow, 2026-08-16),
+the Arrow mapInPandas matmul runs 0.64 s vs the HOF fold's 5.68 s —
+~9× — and the gap widens with dim. At dim ≥ several hundred (real
+embedding widths), swap the signature/scoring projections to the
+Arrow variant and keep the banding/join/verify shape unchanged.
 """
 
 from __future__ import annotations

@@ -250,8 +250,66 @@ def _embed_lsh_scaled(spark, sf_dir):
     return S.lsh_neardup_pairs(emb, dim=64, threshold=0.3)
 
 
+#   x_lsh_sig_hof / x_lsh_sig_arrow — the two candidate physical
+#   strategies for the hyperplane signature projection (48 plane dots
+#   per row), HEAD-TO-HEAD: the shipped JVM-side higher-order-function
+#   fold (zero serialization, deterministic sequential fold — the
+#   oracle-hash-matchable path) vs an Arrow-batched pandas_udf matmul
+#   (one n×dim · dim×48 BLAS call per batch, float64 — the documented
+#   production choice for WIDE embeddings where 48 interpreted
+#   HOF dots per row stop being cheap).  Measurement-only: the matmul
+#   reorders float additions, so its signs can differ near zero and it
+#   is NOT oracle-comparable; the shipped path stays HOF at dim=64.
+def _lsh_sig_hof(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from big_data_projects_spark.data import load_table
+    from big_data_projects_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sigs = S.band_signature_cols(64, 8, S.DEFAULT_LSH_BANDS)
+    return emb.select(F.col("vec_id"), *sigs)
+
+
+def _lsh_sig_arrow(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from big_data_projects_spark.data import load_table
+    from big_data_projects_spark.operators import similarity as S
+
+    bits, n_bands = 8, S.DEFAULT_LSH_BANDS
+    planes = S._hyperplanes(64, bits * n_bands)
+    out_schema = StructType(
+        [StructField("vec_id", LongType())]
+        + [StructField(f"b{j}", LongType()) for j in range(n_bands)]
+    )
+
+    def project(batches):
+        import numpy as np
+        import pandas as pd
+
+        p = np.asarray(planes, dtype=np.float64).T  # dim x 48
+        weights = (1 << np.arange(bits, dtype=np.int64))
+        for pdf in batches:
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            signs = (v @ p) > 0  # n x 48
+            cols = {"vec_id": pdf["vec_id"].to_numpy()}
+            for j in range(n_bands):
+                block = signs[:, j * bits : (j + 1) * bits]
+                cols[f"b{j}"] = (block * weights).sum(axis=1)
+            yield pd.DataFrame(cols)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", "embedding").mapInPandas(
+        project, schema=out_schema
+    )
+
+
 EXTRA_BUILDERS = {
     "x_embed_lsh_neardup_scaled": _embed_lsh_scaled,
+    "x_lsh_sig_hof": _lsh_sig_hof,
+    "x_lsh_sig_arrow": _lsh_sig_arrow,
 }
 # Near-linear tolerance: shuffles and within-bucket verify grow a bit
 # superlinearly even in healthy plans; 3x headroom over proportional
