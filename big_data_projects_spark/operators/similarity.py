@@ -63,6 +63,10 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
+    """Raw cosine kernel: partial division — a zero-norm vector is an
+    ANSI-mode runtime abort.  Kept for callers that PROVE finite input
+    (unit fixtures); every production ranking/threshold consumer in
+    this package uses cosine_sim_total instead (ADVICE r10 #3)."""
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
@@ -71,7 +75,9 @@ def cosine_sim_total(a: Column, b: Column) -> Column:
     not NaN) when either vector has zero norm — bit-identical to
     cosine_sim on finite input.  Consumers that rank or threshold
     similarities use this so degenerate vectors compare as
-    nothing-is-near rather than erroring (ADVICE r9 #1)."""
+    nothing-is-near rather than erroring (ADVICE r9 #1): NULL fails
+    every `>= threshold` filter, and Spark's DESC ordering puts NULL
+    last so it falls out of any top-k."""
     return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
@@ -97,8 +103,9 @@ def topk_cosine(
         .crossJoin(F.broadcast(q))
         .select(
             F.col(id_col),
-            (_dot(F.col(vec_col), F.col("__qv")) / (F.col("__n") * F.col("__qn")))
-            .alias("sim"),
+            F.try_divide(
+                _dot(F.col(vec_col), F.col("__qv")), F.col("__n") * F.col("__qn")
+            ).alias("sim"),
         )
     )
     return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
@@ -136,8 +143,9 @@ def blocked_neardup_pairs(
         .select(
             "id_a",
             "id_b",
-            (_dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")))
-            .alias("sim"),
+            F.try_divide(
+                _dot(F.col("__va"), F.col("__vb")), F.col("__na") * F.col("__nb")
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )
@@ -442,7 +450,7 @@ def ivf_topk(
     centroids = part_centroids(emb, part_col=part_col, vec_col=vec_col)
     probed = (
         centroids.crossJoin(F.broadcast(q))
-        .select(part_col, cosine_sim(F.col("centroid"), F.col("__qv")).alias("csim"))
+        .select(part_col, cosine_sim_total(F.col("centroid"), F.col("__qv")).alias("csim"))
         .orderBy(F.col("csim").desc(), F.col(part_col))
         .limit(n_probe)
         .select(part_col)
@@ -451,7 +459,7 @@ def ivf_topk(
         emb.join(F.broadcast(probed), part_col)
         .filter(F.col(id_col) != query_id)
         .crossJoin(F.broadcast(q))
-        .select(F.col(id_col), cosine_sim(F.col(vec_col), F.col("__qv")).alias("sim"))
+        .select(F.col(id_col), cosine_sim_total(F.col(vec_col), F.col("__qv")).alias("sim"))
     )
     return fine.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
 
@@ -543,7 +551,7 @@ def lsh_neardup_pairs(
         cands = c if cands is None else cands.unionByName(c)
     return (
         cands.dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", cosine_sim(F.col("__va"), F.col("__vb")).alias("sim"))
+        .select("id_a", "id_b", cosine_sim_total(F.col("__va"), F.col("__vb")).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
 
@@ -1467,7 +1475,7 @@ def pq_topk(
         .crossJoin(F.broadcast(qraw))
         .select(
             F.col(id_col),
-            cosine_sim(F.col(vec_col), F.col("__qv")).alias("sim"),
+            cosine_sim_total(F.col(vec_col), F.col("__qv")).alias("sim"),
         )
         .orderBy(F.desc("sim"), F.col(id_col))
         .limit(k)
@@ -1524,7 +1532,7 @@ def mmr_select(
     )
     ps = a.join(b, F.col("__ia") != F.col("__ib")).select(
         "__ia", "__ib",
-        cosine_sim(F.col("__va"), F.col("__vb")).alias("__s"),
+        cosine_sim_total(F.col("__va"), F.col("__vb")).alias("__s"),
     )
 
     # One action for the pool (pool rows), one for its pairwise sims

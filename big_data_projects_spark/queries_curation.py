@@ -2790,7 +2790,7 @@ def q_ivf_probe_recall(spark, sf_dir):
         .select(
             "qid",
             "label",
-            S.cosine_sim(F.col("centroid"), F.col("__qv")).alias("csim"),
+            S.cosine_sim_total(F.col("centroid"), F.col("__qv")).alias("csim"),
         )
         .withColumn("prank", F.row_number().over(pr_w))
         .select("qid", "label", "prank")
@@ -2802,7 +2802,7 @@ def q_ivf_probe_recall(spark, sf_dir):
             "qid",
             "vec_id",
             "label",
-            S.cosine_sim(F.col("embedding"), F.col("__qv")).alias("sim"),
+            S.cosine_sim_total(F.col("embedding"), F.col("__qv")).alias("sim"),
         )
         .join(F.broadcast(pranks), ["qid", "label"])
         .persist()  # exact rank + three probe-limited ranks read it

@@ -218,7 +218,7 @@ def q_embed_decontaminate(spark, sf_dir):
         "label", F.col("v").alias("vt")
     )
     sims = ev.join(tr, "label").select(
-        "vec_id", S.cosine_sim(F.col("v"), F.col("vt")).alias("sim")
+        "vec_id", S.cosine_sim_total(F.col("v"), F.col("vt")).alias("sim")
     )
     agg = sims.groupBy("vec_id").agg(
         F.count(F.when(F.col("sim") >= 0.3, 1)).alias("n_near"),
@@ -2452,7 +2452,7 @@ def _semdedup_invariants(emb, marked, threshold: float):
     has_nb = (
         a.join(b, "c")
         .where(F.col("ib") < F.col("ia"))
-        .where(S.cosine_sim(F.col("va"), F.col("vb")) >= threshold)
+        .where(S.cosine_sim_total(F.col("va"), F.col("vb")) >= threshold)
         .select(F.col("ia").alias("vec_id"))
         .distinct()
         .withColumn("__nb", F.lit(True))

@@ -35,17 +35,29 @@ def _staged_source(src: str, prefix: str) -> str:
     path — a symlinked subdirectory is silently skipped and the
     stream reads ZERO rows (caught by the round-10 smoke run of
     q_stream_ivf_gate) — so directory sources are flattened by
-    symlinking each part file directly into the stage dir."""
+    symlinking each part file directly into the stage dir.  The walk
+    RECURSES: a hive-partitioned source (written with partitionBy)
+    nests its part files one level down per partition column, and a
+    single-level flatten would symlink those partition directories —
+    reintroducing the same silent zero/partial-row skip one level
+    deeper (ADVICE r10).  Note the flatten drops partition-column
+    values encoded only in directory names; sources staged here carry
+    their columns in the data files (the testdata/scale-smoke shape)."""
     stage = _STAGE_CACHE.get(src)
     if stage is not None and os.path.isdir(stage):
         return stage
     stage = tempfile.mkdtemp(prefix=prefix)
     if os.path.isdir(src):
-        entries = [
-            os.path.join(src, f)
-            for f in os.listdir(src)
-            if not f.startswith("_") and not f.startswith(".")
-        ]
+        entries = []
+        for root, dirs, files in os.walk(src, followlinks=True):
+            dirs[:] = sorted(
+                d for d in dirs if not d.startswith("_") and not d.startswith(".")
+            )
+            entries.extend(
+                os.path.join(root, f)
+                for f in sorted(files)
+                if not f.startswith("_") and not f.startswith(".")
+            )
     else:
         entries = [src]
     for i, path in enumerate(entries):

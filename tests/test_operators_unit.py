@@ -1508,6 +1508,55 @@ def test_ivf_merge_ingest_degenerate_similarity_routes_last(spark):
     assert got[102] == 0
 
 
+def test_cosine_consumers_total_on_zero_norm_vectors(spark):
+    """ADVICE r10 #3: EVERY ranking/threshold cosine consumer must be
+    total on zero-norm vectors — under Spark 4 ANSI mode the raw
+    division is a runtime ABORT (the hazard class fixed for
+    ivf_merge_ingest in r10, applied unevenly until now).  A zero-norm
+    vector compares as nothing-is-near: NULL sim fails every
+    `>= threshold` filter and sorts last under DESC, so it falls out
+    of any top-k smaller than the corpus."""
+    from big_data_projects_spark.operators.similarity import (
+        blocked_neardup_pairs,
+        ivf_topk,
+        lsh_neardup_pairs,
+        topk_cosine,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.1], 0),
+        (3, [0.0, 1.0], 1),
+        (4, [0.1, 0.9], 1),
+        (6, [0.0, 0.0], 0),  # degenerate
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+    # topk_cosine: no abort; the zero-norm row scores NULL and sorts
+    # last, so any k < corpus excludes it.
+    top = topk_cosine(emb, query_id=1, k=3).collect()
+    assert [r["vec_id"] for r in top] == [2, 4, 3]
+    full = topk_cosine(emb, query_id=1, k=10).collect()
+    assert full[-1]["vec_id"] == 6 and full[-1]["sim"] is None
+
+    # zero-norm QUERY: all sims NULL, no abort, deterministic id order.
+    zq = topk_cosine(emb, query_id=6, k=10).collect()
+    assert all(r["sim"] is None for r in zq)
+
+    # threshold consumers: pairs involving the degenerate row vanish.
+    pairs = blocked_neardup_pairs(emb, threshold=0.3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2), (3, 4)}
+    lsh = lsh_neardup_pairs(emb, dim=2, threshold=0.3).collect()
+    assert all(6 not in (r["id_a"], r["id_b"]) for r in lsh)
+
+    # ivf_topk: degenerate row never aborts the coarse or fine stage;
+    # finite sims (2: ~0.99, 4: ~0.11) outrank 3 (0.0) and 6 (NULL).
+    ivf = ivf_topk(emb, query_id=1, k=2, n_probe=2).collect()
+    assert [r["vec_id"] for r in ivf] == [2, 4]
+
+
 def test_ivf_merge_frozen_index_recall_vs_full_rebuild(spark):
     """The merge-without-retraining claim, pinned by measurement at
     sf0.001: verified-dup recall of the FROZEN index (centroids from

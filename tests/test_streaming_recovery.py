@@ -225,16 +225,47 @@ def test_staged_source_flattens_directory_sources(tmp_path, spark):
     spark.range(10).repartition(2).write.parquet(src)
     stage = _staged_source(src, "bdp_test_stage_dir_")
     staged = os.listdir(stage)
-    # every entry is a data file (no _SUCCESS, no nested dir)
+    # every entry is a data file (no _SUCCESS, no nested dir) — a real
+    # OR symlinked directory in the stage dir would be silently skipped
+    # by the file-stream source (ADVICE r10: the earlier guard passed
+    # real directories)
     assert staged and all("part-" in e for e in staged)
-    assert all(
-        not os.path.isdir(os.path.join(stage, e)) or
-        not os.path.islink(os.path.join(stage, e))
-        for e in staged
-    )
+    assert all(not os.path.isdir(os.path.join(stage, e)) for e in staged)
     assert len([e for e in staged if "part-" in e]) >= 2
     back = spark.read.parquet(stage)
     assert back.count() == 10
+
+
+def test_staged_source_flattens_hive_partitioned_sources(tmp_path, spark):
+    """A hive-PARTITIONED source (partitionBy) nests part files one
+    level down per partition value; a single-level flatten would stage
+    the partition DIRECTORIES, which the file-stream source silently
+    skips — the same zero-row failure one level deeper (ADVICE r10).
+    The walk must recurse so every leaf part file is staged flat.
+    (Partition-column values live only in the directory names, so the
+    flattened stage drops that column — callers staging partitioned
+    sources must carry their columns in the data files; asserted here
+    by reading back the data column only.)"""
+    import os
+
+    from big_data_projects_spark.streaming.core import _staged_source
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "part_emb.parquet")
+    (
+        spark.range(12)
+        .withColumn("bucket", (F.col("id") % F.lit(3)).cast("int"))
+        .write.partitionBy("bucket")
+        .parquet(src)
+    )
+    stage = _staged_source(src, "bdp_test_stage_hive_")
+    staged = os.listdir(stage)
+    assert staged and all("part-" in e for e in staged)
+    assert all(not os.path.isdir(os.path.join(stage, e)) for e in staged)
+    # one leaf file per partition at minimum
+    assert len(staged) >= 3
+    back = spark.read.parquet(stage)
+    assert back.select("id").distinct().count() == 12
 
 
 def test_distributed_drain_handles_empty_stream(spark):
