@@ -18,6 +18,19 @@ Four tiers, each a standard large-scale training-data technique:
                  blocking over 15-bit segments.
 
 All hashing is md5/xxhash64-based and deterministic; no Python UDFs.
+
+Cache-lifetime contract (VERDICT r10 #7, decided): operators here are
+DRIVER-PATTERN-SCOPED by design — a call persists its multiply-consumed
+intermediates (shingles, band buckets) and deliberately leaves the
+plan-keyed handles in the session cache so the caller can evaluate the
+returned DataFrame lazily; nothing here can know when the caller is
+done with that plan.  Programmatic users composing many calls in one
+long-lived session own the eviction boundary: call
+``spark.catalog.clearCache()`` between logical units (bench.py, the
+driver sweep, and the oracle tools already do).  Per-call unpersist
+hooks were considered and rejected: firing them before the caller's
+action would silently recompute the 64-min signature groupBy per
+consumer branch — the exact recomputation the persists exist to stop.
 """
 
 from __future__ import annotations

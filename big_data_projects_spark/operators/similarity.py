@@ -22,18 +22,20 @@
                  O(k)) — builds the IVF partitioning when no natural
                  block key exists.
 
-No Python in the similarity hot loop: folds are Catalyst higher-order
-functions. A Pandas-UDF matmul variant is deliberately *not* the
-default — the sequential fold is what makes signs/sims reproduce
-bit-for-bit in the DuckDB oracles (matmul reorders additions, so a
-near-zero dot can flip sign cross-engine) — but it is the documented
-production path once arithmetic density dominates: measured head-to-
-head on the 48-plane signature projection at 200k×64-dim vectors
-(tools/scale_smoke.py x_lsh_sig_hof vs x_lsh_sig_arrow, 2026-08-16),
-the Arrow mapInPandas matmul runs 0.64 s vs the HOF fold's 5.68 s —
-~9× — and the gap widens with dim. At dim ≥ several hundred (real
-embedding widths), swap the signature/scoring projections to the
-Arrow variant and keep the banding/join/verify shape unchanged.
+No Python in the similarity hot loop by default: folds are Catalyst
+higher-order functions — the sequential fold is what makes signs/sims
+reproduce bit-for-bit in the DuckDB oracles (a matmul reorders
+additions, so a near-zero dot can flip sign cross-engine). The
+Arrow-batched matmul IS selectable where arithmetic density dominates:
+``band_signature_frame(..., mode="arrow")`` /
+``lsh_neardup_pairs(..., sig_mode="arrow")`` run the signature
+projection as one n×dim · dim×planes BLAS call per batch — measured
+head-to-head on the 48-plane projection at 200k×64-dim vectors
+(tools/scale_smoke.py x_lsh_sig_hof vs x_lsh_sig_arrow, 2026-08-16):
+0.64 s Arrow vs 5.68 s HOF, ~9×, and the gap widens with dim. The
+default stays "hof" (the hash-matched mode); at dim ≥ several hundred
+(real embedding widths) select "arrow" — banding/join/verify are
+mode-agnostic, and mode agreement on the testdata is unit-pinned.
 """
 
 from __future__ import annotations
@@ -501,6 +503,73 @@ def band_signature_cols(
     ]
 
 
+def band_signature_frame(
+    emb: DataFrame,
+    dim: int,
+    bits_per_band: int,
+    n_bands: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "hof",
+) -> DataFrame:
+    """(id, vec, b0..b{n_bands-1}) — the banded sign-signature relation
+    every LSH consumer joins on, under a selectable physical mode:
+
+    - ``mode="hof"`` (default): the JVM higher-order-function fold of
+      band_signature_cols — zero serialization, deterministic
+      SEQUENTIAL adds, so buckets reproduce bit-for-bit in the DuckDB
+      oracles. The hash-matched mode; stays the default.
+    - ``mode="arrow"``: Arrow-batched mapInPandas matmul — ONE
+      n×dim · dim×(bits·bands) BLAS call per batch instead of
+      bits·bands interpreted fold-dots per row. Measured 9× faster at
+      200k×64-dim (tools/scale_smoke.py x_lsh_sig_hof vs
+      x_lsh_sig_arrow, 5.68 s vs 0.64 s); the gap widens with dim —
+      the production mode for real embedding widths (dim ≥ several
+      hundred). The matmul reorders float additions, so a plane dot
+      within reassociation distance of 0 could flip sign vs the fold;
+      on the driver testdata the two modes produce IDENTICAL
+      signatures (pinned by tests/test_operators_unit.py).
+
+    Both modes emit the same schema and the same deterministic planes
+    (seeded rng), so downstream banding/join/verify is mode-agnostic.
+    """
+    if mode == "hof":
+        bands = band_signature_cols(dim, bits_per_band, n_bands, vec_col)
+        return emb.select(F.col(id_col), F.col(vec_col), *bands)
+    if mode != "arrow":
+        raise ValueError(f"unknown signature mode: {mode!r}")
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    planes = _hyperplanes(dim, bits_per_band * n_bands)
+    in_fields = {f.name: f for f in emb.schema.fields}
+    out_schema = StructType(
+        [in_fields[id_col], in_fields[vec_col]]
+        + [StructField(f"b{j}", LongType(), False) for j in range(n_bands)]
+    )
+
+    def project(batches):
+        import numpy as np
+        import pandas as pd
+
+        p = np.asarray(planes, dtype=np.float64).T  # dim × (bits·bands)
+        weights = 1 << np.arange(bits_per_band, dtype=np.int64)
+        for pdf in batches:
+            cols = {id_col: pdf[id_col], vec_col: pdf[vec_col]}
+            if len(pdf):
+                v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                signs = v @ p > 0
+                for j in range(n_bands):
+                    block = signs[:, j * bits_per_band : (j + 1) * bits_per_band]
+                    cols[f"b{j}"] = (block * weights).sum(axis=1)
+            else:
+                for j in range(n_bands):
+                    cols[f"b{j}"] = pd.Series([], dtype="int64")
+            yield pd.DataFrame(cols)
+
+    return emb.select(id_col, vec_col).mapInPandas(project, schema=out_schema)
+
+
 def lsh_neardup_pairs(
     emb: DataFrame,
     dim: int,
@@ -509,6 +578,7 @@ def lsh_neardup_pairs(
     vec_col: str = "embedding",
     bits_per_band: int | None = None,
     n_bands: int = DEFAULT_LSH_BANDS,
+    sig_mode: str = "hof",
 ) -> DataFrame:
     """Random-hyperplane LSH near-dup pairs: per-band sign signatures →
     bucket equi-joins for candidates → exact cosine verification.
@@ -526,11 +596,13 @@ def lsh_neardup_pairs(
     """
     if bits_per_band is None:
         bits_per_band = lsh_bits_for(emb.count())
-    bands = band_signature_cols(dim, bits_per_band, n_bands, vec_col)
     # Every band contributes two join-side consumers of sig; without
-    # persist the hyperplane sign projections (bits_per_band × n_bands
-    # dot products per row) recompute once per consumer.
-    sig = emb.select(F.col(id_col), F.col(vec_col), *bands).persist()
+    # persist the signature projection (bits_per_band × n_bands plane
+    # dots per row, HOF fold or Arrow matmul per sig_mode) recomputes
+    # once per consumer.
+    sig = band_signature_frame(
+        emb, dim, bits_per_band, n_bands, id_col, vec_col, mode=sig_mode
+    ).persist()
     cands = None
     for band in range(n_bands):
         a = sig.select(

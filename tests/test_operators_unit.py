@@ -1557,6 +1557,47 @@ def test_cosine_consumers_total_on_zero_norm_vectors(spark):
     assert [r["vec_id"] for r in ivf] == [2, 4]
 
 
+def test_band_signature_modes_agree_on_testdata(spark):
+    """VERDICT r10 #3: the Arrow matmul signature projection
+    (band_signature_frame mode="arrow" — the production mode for wide
+    embeddings, measured 9× faster than the HOF fold at 200k×64-dim)
+    must produce the SAME band buckets as the shipped hash-matched HOF
+    mode on the driver testdata.  The only way they can diverge is a
+    plane dot within float-reassociation distance of 0 flipping sign;
+    this pins that the testdata sits nowhere near that edge, so
+    sig_mode is a pure physical-strategy knob (candidate sets, and
+    hence lsh_neardup_pairs output, are mode-identical)."""
+    from big_data_projects_spark.operators.similarity import (
+        DEFAULT_LSH_BANDS,
+        band_signature_frame,
+        lsh_neardup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kw = dict(dim=64, bits_per_band=8, n_bands=DEFAULT_LSH_BANDS)
+    bcols = [f"b{j}" for j in range(DEFAULT_LSH_BANDS)]
+    hof = {
+        r["vec_id"]: tuple(r[b] for b in bcols)
+        for r in band_signature_frame(emb, mode="hof", **kw).collect()
+    }
+    arrow = {
+        r["vec_id"]: tuple(r[b] for b in bcols)
+        for r in band_signature_frame(emb, mode="arrow", **kw).collect()
+    }
+    assert hof == arrow and len(hof) == emb.count()
+
+    # End-to-end: the full LSH near-dup operator is mode-identical.
+    def pairs(mode):
+        return {
+            (r["id_a"], r["id_b"], round(r["sim"], 9))
+            for r in lsh_neardup_pairs(
+                emb, dim=64, threshold=0.3, bits_per_band=8, sig_mode=mode
+            ).collect()
+        }
+
+    assert pairs("hof") == pairs("arrow")
+
+
 def test_ivf_merge_frozen_index_recall_vs_full_rebuild(spark):
     """The merge-without-retraining claim, pinned by measurement at
     sf0.001: verified-dup recall of the FROZEN index (centroids from

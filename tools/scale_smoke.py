@@ -272,38 +272,15 @@ def _lsh_sig_hof(spark, sf_dir):
 
 
 def _lsh_sig_arrow(spark, sf_dir):
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
-
+    # Measures the SHIPPED selectable mode (promoted from an inline
+    # smoke sketch in r11): band_signature_frame(..., mode="arrow").
     from big_data_projects_spark.data import load_table
     from big_data_projects_spark.operators import similarity as S
 
-    bits, n_bands = 8, S.DEFAULT_LSH_BANDS
-    planes = S._hyperplanes(64, bits * n_bands)
-    out_schema = StructType(
-        [StructField("vec_id", LongType())]
-        + [StructField(f"b{j}", LongType()) for j in range(n_bands)]
-    )
-
-    def project(batches):
-        import numpy as np
-        import pandas as pd
-
-        p = np.asarray(planes, dtype=np.float64).T  # dim x 48
-        weights = (1 << np.arange(bits, dtype=np.int64))
-        for pdf in batches:
-            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            signs = (v @ p) > 0  # n x 48
-            cols = {"vec_id": pdf["vec_id"].to_numpy()}
-            for j in range(n_bands):
-                block = signs[:, j * bits : (j + 1) * bits]
-                cols[f"b{j}"] = (block * weights).sum(axis=1)
-            yield pd.DataFrame(cols)
-
     emb = load_table(spark, sf_dir, "embeddings")
-    return emb.select("vec_id", "embedding").mapInPandas(
-        project, schema=out_schema
-    )
+    return S.band_signature_frame(
+        emb, 64, 8, S.DEFAULT_LSH_BANDS, mode="arrow"
+    ).drop("embedding")
 
 
 EXTRA_BUILDERS = {
