@@ -543,6 +543,14 @@ def build_output(
     ratios = sorted(spreads.values())
     noise_median = ratios[len(ratios) // 2] if ratios else None
     noisy = {n: r for n, r in spreads.items() if r > 1.5}
+    # Mechanical per-query adjudication vs the committed idle reference
+    # (VERDICT r10 #2): every bench line now carries the ratio of each
+    # query's min to its BASELINE_CURRENT.json min, compressed to the
+    # median ratio + the over-1.25x watch list + the over-2x alarm
+    # list.  Read WITH the env fields: a hot load_start discounts the
+    # watch list (host noise inflates mins), but the 2x alarm on a
+    # quiet box is the profile-before-it-drifts trigger.
+    vs_baseline = _vs_baseline_current({**timings, **incoming})
     full = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
@@ -560,6 +568,7 @@ def build_output(
         "estimator": "min_of_3_plus_pass2_allcols",
         "noise_median_ratio": noise_median,
         "noisy_queries": noisy,
+        "vs_baseline": vs_baseline,
         "env": env,
         "sf": sf_val,
     }
@@ -583,10 +592,52 @@ def build_output(
         "estimator": "min_of_3_plus_pass2_allcols",
         "noise_median_ratio": noise_median,
         "n_noisy": len(noisy),
+        "vs_baseline": vs_baseline,
         "env": env,
         "sf": sf_val,
     }
     return full, summary
+
+
+def _vs_baseline_current(
+    timings: dict[str, float], path: str | None = None
+) -> dict | None:
+    """Per-query ratio of this run's min to the committed idle
+    reference (BASELINE_CURRENT.json).  Returns None when the
+    reference is absent; otherwise {median_ratio, n_compared,
+    over_1_25 (watch), over_2 (alarm)} — the watch/alarm thresholds
+    BASELINE.md's round-10 note hand-computed, now emitted by every
+    bench run so the adjudication is mechanical (VERDICT r10 #2)."""
+    path = path or os.path.join(os.path.dirname(__file__), "BASELINE_CURRENT.json")
+    try:
+        with open(path) as f:
+            ref = json.load(f)["queries"]
+    except (OSError, KeyError, ValueError):
+        return None
+    ratios = {
+        n: round(t / ref[n]["min"], 2)
+        for n, t in timings.items()
+        if n in ref and ref[n]["min"] > 0
+    }
+    if not ratios:
+        return None
+    ordered = sorted(ratios.values())
+    return {
+        "median_ratio": ordered[len(ordered) // 2],
+        "n_compared": len(ratios),
+        "over_1_25": dict(
+            sorted(
+                ((n, r) for n, r in ratios.items() if r > 1.25),
+                key=lambda kv: -kv[1],
+            )
+        ),
+        "over_2": dict(
+            sorted(
+                ((n, r) for n, r in ratios.items() if r > 2.0),
+                key=lambda kv: -kv[1],
+            )
+        ),
+    }
 
 
 if __name__ == "__main__":
