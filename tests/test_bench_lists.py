@@ -218,3 +218,36 @@ def test_pass2_budget_skips_are_enumerated_by_name():
     assert all_runs["qa"] == [2.0, 3.0, 4.0, 1.0]  # sample recorded
     assert all_runs["qb"] == [2.0, 3.0, 4.0, 5.0]  # slower run too
     assert all_runs["qc"] == [2.0, 3.0, 4.0]  # skipped: untouched
+
+
+def test_vs_baseline_adjudication_fields(tmp_path):
+    """VERDICT r10 #2: every bench line self-adjudicates against the
+    committed idle reference — median ratio + over-1.25x watch list +
+    over-2x alarm list, emitted in BOTH the full and summary lines."""
+    import json
+
+    ref = {
+        "queries": {
+            "a": {"min": 1.0, "median": 1.2},
+            "b": {"min": 2.0, "median": 2.2},
+            "c": {"min": 4.0, "median": 4.4},
+        }
+    }
+    p = tmp_path / "BASELINE_CURRENT.json"
+    p.write_text(json.dumps(ref))
+    out = bench._vs_baseline_current(
+        {"a": 1.0, "b": 3.0, "c": 9.0, "unknown": 5.0}, path=str(p)
+    )
+    assert out["n_compared"] == 3  # unknown has no reference row
+    assert out["median_ratio"] == 1.5
+    assert out["over_1_25"] == {"c": 2.25, "b": 1.5}  # worst first
+    assert out["over_2"] == {"c": 2.25}
+    # absent reference -> None (older trees, unit callers)
+    assert bench._vs_baseline_current({"a": 1.0}, path=str(tmp_path / "nope")) is None
+    # the real build_output path wires it against the committed file
+    full, summary = bench.build_output(
+        {n: 0.001 for n in bench.HEADLINE}, {}, "/x/sf0.1"
+    )
+    for rec in (full, summary):
+        assert rec["vs_baseline"]["n_compared"] > 90
+        assert rec["vs_baseline"]["over_2"] == {}
