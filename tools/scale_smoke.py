@@ -250,6 +250,19 @@ def _embed_lsh_scaled(spark, sf_dir):
     return S.lsh_neardup_pairs(emb, dim=64, threshold=0.3)
 
 
+#   x_embed_lsh_neardup_arrow — the scaled-width operator END-TO-END
+#   under sig_mode="arrow" (r11's selectable mode): how much of
+#   lsh_neardup_pairs' wall the signature projection actually is once
+#   banding/join/verify (mode-agnostic) are included.  Contrast with
+#   the x_lsh_sig_* head-to-head, which isolates the projection.
+def _embed_lsh_arrow(spark, sf_dir):
+    from big_data_projects_spark.data import load_table
+    from big_data_projects_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_neardup_pairs(emb, dim=64, threshold=0.3, sig_mode="arrow")
+
+
 #   x_lsh_sig_hof / x_lsh_sig_arrow — the two candidate physical
 #   strategies for the hyperplane signature projection (48 plane dots
 #   per row), HEAD-TO-HEAD: the shipped JVM-side higher-order-function
@@ -285,6 +298,7 @@ def _lsh_sig_arrow(spark, sf_dir):
 
 EXTRA_BUILDERS = {
     "x_embed_lsh_neardup_scaled": _embed_lsh_scaled,
+    "x_embed_lsh_neardup_arrow": _embed_lsh_arrow,
     "x_lsh_sig_hof": _lsh_sig_hof,
     "x_lsh_sig_arrow": _lsh_sig_arrow,
 }
@@ -318,6 +332,11 @@ OUTPUT_SUPERLINEAR_ALLOWLIST = {
     # scaled signature width bounds the CANDIDATE mass (verify work),
     # not the true near-dup pair count the corpus actually contains.
     "x_embed_lsh_neardup_scaled",
+    # END-TO-END arrow-mode twin of the scaled variant: identical
+    # banding/join/verify (and hence identical legitimate
+    # pair-emission growth); only the signature projection's physical
+    # strategy differs.
+    "x_embed_lsh_neardup_arrow",
 }
 
 
