@@ -333,6 +333,12 @@ _ROUND11_QUEUE: list[str] = [
 # same contract.
 _ROUND12_QUEUE: list[str] = []
 
+# Registrations AFTER the round-12 window froze go here; the round-13
+# window builds from this list plus refreshes (the 5 r06 rows deferred
+# by round 12 — see _R12_DEFERRED_R06 — then the oldest r07 rows),
+# same contract.
+_ROUND13_QUEUE: list[str] = []
+
 
 # Round-10 window, pre-staged (gated on the driver-committed
 # CORRECTNESS_r09.json): the 1-entry round-10 queue (the round-9 ANN
@@ -520,6 +526,29 @@ _ROUND12_WINDOW = _ROUND12_QUEUE + _R11_DEFERRED_R05 + [
 ]
 
 
+# The 5 round-7 rows round 13 defers to round 14 — all five sit in
+# bench HEADLINE_41 (timed every round, the strongest standing
+# alternate signal), and q_ngram_jaccard besides carries its own
+# scale-smoke M=10/30/100 ledger rows.
+_R13_DEFERRED_R07 = [
+    "q_dedup_exact", "q_ngram_jaccard", "q_simhash",
+    "q_knn_cosine", "q_embed_neardup",
+]
+
+# Round-13 window, pre-staged (gated on the driver-committed
+# CORRECTNESS_r12.json): the round-13 queue (registrations after the
+# round-12 window froze), then the 5 r06 rows round 12 deliberately
+# deferred (all bench-HEADLINE — they must not slip past r13), then
+# 45 of the 50 round-7 rows — after round 12 they are the OLDEST
+# remaining driver rows.  Derived from _ROUND7_WINDOW so a drifted
+# name can't silently orphan a row; if anything registers into
+# _ROUND13_QUEUE, defer equally many further r07 rows (the meta-test
+# pins len == 50).
+_ROUND13_WINDOW = _ROUND13_QUEUE + _R12_DEFERRED_R06 + [
+    n for n in _ROUND7_WINDOW if n not in _R13_DEFERRED_R07
+]
+
+
 def _swept(round_no: int) -> bool:
     import os
 
@@ -530,7 +559,22 @@ def _swept(round_no: int) -> bool:
 
 
 def _rotate_registry() -> None:
-    if _swept(11):  # round 12: pre-staged window to the front
+    if _swept(12):  # round 13: pre-staged window to the front
+        front, already = (
+            _ROUND13_WINDOW,
+            _ALREADY_DRIVER_CHECKED
+            + _ROUND3_WINDOW
+            + _ROUND4_WINDOW
+            + _ROUND5_WINDOW
+            + _ROUND6_WINDOW
+            + _ROUND7_WINDOW
+            + _ROUND8_WINDOW
+            + _ROUND9_WINDOW
+            + _ROUND10_WINDOW
+            + _ROUND11_WINDOW
+            + _ROUND12_WINDOW,
+        )
+    elif _swept(11):  # round 12: pre-staged window to the front
         front, already = (
             _ROUND12_WINDOW,
             _ALREADY_DRIVER_CHECKED

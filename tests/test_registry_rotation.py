@@ -28,8 +28,11 @@ from big_data_projects_spark.queries import (
     _ROUND11_WINDOW,
     _ROUND12_QUEUE,
     _ROUND12_WINDOW,
+    _ROUND13_QUEUE,
+    _ROUND13_WINDOW,
     _R11_DEFERRED_R05,
     _R12_DEFERRED_R06,
+    _R13_DEFERRED_R07,
     _swept,
 )
 
@@ -38,7 +41,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def _driver_checked() -> set[str]:
     names: set[str] = set()
-    for r in range(1, 12):
+    for r in range(1, 13):
         p = os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json")
         if os.path.exists(p):
             with open(p) as f:
@@ -50,7 +53,7 @@ def test_windows_are_well_formed():
     for window in (
         _ROUND3_WINDOW, _ROUND4_WINDOW, _ROUND5_WINDOW, _ROUND6_WINDOW,
         _ROUND7_WINDOW, _ROUND8_WINDOW, _ROUND9_WINDOW, _ROUND10_WINDOW,
-        _ROUND11_WINDOW, _ROUND12_WINDOW,
+        _ROUND11_WINDOW, _ROUND12_WINDOW, _ROUND13_WINDOW,
     ):
         assert len(window) == 50
         assert len(set(window)) == 50, "duplicate entry in a window"
@@ -178,6 +181,43 @@ def test_round12_window_activates_when_r11_lands(monkeypatch):
     assert list(REGISTRY)[:50] == list(real)[:50]
 
 
+def test_round13_window_activates_when_r12_lands(monkeypatch):
+    """Simulate the driver committing CORRECTNESS_r12.json: the rotation
+    must put the pre-staged round-13 window at the registry front.  The
+    registry is re-rotated back to the real state afterward."""
+    import big_data_projects_spark.queries as Q
+
+    real = dict(REGISTRY)
+    try:
+        monkeypatch.setattr(Q, "_swept", lambda r: r <= 12)
+        Q._rotate_registry()
+        assert list(REGISTRY)[:50] == _ROUND13_WINDOW
+    finally:
+        monkeypatch.undo()
+        REGISTRY.clear()
+        REGISTRY.update(real)
+        Q._rotate_registry()
+    assert list(REGISTRY)[:50] == list(real)[:50]
+
+
+def test_round13_window_carries_the_deferred_r06_rows_and_oldest_r07():
+    """The r13 window must retire the round-12 deferral: the 5 deferred
+    r06 rows lead the refresh slots, and the remaining slots are
+    exactly 45 of the 50 round-7 rows (the oldest after round 12
+    lands), with the 5 deferred r07 entries all in bench HEADLINE_41
+    (timed every round)."""
+    import bench
+
+    refreshes = [n for n in _ROUND13_WINDOW if n not in _ROUND13_QUEUE]
+    assert refreshes[:5] == _R12_DEFERRED_R06
+    r07 = set(_ROUND7_WINDOW)
+    rest = refreshes[5:]
+    assert all(n in r07 for n in rest)
+    deferred_r07 = sorted(r07 - set(rest))
+    assert deferred_r07 == sorted(_R13_DEFERRED_R07)
+    assert all(n in bench.HEADLINE_41 for n in deferred_r07), deferred_r07
+
+
 def test_round12_window_carries_the_deferred_r05_rows_and_oldest_r06():
     """The r12 window must retire the round-11 deferral: the 5 deferred
     r05 rows lead the refresh slots, and the remaining slots are
@@ -284,6 +324,7 @@ def test_every_query_lands_under_a_driver_window():
         | set(_ROUND11_QUEUE)
         | set(_ROUND11_WINDOW)
         | set(_ROUND12_QUEUE)
+        | set(_ROUND13_QUEUE)
     )
     uncovered = [n for n in REGISTRY if n not in covered]
     assert not uncovered, (
