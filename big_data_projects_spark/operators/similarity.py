@@ -240,8 +240,14 @@ def ivf_merge_ingest(
     as the dedup twin (banded-LSH candidates + exact-Jaccard verify);
     recall follows the band S-curve — high in the near-dup regime the
     gate is for, deliberately low near orthogonality.  Production
-    callers should scale ``bits_per_band`` with corpus size
-    (``lsh_bits_for``) to hold bucket occupancy constant.
+    callers MUST scale ``bits_per_band`` with corpus size
+    (``lsh_bits_for``) to hold bucket occupancy constant: the pinned
+    8-bit default exists for oracle-static cross-engine checks, and
+    its per-bucket occupancy grows ∝ n — measured r11, the pinned
+    width's candidate-verify spill exceeded an entire 252 GB disk at
+    600k vectors (M=300 smoke), while the scaled width ran the same
+    merge in 35 s (5.0× wall for 300× data; 2.9× at M=100 — faster
+    than the pinned width's own 17.7× there).
 
     Returns one row per batch vector: (id, cell, verdict, canonical_id)
     with cell = the routed (top-1) cell, verdict in {'dup_of_corpus',

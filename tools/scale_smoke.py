@@ -250,6 +250,31 @@ def _embed_lsh_scaled(spark, sf_dir):
     return S.lsh_neardup_pairs(emb, dim=64, threshold=0.3)
 
 
+#   x_ivf_merge_scaled — the ANN MERGE under the PRODUCTION signature
+#   width (bits_per_band = lsh_bits_for(n)) instead of the
+#   oracle-pinned 8 bits: at M=300 (600k vectors) the pinned-width
+#   merge's (cell, band, bucket) bucket occupancy grows ∝ n and the
+#   candidate-verify spill transiently exceeded this box's entire
+#   252 GB disk (r11, stage 164 SPILL_OUT_OF_MEMORY) — the same
+#   pinned-width hazard class q_embed_lsh_neardup hit at M=100, one
+#   decade later (the merge's cell key defers it ~10×).  This
+#   measures the documented fix at the scale that broke the pin.
+def _ivf_merge_scaled(spark, sf_dir):
+    from big_data_projects_spark.data import load_table
+    from big_data_projects_spark.operators import similarity as S
+    from big_data_projects_spark.queries_llm import _merge_batch_flag
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_merge_ingest(
+        emb,
+        _merge_batch_flag,
+        dim=64,
+        n_probe=2,
+        threshold=0.3,
+        bits_per_band=S.lsh_bits_for(emb.count()),
+    )
+
+
 #   x_embed_lsh_neardup_arrow — the scaled-width operator END-TO-END
 #   under sig_mode="arrow" (r11's selectable mode): how much of
 #   lsh_neardup_pairs' wall the signature projection actually is once
@@ -299,6 +324,7 @@ def _lsh_sig_arrow(spark, sf_dir):
 EXTRA_BUILDERS = {
     "x_embed_lsh_neardup_scaled": _embed_lsh_scaled,
     "x_embed_lsh_neardup_arrow": _embed_lsh_arrow,
+    "x_ivf_merge_scaled": _ivf_merge_scaled,
     "x_lsh_sig_hof": _lsh_sig_hof,
     "x_lsh_sig_arrow": _lsh_sig_arrow,
 }
@@ -337,6 +363,10 @@ OUTPUT_SUPERLINEAR_ALLOWLIST = {
     # pair-emission growth); only the signature projection's physical
     # strategy differs.
     "x_embed_lsh_neardup_arrow",
+    # Scaled-width ANN MERGE: near-dup verdicts are batch-sized output,
+    # but the smoke corpus multiplies true near-dup mass with M; same
+    # legitimacy argument as the LSH twins above.
+    "x_ivf_merge_scaled",
 }
 
 
