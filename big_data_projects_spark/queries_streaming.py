@@ -853,17 +853,24 @@ def q_stream_ivf_gate(spark, sf_dir):
     Returns (in_vec, corpus_vec, sim) verified matches.  The oracle
     reconstructs the whole gate in SQL — frozen centroids, routing
     ranks, buckets, candidate set, verify — and hash-matches."""
+    ensure_runtime_conf(spark)
+    return _ivf_gate_run(spark, sf_dir, bits=8)
+
+
+def _ivf_gate_run(spark, sf_dir, bits: int = 8):
+    """Full gate (stream drain + batch-side verify) under a selectable
+    signature width — the registered query pins bits=8 (oracle-static
+    buckets); the scale smoke measures the production scaled width."""
     from big_data_projects_spark.data import load_table
     from big_data_projects_spark.operators import similarity as S
     from big_data_projects_spark.streaming.core import (
         run_to_distributed_batch,
     )
 
-    ensure_runtime_conf(spark)
     threshold = 0.3
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.where(F.col("vec_id") % 3 != 0)
-    matches = _ivf_gate_match_stream(spark, sf_dir)
+    matches = _ivf_gate_match_stream(spark, sf_dir, bits=bits)
     drained = run_to_distributed_batch(matches)
 
     # Batch-side exact verify over the drained candidate set.
@@ -886,15 +893,24 @@ def q_stream_ivf_gate(spark, sf_dir):
     )
 
 
-def _ivf_gate_match_stream(spark, sf_dir):
+def _ivf_gate_match_stream(spark, sf_dir, bits: int = 8):
     """The stream side of q_stream_ivf_gate up to the candidate join —
     factored out so the statelessness/plan pins can inspect the
-    STREAMING DataFrame without driving it (tests/test_plans.py)."""
+    STREAMING DataFrame without driving it (tests/test_plans.py).
+
+    ``bits`` (signature bits per band) defaults to the oracle-pinned 8
+    of the registered query; production deployments scale it with
+    corpus size (lsh_bits_for) — the pinned width's bucket occupancy
+    grows ∝ corpus, the hazard measured to exhaust a 252 GB disk for
+    the batch MERGE twin at 600k vectors (r11; see
+    operators/similarity.py ivf_merge_ingest).  The scale smoke's
+    x_stream_ivf_gate_scaled measures this gate under the scaled
+    width."""
     from big_data_projects_spark.data import load_table
     from big_data_projects_spark.operators import similarity as S
     from big_data_projects_spark.streaming.core import embeddings_stream
 
-    dim, bits, n_bands, n_probe = 64, 8, S.DEFAULT_LSH_BANDS, 2
+    dim, n_bands, n_probe = 64, S.DEFAULT_LSH_BANDS, 2
 
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.where(F.col("vec_id") % 3 != 0)

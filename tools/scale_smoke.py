@@ -275,6 +275,20 @@ def _ivf_merge_scaled(spark, sf_dir):
     )
 
 
+#   x_stream_ivf_gate_scaled — the streaming ANN gate under the
+#   production signature width (the registered query pins 8 bits for
+#   oracle-static buckets): shares the merge's corpus-band machinery,
+#   so it inherits the same pinned-width occupancy wall one decade
+#   past its tracked M=100 point.
+def _stream_ivf_gate_scaled(spark, sf_dir):
+    from big_data_projects_spark.data import load_table
+    from big_data_projects_spark.operators import similarity as S
+    from big_data_projects_spark.queries_streaming import _ivf_gate_run
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    return _ivf_gate_run(spark, sf_dir, bits=S.lsh_bits_for(n))
+
+
 #   x_embed_lsh_neardup_arrow — the scaled-width operator END-TO-END
 #   under sig_mode="arrow" (r11's selectable mode): how much of
 #   lsh_neardup_pairs' wall the signature projection actually is once
@@ -325,6 +339,7 @@ EXTRA_BUILDERS = {
     "x_embed_lsh_neardup_scaled": _embed_lsh_scaled,
     "x_embed_lsh_neardup_arrow": _embed_lsh_arrow,
     "x_ivf_merge_scaled": _ivf_merge_scaled,
+    "x_stream_ivf_gate_scaled": _stream_ivf_gate_scaled,
     "x_lsh_sig_hof": _lsh_sig_hof,
     "x_lsh_sig_arrow": _lsh_sig_arrow,
 }
@@ -367,6 +382,9 @@ OUTPUT_SUPERLINEAR_ALLOWLIST = {
     # but the smoke corpus multiplies true near-dup mass with M; same
     # legitimacy argument as the LSH twins above.
     "x_ivf_merge_scaled",
+    # Scaled-width streaming gate: same verified-pair output semantics
+    # as the batch twins above.
+    "x_stream_ivf_gate_scaled",
 }
 
 
