@@ -339,6 +339,12 @@ _ROUND12_QUEUE: list[str] = []
 # same contract.
 _ROUND13_QUEUE: list[str] = []
 
+# Registrations AFTER the round-13 window froze go here; the round-14
+# window builds from this list plus refreshes (the 5 r07 rows deferred
+# by round 13 — see _R13_DEFERRED_R07 — then the oldest r08 rows),
+# same contract.
+_ROUND14_QUEUE: list[str] = []
+
 
 # Round-10 window, pre-staged (gated on the driver-committed
 # CORRECTNESS_r09.json): the 1-entry round-10 queue (the round-9 ANN
@@ -549,6 +555,51 @@ _ROUND13_WINDOW = _ROUND13_QUEUE + _R12_DEFERRED_R06 + [
 ]
 
 
+# The 5 round-8 rows round 14 defers to round 15 — all five sit in
+# bench HEADLINE (timed every round); q_tpch_q6 besides is in the
+# like-for-like HEADLINE_41 series, and the other four each carry
+# their own M=100 scale-smoke ledger rows.
+_R14_DEFERRED_R08 = [
+    "q_tpch_q6", "q_dedup_threshold_sweep", "q_quality_lr_train",
+    "q_filter_ablation", "q_split_leakage",
+]
+
+# Round-14 window, pre-staged (gated on the driver-committed
+# CORRECTNESS_r13.json): the round-14 queue (registrations after the
+# round-13 window froze), then the 5 r07 rows round 13 deliberately
+# deferred (all bench-HEADLINE_41 — they must not slip past r14), then
+# 45 of the 50 round-8 rows — after round 13 they are the OLDEST
+# remaining driver rows.  Derived from _ROUND8_WINDOW so a drifted
+# name can't silently orphan a row; if anything registers into
+# _ROUND14_QUEUE, defer equally many further r08 rows (the meta-test
+# pins len == 50).
+_ROUND14_WINDOW = _ROUND14_QUEUE + _R13_DEFERRED_R07 + [
+    n for n in _ROUND8_WINDOW if n not in _R14_DEFERRED_R08
+]
+
+
+# Single-source rotation ladder (VERDICT r11 #1): one (gate_round,
+# window) entry per pre-staged round, highest gate first.  A window
+# activates when the driver-committed CORRECTNESS_r{gate}.json exists;
+# _rotate_registry AND the rotation meta-tests both consume THIS table,
+# so staging a new round is exactly one entry here (plus the window
+# definition) and the meta-test can never again go stale when the
+# driver commits a new CORRECTNESS file after round close.
+_WINDOW_LADDER: list[tuple[int, list[str]]] = [
+    (13, _ROUND14_WINDOW),
+    (12, _ROUND13_WINDOW),
+    (11, _ROUND12_WINDOW),
+    (10, _ROUND11_WINDOW),
+    (9, _ROUND10_WINDOW),
+    (8, _ROUND9_WINDOW),
+    (7, _ROUND8_WINDOW),
+    (6, _ROUND7_WINDOW),
+    (5, _ROUND6_WINDOW),
+    (4, _ROUND5_WINDOW),
+    (3, _ROUND4_WINDOW),
+]
+
+
 def _swept(round_no: int) -> bool:
     import os
 
@@ -558,111 +609,29 @@ def _swept(round_no: int) -> bool:
     )
 
 
+def _active_window() -> tuple[int, list[str]]:
+    """Return (gate_round, window) for the highest ladder rung whose
+    CORRECTNESS file the driver has committed; (0, round-3 frozen
+    order) before any gate file exists.  Single source of truth for
+    both production rotation and the rotation meta-tests."""
+    for gate, window in _WINDOW_LADDER:
+        if _swept(gate):
+            return gate, window
+    return 0, _ROUND3_WINDOW + _ROUND4_QUEUE
+
+
 def _rotate_registry() -> None:
-    if _swept(12):  # round 13: pre-staged window to the front
-        front, already = (
-            _ROUND13_WINDOW,
-            _ALREADY_DRIVER_CHECKED
-            + _ROUND3_WINDOW
-            + _ROUND4_WINDOW
-            + _ROUND5_WINDOW
-            + _ROUND6_WINDOW
-            + _ROUND7_WINDOW
-            + _ROUND8_WINDOW
-            + _ROUND9_WINDOW
-            + _ROUND10_WINDOW
-            + _ROUND11_WINDOW
-            + _ROUND12_WINDOW,
-        )
-    elif _swept(11):  # round 12: pre-staged window to the front
-        front, already = (
-            _ROUND12_WINDOW,
-            _ALREADY_DRIVER_CHECKED
-            + _ROUND3_WINDOW
-            + _ROUND4_WINDOW
-            + _ROUND5_WINDOW
-            + _ROUND6_WINDOW
-            + _ROUND7_WINDOW
-            + _ROUND8_WINDOW
-            + _ROUND9_WINDOW
-            + _ROUND10_WINDOW
-            + _ROUND11_WINDOW,
-        )
-    elif _swept(10):  # round 11: pre-staged window to the front
-        front, already = (
-            _ROUND11_WINDOW,
-            _ALREADY_DRIVER_CHECKED
-            + _ROUND3_WINDOW
-            + _ROUND4_WINDOW
-            + _ROUND5_WINDOW
-            + _ROUND6_WINDOW
-            + _ROUND7_WINDOW
-            + _ROUND8_WINDOW
-            + _ROUND9_WINDOW
-            + _ROUND10_WINDOW,
-        )
-    elif _swept(9):  # round 10: pre-staged window to the front
-        front, already = (
-            _ROUND10_WINDOW,
-            _ALREADY_DRIVER_CHECKED
-            + _ROUND3_WINDOW
-            + _ROUND4_WINDOW
-            + _ROUND5_WINDOW
-            + _ROUND6_WINDOW
-            + _ROUND7_WINDOW
-            + _ROUND8_WINDOW
-            + _ROUND9_WINDOW,
-        )
-    elif _swept(8):  # round 9: pre-staged window to the front
-        front, already = (
-            _ROUND9_WINDOW,
-            _ALREADY_DRIVER_CHECKED
-            + _ROUND3_WINDOW
-            + _ROUND4_WINDOW
-            + _ROUND5_WINDOW
-            + _ROUND6_WINDOW
-            + _ROUND7_WINDOW
-            + _ROUND8_WINDOW,
-        )
-    elif _swept(7):  # round 8: pre-staged window to the front
-        front, already = (
-            _ROUND8_WINDOW,
-            _ALREADY_DRIVER_CHECKED
-            + _ROUND3_WINDOW
-            + _ROUND4_WINDOW
-            + _ROUND5_WINDOW
-            + _ROUND6_WINDOW
-            + _ROUND7_WINDOW,
-        )
-    elif _swept(6):  # round 7: pre-staged window to the front
-        front, already = (
-            _ROUND7_WINDOW,
-            _ALREADY_DRIVER_CHECKED
-            + _ROUND3_WINDOW
-            + _ROUND4_WINDOW
-            + _ROUND5_WINDOW
-            + _ROUND6_WINDOW,
-        )
-    elif _swept(5):  # round 6: pre-staged window to the front
-        front, already = (
-            _ROUND6_WINDOW,
-            _ALREADY_DRIVER_CHECKED
-            + _ROUND3_WINDOW
-            + _ROUND4_WINDOW
-            + _ROUND5_WINDOW,
-        )
-    elif _swept(4):  # round 5: pre-staged window to the front
-        front, already = (
-            _ROUND5_WINDOW,
-            _ALREADY_DRIVER_CHECKED + _ROUND3_WINDOW + _ROUND4_WINDOW,
-        )
-    elif _swept(3):  # round 4: pre-staged window to the front
-        front, already = (
-            _ROUND4_WINDOW,
-            _ALREADY_DRIVER_CHECKED + _ROUND3_WINDOW,
-        )
-    else:  # round 3 in progress: sweep order frozen
-        front, already = _ROUND3_WINDOW + _ROUND4_QUEUE, _ALREADY_DRIVER_CHECKED
+    gate, front = _active_window()
+    # Rows already carrying a driver signal go to the back: the seed
+    # r01/r02 ledger plus every window whose gate round has passed
+    # (ascending, so relative back-of-registry order is stable).
+    already = list(_ALREADY_DRIVER_CHECKED)
+    if gate > 0:
+        already += _ROUND3_WINDOW
+        for g, window in sorted(_WINDOW_LADDER, key=lambda t: t[0]):
+            if g < gate:
+                already += window
+
     ordered: dict[str, Query] = {}
     for name in front:
         if name in REGISTRY:

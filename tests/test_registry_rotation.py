@@ -30,9 +30,12 @@ from big_data_projects_spark.queries import (
     _ROUND12_WINDOW,
     _ROUND13_QUEUE,
     _ROUND13_WINDOW,
+    _ROUND14_QUEUE,
+    _ROUND14_WINDOW,
     _R11_DEFERRED_R05,
     _R12_DEFERRED_R06,
     _R13_DEFERRED_R07,
+    _R14_DEFERRED_R08,
     _swept,
 )
 
@@ -41,7 +44,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def _driver_checked() -> set[str]:
     names: set[str] = set()
-    for r in range(1, 13):
+    for r in range(1, 99):
         p = os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json")
         if os.path.exists(p):
             with open(p) as f:
@@ -53,7 +56,7 @@ def test_windows_are_well_formed():
     for window in (
         _ROUND3_WINDOW, _ROUND4_WINDOW, _ROUND5_WINDOW, _ROUND6_WINDOW,
         _ROUND7_WINDOW, _ROUND8_WINDOW, _ROUND9_WINDOW, _ROUND10_WINDOW,
-        _ROUND11_WINDOW, _ROUND12_WINDOW, _ROUND13_WINDOW,
+        _ROUND11_WINDOW, _ROUND12_WINDOW, _ROUND13_WINDOW, _ROUND14_WINDOW,
     ):
         assert len(window) == 50
         assert len(set(window)) == 50, "duplicate entry in a window"
@@ -62,41 +65,69 @@ def test_windows_are_well_formed():
 
 
 def test_active_window_is_at_the_front():
-    names = list(REGISTRY)
-    if _swept(10):
-        expected = _ROUND11_WINDOW
-    elif _swept(9):
-        expected = _ROUND10_WINDOW
-    elif _swept(8):
-        expected = _ROUND9_WINDOW
-    elif _swept(7):
-        expected = _ROUND8_WINDOW
-    elif _swept(6):
-        expected = _ROUND7_WINDOW
-    elif _swept(5):
-        expected = _ROUND6_WINDOW
-    elif _swept(4):
-        expected = _ROUND5_WINDOW
-    elif _swept(3):
-        expected = _ROUND4_WINDOW
-    else:
-        expected = _ROUND3_WINDOW
-    assert names[:50] == expected, (
+    """Derived, not enumerated (VERDICT r11 #1): compute the max swept
+    round from the CORRECTNESS files actually on disk, map it through
+    the SAME _WINDOW_LADDER the production rotation consumes, and pin
+    the registry front.  Because both sides read one table, the driver
+    committing a new CORRECTNESS file after round close can never again
+    strand this test one rung behind _rotate_registry — unless no rung
+    is staged for the new round, which MUST fail loudly (see the
+    ladder-headroom test below)."""
+    import big_data_projects_spark.queries as Q
+
+    max_swept = max(
+        (r for r in range(1, 99)
+         if os.path.exists(os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json"))),
+        default=0,
+    )
+    rungs = [(g, w) for g, w in Q._WINDOW_LADDER if g <= max_swept]
+    expected = max(rungs)[1] if rungs else _ROUND3_WINDOW + Q._ROUND4_QUEUE
+    assert list(REGISTRY)[:50] == expected, (
         "the driver would sweep the wrong 50 queries this round"
     )
 
 
-def test_round8_window_activates_when_r07_lands(monkeypatch):
-    """Simulate the driver committing CORRECTNESS_r07.json: the rotation
-    must put the pre-staged round-8 window at the registry front.  The
-    registry is re-rotated back to the real state afterward."""
+def test_ladder_has_headroom_for_the_next_driver_commit():
+    """There must always be a rung staged ONE round past the latest
+    swept round: the driver commits CORRECTNESS_r{N}.json after round-N
+    close, and the round-(N+1) sweep needs a pre-staged window at the
+    front the moment that file lands.  If this fails, stage the next
+    window + ladder rung NOW (one entry in _WINDOW_LADDER plus the
+    window definition)."""
+    import big_data_projects_spark.queries as Q
+
+    max_swept = max(
+        (r for r in range(1, 99)
+         if os.path.exists(os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json"))),
+        default=0,
+    )
+    top_gate = max(g for g, _ in Q._WINDOW_LADDER)
+    assert top_gate >= max_swept + 1, (
+        f"no window staged for round {max_swept + 2}: the ladder tops out "
+        f"at gate {top_gate} but CORRECTNESS_r{max_swept:02d}.json exists — "
+        f"add a (gate={max_swept + 1}, window) rung before the driver "
+        "commits the next CORRECTNESS file"
+    )
+
+
+def test_every_ladder_rung_activates_under_simulation(monkeypatch):
+    """For EVERY rung in _WINDOW_LADDER, simulate the driver having
+    swept exactly through that gate round and pin that the rotation
+    puts that rung's window at the registry front.  Parameterized over
+    the shared table, so a newly staged rung is simulated automatically
+    with zero test edits.  The registry is re-rotated back to the real
+    state afterward."""
     import big_data_projects_spark.queries as Q
 
     real = dict(REGISTRY)
     try:
-        monkeypatch.setattr(Q, "_swept", lambda r: r <= 7)
-        Q._rotate_registry()
-        assert list(REGISTRY)[:50] == _ROUND8_WINDOW
+        for gate, window in Q._WINDOW_LADDER:
+            monkeypatch.setattr(Q, "_swept", lambda r, g=gate: r <= g)
+            Q._rotate_registry()
+            assert list(REGISTRY)[:50] == window, (
+                f"rung gate={gate} did not activate its window"
+            )
+            monkeypatch.undo()
     finally:
         monkeypatch.undo()
         REGISTRY.clear()
@@ -105,99 +136,25 @@ def test_round8_window_activates_when_r07_lands(monkeypatch):
     assert list(REGISTRY)[:50] == list(real)[:50]
 
 
-def test_round9_window_activates_when_r08_lands(monkeypatch):
-    """Simulate the driver committing CORRECTNESS_r08.json: the rotation
-    must put the pre-staged round-9 window at the registry front.  The
-    registry is re-rotated back to the real state afterward."""
-    import big_data_projects_spark.queries as Q
+def test_round14_window_carries_the_deferred_r07_rows_and_oldest_r08():
+    """The r14 window must retire the round-13 deferral: the 5 deferred
+    r07 rows lead the refresh slots, and the remaining slots are
+    exactly 45 of the 50 round-8 rows (the oldest after round 13
+    lands), with the 5 deferred r08 entries all in bench HEADLINE
+    (timed every round) and four of them scale-smoke-tracked."""
+    import bench
+    from tools.scale_smoke import QUERIES as SMOKE
 
-    real = dict(REGISTRY)
-    try:
-        monkeypatch.setattr(Q, "_swept", lambda r: r <= 8)
-        Q._rotate_registry()
-        assert list(REGISTRY)[:50] == _ROUND9_WINDOW
-    finally:
-        monkeypatch.undo()
-        REGISTRY.clear()
-        REGISTRY.update(real)
-        Q._rotate_registry()
-    assert list(REGISTRY)[:50] == list(real)[:50]
-
-
-def test_round10_window_activates_when_r09_lands(monkeypatch):
-    """Simulate the driver committing CORRECTNESS_r09.json: the rotation
-    must put the pre-staged round-10 window at the registry front.  The
-    registry is re-rotated back to the real state afterward."""
-    import big_data_projects_spark.queries as Q
-
-    real = dict(REGISTRY)
-    try:
-        monkeypatch.setattr(Q, "_swept", lambda r: r <= 9)
-        Q._rotate_registry()
-        assert list(REGISTRY)[:50] == _ROUND10_WINDOW
-    finally:
-        monkeypatch.undo()
-        REGISTRY.clear()
-        REGISTRY.update(real)
-        Q._rotate_registry()
-    assert list(REGISTRY)[:50] == list(real)[:50]
-
-
-def test_round11_window_activates_when_r10_lands(monkeypatch):
-    """Simulate the driver committing CORRECTNESS_r10.json: the rotation
-    must put the pre-staged round-11 window at the registry front.  The
-    registry is re-rotated back to the real state afterward."""
-    import big_data_projects_spark.queries as Q
-
-    real = dict(REGISTRY)
-    try:
-        monkeypatch.setattr(Q, "_swept", lambda r: r <= 10)
-        Q._rotate_registry()
-        assert list(REGISTRY)[:50] == _ROUND11_WINDOW
-    finally:
-        monkeypatch.undo()
-        REGISTRY.clear()
-        REGISTRY.update(real)
-        Q._rotate_registry()
-    assert list(REGISTRY)[:50] == list(real)[:50]
-
-
-def test_round12_window_activates_when_r11_lands(monkeypatch):
-    """Simulate the driver committing CORRECTNESS_r11.json: the rotation
-    must put the pre-staged round-12 window at the registry front.  The
-    registry is re-rotated back to the real state afterward."""
-    import big_data_projects_spark.queries as Q
-
-    real = dict(REGISTRY)
-    try:
-        monkeypatch.setattr(Q, "_swept", lambda r: r <= 11)
-        Q._rotate_registry()
-        assert list(REGISTRY)[:50] == _ROUND12_WINDOW
-    finally:
-        monkeypatch.undo()
-        REGISTRY.clear()
-        REGISTRY.update(real)
-        Q._rotate_registry()
-    assert list(REGISTRY)[:50] == list(real)[:50]
-
-
-def test_round13_window_activates_when_r12_lands(monkeypatch):
-    """Simulate the driver committing CORRECTNESS_r12.json: the rotation
-    must put the pre-staged round-13 window at the registry front.  The
-    registry is re-rotated back to the real state afterward."""
-    import big_data_projects_spark.queries as Q
-
-    real = dict(REGISTRY)
-    try:
-        monkeypatch.setattr(Q, "_swept", lambda r: r <= 12)
-        Q._rotate_registry()
-        assert list(REGISTRY)[:50] == _ROUND13_WINDOW
-    finally:
-        monkeypatch.undo()
-        REGISTRY.clear()
-        REGISTRY.update(real)
-        Q._rotate_registry()
-    assert list(REGISTRY)[:50] == list(real)[:50]
+    refreshes = [n for n in _ROUND14_WINDOW if n not in _ROUND14_QUEUE]
+    assert refreshes[:5] == _R13_DEFERRED_R07
+    r08 = set(_ROUND8_WINDOW)
+    rest = refreshes[5:]
+    assert all(n in r08 for n in rest)
+    deferred_r08 = sorted(r08 - set(rest))
+    assert deferred_r08 == sorted(_R14_DEFERRED_R08)
+    assert all(n in bench.HEADLINE for n in deferred_r08), deferred_r08
+    smoked = [n for n in deferred_r08 if n in SMOKE]
+    assert len(smoked) >= 4 or "q_tpch_q6" in deferred_r08
 
 
 def test_round13_window_carries_the_deferred_r06_rows_and_oldest_r07():
@@ -325,6 +282,7 @@ def test_every_query_lands_under_a_driver_window():
         | set(_ROUND11_WINDOW)
         | set(_ROUND12_QUEUE)
         | set(_ROUND13_QUEUE)
+        | set(_ROUND14_QUEUE)
     )
     uncovered = [n for n in REGISTRY if n not in covered]
     assert not uncovered, (
