@@ -203,7 +203,7 @@ def ivf_merge_ingest(
     dim: int,
     n_probe: int = 2,
     threshold: float = 0.3,
-    bits_per_band: int = 8,
+    bits_per_band: int | None = None,
     n_bands: int = DEFAULT_LSH_BANDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -239,15 +239,17 @@ def ivf_merge_ingest(
     verifies.  Matching = LSH-candidate + verified, the same contract
     as the dedup twin (banded-LSH candidates + exact-Jaccard verify);
     recall follows the band S-curve — high in the near-dup regime the
-    gate is for, deliberately low near orthogonality.  Production
-    callers MUST scale ``bits_per_band`` with corpus size
-    (``lsh_bits_for``) to hold bucket occupancy constant: the pinned
-    8-bit default exists for oracle-static cross-engine checks, and
-    its per-bucket occupancy grows ∝ n — measured r11, the pinned
-    width's candidate-verify spill exceeded an entire 252 GB disk at
-    600k vectors (M=300 smoke), while the scaled width ran the same
-    merge in 35 s (5.0× wall for 300× data; 2.9× at M=100 — faster
-    than the pinned width's own 17.7× there).
+    gate is for, deliberately low near orthogonality.  The signature
+    width SCALES WITH CORPUS SIZE BY DEFAULT (VERDICT r11 #2):
+    ``bits_per_band=None`` derives ``lsh_bits_for(count(emb))`` —
+    one count() action, control-plane at index-build cadence — so
+    band-bucket occupancy stays ~constant as the corpus grows.  A
+    pinned width is opt-in (pass the int) and exists for
+    oracle-static cross-engine checks: pinned occupancy grows ∝ n —
+    measured r11, the pinned-8-bit candidate-verify spill exceeded an
+    entire 252 GB disk at 600k vectors (M=300 smoke), while the
+    scaled width ran the same merge in 35 s (5.0× wall for 300× data;
+    2.9× at M=100 — faster than the pinned width's own 17.7× there).
 
     Returns one row per batch vector: (id, cell, verdict, canonical_id)
     with cell = the routed (top-1) cell, verdict in {'dup_of_corpus',
@@ -279,6 +281,14 @@ def ivf_merge_ingest(
     is_batch = batch_flag(F.col(id_col))
     corpus = emb.filter(~is_batch)
     batch = emb.filter(is_batch)
+
+    if bits_per_band is None:
+        # Scale-safe default: derive the width from the corpus size so
+        # bucket occupancy holds as the index grows (the r11 M=300
+        # probe measured the pinned width spilling past a 252 GB disk).
+        # Callers holding the count — or needing oracle-static buckets —
+        # pass an explicit width.
+        bits_per_band = lsh_bits_for(emb.count())
 
     # The routing codebook: frozen corpus-trained centroids by default;
     # injectable (``centroids``) for callers holding a precomputed

@@ -887,7 +887,11 @@ def q_ivf_merge_ingest(spark, sf_dir):
     tests/test_operators_unit.py."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.ivf_merge_ingest(
-        emb, _merge_batch_flag, dim=64, n_probe=2, threshold=0.3
+        # bits_per_band pinned: the oracle embeds the 8-bit planes as
+        # literals, so buckets must be static across engines and SFs.
+        # The operator DEFAULT derives lsh_bits_for(n) (VERDICT r11 #2).
+        emb, _merge_batch_flag, dim=64, n_probe=2, threshold=0.3,
+        bits_per_band=8,
     )
 
 

@@ -1423,6 +1423,52 @@ def test_minhash_merge_ingest_verdict_precedence(spark):
     }
 
 
+def test_ivf_merge_default_width_derives_lsh_bits_for(spark, monkeypatch):
+    """VERDICT r11 #2: the operator's DEFAULT signature width must be
+    the scaled rule, not a pinned int — bits_per_band=None derives
+    lsh_bits_for(count(emb)) exactly once, and the derived default
+    reproduces the output of passing that width explicitly.  An
+    explicit width must NOT consult the derivation (the oracle-static
+    pinned path)."""
+    import big_data_projects_spark.operators.similarity as S
+
+    rows = [
+        (1, [1.0, 0.01], 0), (2, [0.99, 0.02], 0),
+        (3, [0.01, 1.0], 1), (4, [0.0, 0.98], 1),
+        (101, [1.0, 0.01], 9), (102, [0.6, 0.8], 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    real = S.lsh_bits_for
+    calls: list[int] = []
+
+    def recorder(n):
+        calls.append(n)
+        return real(n)
+
+    monkeypatch.setattr(S, "lsh_bits_for", recorder)
+    default_out = sorted(
+        map(tuple, S.ivf_merge_ingest(
+            df, lambda c: c >= 100, dim=2, n_probe=2, threshold=0.95
+        ).collect())
+    )
+    assert calls == [df.count()], (
+        "default path must derive the width from the full input count, "
+        "exactly once"
+    )
+    explicit_out = sorted(
+        map(tuple, S.ivf_merge_ingest(
+            df, lambda c: c >= 100, dim=2, n_probe=2, threshold=0.95,
+            bits_per_band=real(df.count()),
+        ).collect())
+    )
+    assert default_out == explicit_out
+    assert calls == [df.count()], (
+        "an explicit width must not consult the derivation"
+    )
+
+
 def test_ivf_merge_ingest_verdict_precedence_and_routing(spark):
     """Pins the ANN-MERGE contract on constructed 2-d cells: batch
     vectors are routed by cosine to the nearest CORPUS-trained

@@ -265,13 +265,15 @@ def _ivf_merge_scaled(spark, sf_dir):
     from big_data_projects_spark.queries_llm import _merge_batch_flag
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # No explicit width: since r12 the scaled rule IS the operator
+    # default (bits_per_band=None → lsh_bits_for(count)), so this
+    # smoke measures the default path including the derivation count.
     return S.ivf_merge_ingest(
         emb,
         _merge_batch_flag,
         dim=64,
         n_probe=2,
         threshold=0.3,
-        bits_per_band=S.lsh_bits_for(emb.count()),
     )
 
 
