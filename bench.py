@@ -550,7 +550,7 @@ def build_output(
     # list.  Read WITH the env fields: a hot load_start discounts the
     # watch list (host noise inflates mins), but the 2x alarm on a
     # quiet box is the profile-before-it-drifts trigger.
-    vs_baseline = _vs_baseline_current({**timings, **incoming})
+    vs_baseline = _vs_baseline_current({**timings, **incoming}, sf_val=sf_val)
     full = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
@@ -600,19 +600,30 @@ def build_output(
 
 
 def _vs_baseline_current(
-    timings: dict[str, float], path: str | None = None
+    timings: dict[str, float], path: str | None = None,
+    sf_val: float | str | None = None,
 ) -> dict | None:
     """Per-query ratio of this run's min to the committed idle
     reference (BASELINE_CURRENT.json).  Returns None when the
     reference is absent; otherwise {median_ratio, n_compared,
     over_1_25 (watch), over_2 (alarm)} — the watch/alarm thresholds
     BASELINE.md's round-10 note hand-computed, now emitted by every
-    bench run so the adjudication is mechanical (VERDICT r10 #2)."""
+    bench run so the adjudication is mechanical (VERDICT r10 #2).
+
+    Cross-SF guard (ADVICE r11 #3): the reference records the sf it
+    was measured at; comparing a run at a DIFFERENT sf would emit
+    confidently wrong watch/alarm lists under a field billed as
+    mechanical adjudication, so the compare is skipped (None) when
+    the scales differ."""
     path = path or os.path.join(os.path.dirname(__file__), "BASELINE_CURRENT.json")
     try:
         with open(path) as f:
-            ref = json.load(f)["queries"]
+            base = json.load(f)
+        ref = base["queries"]
     except (OSError, KeyError, ValueError):
+        return None
+    ref_sf = base.get("sf")
+    if sf_val is not None and ref_sf is not None and ref_sf != sf_val:
         return None
     ratios = {
         n: round(t / ref[n]["min"], 2)

@@ -573,7 +573,20 @@ def band_signature_frame(
         for pdf in batches:
             cols = {id_col: pdf[id_col], vec_col: pdf[vec_col]}
             if len(pdf):
-                v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                vec_series = pdf[vec_col]
+                if vec_series.isna().any():
+                    # Mode parity on NULL vectors (ADVICE r11 #2): the
+                    # HOF fold's `when(dot > 0, ...)` buckets a NULL
+                    # embedding as all-zero bits, while np.stack would
+                    # raise — a crash-vs-silent asymmetry in a pure
+                    # physical-strategy knob.  Zero-fill for the
+                    # projection only (dot = 0 → same all-zero bits);
+                    # the output row keeps its original NULL vector.
+                    zero = [0.0] * dim
+                    vec_series = vec_series.apply(
+                        lambda x: zero if x is None else x
+                    )
+                v = np.stack(vec_series.to_numpy()).astype(np.float64)
                 signs = v @ p > 0
                 for j in range(n_bands):
                     block = signs[:, j * bits_per_band : (j + 1) * bits_per_band]
@@ -1605,6 +1618,13 @@ def mmr_select(
     """
     cands = (
         topk_cosine(emb, query_id, k=pool, id_col=id_col, vec_col=vec_col)
+        # Totality guard (ADVICE r11 #1): a zero-norm vector scores a
+        # NULL sim (cosine_sim_total), which sorts last under DESC but
+        # still lands in the pool whenever pool >= finite corpus rows —
+        # and collect() would hand the greedy loop a None that breaks
+        # `lam * qsim[cid]`.  Zero-norm vectors are near NOTHING under
+        # cosine, so they are not MMR candidates at all.
+        .where(F.col("sim").isNotNull())
         .select(F.col(id_col).alias("__cid"), F.col("sim").alias("__qsim"))
         .persist()
     )
@@ -1644,7 +1664,16 @@ def mmr_select(
             if not selected:
                 score = lam * qsim[cid] - (1.0 - lam) * 0.0
             else:
-                mx = max(sim[cid][s] for s in selected)
+                # NULL pairwise sims can't occur once zero-norm rows
+                # are filtered from the pool above, but a None here
+                # must never crash the greedy loop: treat it as "no
+                # similarity evidence" (0.0 penalty), same as the
+                # pre-selection round.
+                mx = max(
+                    (v for s in selected
+                     if (v := sim.get(cid, {}).get(s)) is not None),
+                    default=0.0,
+                )
                 score = lam * qsim[cid] - (1.0 - lam) * mx
             if (
                 best_score is None

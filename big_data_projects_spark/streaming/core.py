@@ -49,7 +49,13 @@ def _staged_source(src: str, prefix: str) -> str:
     stage = tempfile.mkdtemp(prefix=prefix)
     if os.path.isdir(src):
         entries = []
-        for root, dirs, files in os.walk(src, followlinks=True):
+        # followlinks=False (ADVICE r11 #4): Spark-written sources nest
+        # REAL directories (partitionBy subdirs), never symlinked ones,
+        # and following directory symlinks both re-traverses the exact
+        # shape the flatten exists to avoid staging and hangs forever
+        # on a symlink cycle.  Symlinked FILES are still staged — only
+        # directory-symlink descent is off.
+        for root, dirs, files in os.walk(src, followlinks=False):
             dirs[:] = sorted(
                 d for d in dirs if not d.startswith("_") and not d.startswith(".")
             )

@@ -1602,6 +1602,51 @@ def test_cosine_consumers_total_on_zero_norm_vectors(spark):
     ivf = ivf_topk(emb, query_id=1, k=2, n_probe=2).collect()
     assert [r["vec_id"] for r in ivf] == [2, 4]
 
+    # mmr_select (ADVICE r11 #1): pool >= corpus pulls the zero-norm
+    # row's NULL sim into the candidate set — the greedy loop must not
+    # TypeError on None; the degenerate row is simply never a pick.
+    from big_data_projects_spark.operators.similarity import mmr_select
+
+    mmr = mmr_select(emb, query_id=1, k=10, pool=50).collect()
+    assert [r["vec_id"] for r in mmr] == [2, 4, 3]
+    assert all(r["score"] is not None for r in mmr)
+
+    # pq_topk: guarded normalization (greatest(norm, 1e-300)) encodes
+    # the zero-norm row as the zero code; the exact rerank scores it
+    # NULL, sorting it last — never an abort, never a finite-sim rank.
+    from big_data_projects_spark.operators.similarity import pq_topk
+
+    pq = pq_topk(emb, query_id=1, k=4, rerank_candidates=10).collect()
+    assert [r["vec_id"] for r in pq][:2] == [2, 4]
+    assert pq[-1]["vec_id"] == 6 and pq[-1]["sim"] is None
+
+
+def test_band_signature_modes_agree_on_null_vectors(spark):
+    """ADVICE r11 #2: sig_mode is documented as a pure physical-
+    strategy knob, so the two modes must agree on DEGENERATE input
+    too: a NULL embedding buckets as all-zero bits in the HOF fold
+    (NULL dot > 0 is NULL -> otherwise(0)), and the arrow projector
+    must produce the same row instead of crashing in np.stack —
+    with the output row keeping its original NULL vector."""
+    from big_data_projects_spark.operators.similarity import (
+        band_signature_frame,
+    )
+
+    rows = [(1, [1.0, -0.5]), (2, None), (3, [-0.3, 0.9])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {}
+    for mode in ("hof", "arrow"):
+        got = band_signature_frame(
+            emb, dim=2, bits_per_band=4, n_bands=2, mode=mode
+        ).collect()
+        out[mode] = sorted(
+            (r["vec_id"], r["embedding"] is None, r["b0"], r["b1"])
+            for r in got
+        )
+    assert out["hof"] == out["arrow"]
+    null_row = [t for t in out["hof"] if t[0] == 2][0]
+    assert null_row[1:] == (True, 0, 0)
+
 
 def test_band_signature_modes_agree_on_testdata(spark):
     """VERDICT r10 #3: the Arrow matmul signature projection

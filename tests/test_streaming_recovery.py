@@ -268,6 +268,35 @@ def test_staged_source_flattens_hive_partitioned_sources(tmp_path, spark):
     assert back.select("id").distinct().count() == 12
 
 
+def test_staged_source_survives_symlink_cycles(tmp_path, spark):
+    """ADVICE r11 #4: a symlink loop inside a staged source directory
+    must not hang the flatten (os.walk followlinks=False — Spark
+    writes real nested directories, never symlinked ones).  Symlinked
+    FILES at any level are still staged; the directory symlink itself
+    is simply not descended into."""
+    import os
+
+    from big_data_projects_spark.streaming.core import _staged_source
+
+    src = str(tmp_path / "looped.parquet")
+    spark.range(7).coalesce(1).write.parquet(src)
+    # adversarial shapes: a self-loop, and a symlinked data file
+    os.symlink(src, os.path.join(src, "loop"))
+    real = [e for e in os.listdir(src) if e.startswith("part-")][0]
+    os.symlink(
+        os.path.join(src, real), os.path.join(src, "part-linked.parquet")
+    )
+    stage = _staged_source(src, "bdp_test_stage_loop_")
+    staged = os.listdir(stage)
+    assert staged and all(
+        not os.path.isdir(os.path.join(stage, e)) for e in staged
+    )
+    # the real part file AND the file symlink staged; the loop skipped
+    assert len([e for e in staged if "part-" in e]) == 2
+    back = spark.read.parquet(stage)
+    assert back.count() == 14  # 7 rows via each of the two staged links
+
+
 def test_distributed_drain_handles_empty_stream(spark):
     """run_to_distributed_batch on a stream that emits zero rows must
     return an empty DataFrame with the stream's schema rather than
