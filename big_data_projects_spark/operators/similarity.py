@@ -622,13 +622,28 @@ def lsh_neardup_pairs(
     recall ≥ 0.85 for sim ≥ 0.9 pairs is pinned at 10x corpus by
     tests/test_operators_unit.py against exact brute-force pairs;
     low-similarity pairs are intentionally below the curve's knee.
+
+    Shuffle-mass contract (r12 — found by the M=300 smoke): the band
+    joins and the cross-band pair dedupe move SKINNY (id_a, id_b)
+    rows only; the embedding vectors are attached AFTER the distinct,
+    by two id-keyed joins, so each vector crosses the verify join
+    once per distinct pair side instead of riding every per-band
+    candidate row through the dedupe sort.  The earlier wide shape
+    (vectors on the candidate rows) spilled past this box's entire
+    disk at 600k vectors even at the SCALED width — candidate volume
+    ≈ n·occupancy/2·bands rows × ~0.5 KB of vector payload — while
+    the skinny shape's dedupe shuffles 16-byte rows (~30× less) and
+    its vector-attach joins move the corpus a bounded 2× more.
+    Output is identical: same distinct pair set, same sequential-fold
+    cosines, same threshold — the oracle contract is unchanged.
     """
     if bits_per_band is None:
         bits_per_band = lsh_bits_for(emb.count())
-    # Every band contributes two join-side consumers of sig; without
-    # persist the signature projection (bits_per_band × n_bands plane
-    # dots per row, HOF fold or Arrow matmul per sig_mode) recomputes
-    # once per consumer.
+    # Every band contributes two join-side consumers of sig, and the
+    # verify re-reads the (id, vec) projection; without persist the
+    # signature projection (bits_per_band × n_bands plane dots per
+    # row, HOF fold or Arrow matmul per sig_mode) recomputes once per
+    # consumer.
     sig = band_signature_frame(
         emb, dim, bits_per_band, n_bands, id_col, vec_col, mode=sig_mode
     ).persist()
@@ -636,22 +651,24 @@ def lsh_neardup_pairs(
     for band in range(n_bands):
         a = sig.select(
             F.col(id_col).alias("id_a"),
-            F.col(vec_col).alias("__va"),
             F.col(f"b{band}").alias("__k"),
         )
         b = sig.select(
             F.col(id_col).alias("id_b"),
-            F.col(vec_col).alias("__vb"),
             F.col(f"b{band}").alias("__k"),
         )
         c = (
             a.join(b, "__k")
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "__va", "__vb")
+            .select("id_a", "id_b")
         )
         cands = c if cands is None else cands.unionByName(c)
+    pairs = cands.dropDuplicates(["id_a", "id_b"])
+    va = sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = sig.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (
-        cands.dropDuplicates(["id_a", "id_b"])
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .select("id_a", "id_b", cosine_sim_total(F.col("__va"), F.col("__vb")).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )

@@ -242,6 +242,17 @@ QUERIES = [
 #   x100 ⇒ verify mass ~x10^4, exceeding this box's ~79 GB scratch) is
 #   exactly what the scaling rule exists to prevent — this measures
 #   the fix instead of asserting it (VERDICT r9 item #4).
+#   r12 M=300 finding (2026-08-16): even at the SCALED width, the
+#   pre-r12 operator shape — embedding vectors riding every per-band
+#   candidate row through the cross-band dropDuplicates sort — spilled
+#   past this box's entire disk at 600k vectors (SQLSTATE 82003,
+#   ~115M candidate rows × ~0.5 KB payload).  The skinny-pair
+#   restructure (dedupe 16-byte (id_a,id_b) rows, attach vectors
+#   after the distinct — the shape minhash_lsh_pairs always had) runs
+#   the same M=300 merge in 171.8 s hof / 157.2 s arrow (18.0× /
+#   31.2× wall for 300× data, 16.5M output pairs = 9968× — per-pair
+#   cost collapsed ~575×, verdict ok both modes); q_dedup_merge_ingest
+#   at M=300: 111.4 s, 14.0× wall, per-row ratio 0.05, ok.
 def _embed_lsh_scaled(spark, sf_dir):
     from big_data_projects_spark.data import load_table
     from big_data_projects_spark.operators import similarity as S
