@@ -253,6 +253,16 @@ QUERIES = [
 #   31.2× wall for 300× data, 16.5M output pairs = 9968× — per-pair
 #   cost collapsed ~575×, verdict ok both modes); q_dedup_merge_ingest
 #   at M=300: 111.4 s, 14.0× wall, per-row ratio 0.05, ok.
+#   M=100 ledger refresh post-restructure (one query per session,
+#   2026-08-16): x_embed_lsh_neardup_scaled 7.8× (69.2 s, was 13.1× /
+#   97.7 s), arrow 12.3× (49.5 s absolute — fastest end-to-end mode),
+#   q_lsh_quality 5.3× (was 13.9×), x_lsh_sig hof 1.4× / arrow 1.3×
+#   (arrow 8.3× faster head-to-head at x100), q_dedup_minhash_lsh
+#   5.8× control (was 7.8×) — all ok.  The PINNED-8-bit registered
+#   q_embed_lsh_neardup remains a documented M=100 wall by
+#   construction (occupancy ∝ n): with vectors off the dedupe sort it
+#   now dies attaching vectors to the ~10⁴-×-inflated DISTINCT pair
+#   set instead — same verdict, same rule: scale the width.
 def _embed_lsh_scaled(spark, sf_dir):
     from big_data_projects_spark.data import load_table
     from big_data_projects_spark.operators import similarity as S
