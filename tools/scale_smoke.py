@@ -280,6 +280,14 @@ def _embed_lsh_scaled(spark, sf_dir):
 #   pinned-width hazard class q_embed_lsh_neardup hit at M=100, one
 #   decade later (the merge's cell key defers it ~10×).  This
 #   measures the documented fix at the scale that broke the pin.
+#   r12 M=1000 decade (2026-08-17, 2M vectors, chunked corpus build):
+#   x_ivf_merge_scaled 206.8 s — 23.1× wall for 1000× data, 375k
+#   verdict rows (947× output), per-row cost ÷50, ok;
+#   x_stream_ivf_gate_scaled 257.9 s — 34.3× wall, 13.5M verified
+#   pairs (61136× output), per-row cost ÷1800, ok.  Steady disk both
+#   (peak scratch ~9 GB over the 1.0 GB corpus).  The derived-width
+#   family is now measured sub-proportional across FOUR decades
+#   (x1 → x1000) with no operator change between rungs.
 def _ivf_merge_scaled(spark, sf_dir):
     from big_data_projects_spark.data import load_table
     from big_data_projects_spark.operators import similarity as S
@@ -473,18 +481,27 @@ def build_corpus(spark, replicas: int, out_dir: Path) -> None:
         )
 
     out_dir.mkdir(parents=True, exist_ok=True)
-    d = doc_parts[0]
-    for p in doc_parts[1:]:
-        d = d.unionByName(p)
-    d.repartition(32).write.mode("overwrite").parquet(
-        str(out_dir / "documents.parquet")
-    )
-    e = emb_parts[0]
-    for p in emb_parts[1:]:
-        e = e.unionByName(p)
-    e.repartition(32).write.mode("overwrite").parquet(
-        str(out_dir / "embeddings.parquet")
-    )
+    # Chunk the union at 100 legs per write: a single M-way unionByName
+    # carries M copies of the per-replica mutation expressions through
+    # analysis, and at M=1000 the flat plan stalls the driver before a
+    # single task runs.  Same rows either way (append after the first
+    # overwrite chunk); each chunk's plan stays the size the M=300
+    # builds already handled.
+    chunk = 100
+    for lo in range(0, len(doc_parts), chunk):
+        d = doc_parts[lo]
+        for p in doc_parts[lo + 1 : lo + chunk]:
+            d = d.unionByName(p)
+        d.repartition(32).write.mode(
+            "overwrite" if lo == 0 else "append"
+        ).parquet(str(out_dir / "documents.parquet"))
+    for lo in range(0, len(emb_parts), chunk):
+        e = emb_parts[lo]
+        for p in emb_parts[lo + 1 : lo + chunk]:
+            e = e.unionByName(p)
+        e.repartition(32).write.mode(
+            "overwrite" if lo == 0 else "append"
+        ).parquet(str(out_dir / "embeddings.parquet"))
     # The probed queries only touch documents/embeddings; link the rest
     # so load_table works if a query warms other tables.
     for t in (
