@@ -263,6 +263,22 @@ QUERIES = [
 #   construction (occupancy ∝ n): with vectors off the dedupe sort it
 #   now dies attaching vectors to the ~10⁴-×-inflated DISTINCT pair
 #   set instead — same verdict, same rule: scale the width.
+#   r12 M=1000 adjudication for the DOCUMENT families (2026-08-17,
+#   5M docs): q_dedup_merge_ingest exhausts this box's scratch — the
+#   x1000 pass was killed by hand at 98 % disk (~76 GB consumed
+#   ~5 min in).  A fresh M=300 rung with disk sampling completed at
+#   264.4 s (49× wall for 300× data, per-row 0.17, ok — colder than
+#   the 111.4 s same-session record above: fresh corpus, cold page
+#   cache) with PEAK SCRATCH ~25 GB; 1000/300 × 25 GB ≈ 83 GB > the
+#   78 GB free, so the M=1000 kill is the LINEAR shingle/minhash
+#   shuffle mass hitting a box-size ceiling, not a superlinear
+#   hazard — per-node scratch scales with data on a real cluster.
+#   q_dedup_minhash_lsh carries the same shingle mass (same ceiling,
+#   not re-probed); x_embed_lsh_neardup_scaled at M=1000 is bounded
+#   instead by its verify-attach shuffle (~384M candidate pairs ×
+#   ~0.5 KB vector payload ≈ 200 GB through the second id-keyed
+#   join) — the EMBEDDING-family M=1000 rungs that fit this box are
+#   the merge/gate ones recorded below.
 def _embed_lsh_scaled(spark, sf_dir):
     from big_data_projects_spark.data import load_table
     from big_data_projects_spark.operators import similarity as S
