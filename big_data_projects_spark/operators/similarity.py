@@ -636,6 +636,18 @@ def lsh_neardup_pairs(
     its vector-attach joins move the corpus a bounded 2× more.
     Output is identical: same distinct pair set, same sequential-fold
     cosines, same threshold — the oracle contract is unchanged.
+
+    Beyond single-box scratch (the r12 M=1000 ledger bounds the
+    remaining verify-attach shuffle at ~candidates × vector bytes —
+    ~200 GB at 2M synthetic vectors): the production strategies are
+    (a) two-sided bucketing of the signature relation on the id key,
+    so both attach joins co-locate without reshuffling the pair×vector
+    stream, and (b) a quantized (int8) prefilter attach — ~2.5× less
+    verify mass with a provable cosine error bound (≤ (2·√dim)/254 +
+    dim/254² for round-to-nearest per-dim quantization of the
+    L2-normalized vector), exact float rescore on survivors only.
+    Neither changes the emitted pairs; neither is needed at any scale
+    this box can hold, so both stay documented-not-shipped.
     """
     if bits_per_band is None:
         bits_per_band = lsh_bits_for(emb.count())
