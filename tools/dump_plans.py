@@ -281,6 +281,19 @@ SHOWCASE = [
         "corpus size.",
     ),
     (
+        "q_embed_lsh_neardup",
+        "Hyperplane-LSH near-dup pairs after the round-12 skinny-pair "
+        "restructure: the per-band bucket equi-joins and the "
+        "cross-band dropDuplicates move 16-byte (id_a, id_b) rows "
+        "ONLY — no embedding column appears in any exchange before "
+        "the distinct (the pre-r12 shape rode ~0.5 KB of vector "
+        "payload on every candidate row through the dedupe sort and "
+        "spilled past the box's disk at 600k vectors); the vectors "
+        "attach AFTER the distinct via two id-keyed joins against the "
+        "persisted signature relation, so each vector crosses the "
+        "verify join once per distinct pair side.",
+    ),
+    (
         "q_tokenizer_roundtrip",
         "Tokenizer round-trip audit (round 8): the corpus collapses to "
         "the vocab-sized word-TYPE table in ONE token groupBy before "
