@@ -498,3 +498,28 @@ def test_contamination_single_doc_aggregate(spark):
         f"{len(doc_aggs)} doc_id-keyed HashAggregates"
     )
     assert "CartesianProduct" not in plan
+
+
+def test_lsh_neardup_shuffle_exchanges_are_skinny(spark):
+    """r12 restructure contract (operators/similarity.py
+    lsh_neardup_pairs): the band joins and the cross-band pair dedupe
+    move (id_a, id_b) rows ONLY — no shuffle Exchange anywhere in the
+    plan carries the embedding column.  The vector-bearing signature
+    relation enters the band and attach joins as broadcasts at this
+    scale; the pre-r12 shape rode ~0.5 KB of vector payload on every
+    candidate row through the dedupe sort and spilled past the box's
+    entire disk at 600k vectors (scale_smoke ledger, M=300)."""
+    import re
+
+    plan = plan_of(spark, "q_embed_lsh_neardup")
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    shuffles = [
+        b for b in blocks if re.match(r"\(\d+\) Exchange\b", b.split("\n", 1)[0])
+    ]
+    assert shuffles, "expected at least the pair-dedupe shuffle Exchange"
+    for b in shuffles:
+        input_line = next(l for l in b.splitlines() if l.startswith("Input"))
+        assert "embedding" not in input_line, (
+            "a shuffle Exchange carries the embedding column — the "
+            f"skinny-pair contract regressed:\n{b[:400]}"
+        )
