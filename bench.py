@@ -613,8 +613,10 @@ def _vs_baseline_current(
     Cross-SF guard (ADVICE r11 #3): the reference records the sf it
     was measured at; comparing a run at a DIFFERENT sf would emit
     confidently wrong watch/alarm lists under a field billed as
-    mechanical adjudication, so the compare is skipped (None) when
-    the scales differ."""
+    mechanical adjudication, so the compare is skipped when the
+    scales differ — with an explicit ``{"skipped": reason}`` record
+    (r12: a bare None was indistinguishable from "no reference
+    committed", inviting a pointless baseline regeneration)."""
     path = path or os.path.join(os.path.dirname(__file__), "BASELINE_CURRENT.json")
     try:
         with open(path) as f:
@@ -624,7 +626,7 @@ def _vs_baseline_current(
         return None
     ref_sf = base.get("sf")
     if sf_val is not None and ref_sf is not None and ref_sf != sf_val:
-        return None
+        return {"skipped": f"baseline sf={ref_sf!r} != run sf={sf_val!r}"}
     ratios = {
         n: round(t / ref[n]["min"], 2)
         for n, t in timings.items()

@@ -637,6 +637,14 @@ def lsh_neardup_pairs(
     Output is identical: same distinct pair set, same sequential-fold
     cosines, same threshold — the oracle contract is unchanged.
 
+    ``id_col`` must be UNIQUE per row (every caller in this repo feeds
+    a keyed embeddings relation).  On duplicated ids the two shapes
+    degenerate differently — the old one kept ONE arbitrary copy's sim
+    per pair (nondeterministic under retry), this one emits a row per
+    id-copy combination through the attach joins — and neither is a
+    meaningful near-dup result: dedupe ids upstream, don't rely on
+    either behavior.
+
     Beyond single-box scratch (the r12 M=1000 ledger bounds the
     remaining verify-attach shuffle at ~candidates × vector bytes —
     ~200 GB at 2M synthetic vectors): the production strategies are

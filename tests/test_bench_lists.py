@@ -244,6 +244,17 @@ def test_vs_baseline_adjudication_fields(tmp_path):
     assert out["over_2"] == {"c": 2.25}
     # absent reference -> None (older trees, unit callers)
     assert bench._vs_baseline_current({"a": 1.0}, path=str(tmp_path / "nope")) is None
+    # cross-SF run -> a TAGGED skip, not None (r12: a bare None read
+    # as "no reference committed" and invited a baseline regeneration)
+    ref_sf = dict(ref, sf=0.1)
+    p.write_text(json.dumps(ref_sf))
+    out = bench._vs_baseline_current({"a": 1.0}, sf_val=0.001, path=str(p))
+    assert set(out) == {"skipped"} and "sf" in out["skipped"]
+    out = bench._vs_baseline_current({"a": 1.0}, sf_val="sfdev", path=str(p))
+    assert set(out) == {"skipped"}  # unparseable dir suffix, same tag
+    # matching SF still adjudicates
+    out = bench._vs_baseline_current({"a": 1.0}, sf_val=0.1, path=str(p))
+    assert out["n_compared"] == 1
     # the real build_output path wires it against the committed file
     full, summary = bench.build_output(
         {n: 0.001 for n in bench.HEADLINE}, {}, "/x/sf0.1"

@@ -518,7 +518,12 @@ def test_lsh_neardup_shuffle_exchanges_are_skinny(spark):
     ]
     assert shuffles, "expected at least the pair-dedupe shuffle Exchange"
     for b in shuffles:
-        input_line = next(l for l in b.splitlines() if l.startswith("Input"))
+        input_line = next(
+            (l for l in b.splitlines() if l.startswith("Input")), None
+        )
+        assert input_line is not None, (
+            f"no Input line in Exchange block (explain format drift?):\n{b[:400]}"
+        )
         assert "embedding" not in input_line, (
             "a shuffle Exchange carries the embedding column — the "
             f"skinny-pair contract regressed:\n{b[:400]}"

@@ -497,27 +497,24 @@ def build_corpus(spark, replicas: int, out_dir: Path) -> None:
         )
 
     out_dir.mkdir(parents=True, exist_ok=True)
+
     # Chunk the union at 100 legs per write: a single M-way unionByName
     # carries M copies of the per-replica mutation expressions through
     # analysis, and at M=1000 the flat plan stalls the driver before a
     # single task runs.  Same rows either way (append after the first
     # overwrite chunk); each chunk's plan stays the size the M=300
     # builds already handled.
-    chunk = 100
-    for lo in range(0, len(doc_parts), chunk):
-        d = doc_parts[lo]
-        for p in doc_parts[lo + 1 : lo + chunk]:
-            d = d.unionByName(p)
-        d.repartition(32).write.mode(
-            "overwrite" if lo == 0 else "append"
-        ).parquet(str(out_dir / "documents.parquet"))
-    for lo in range(0, len(emb_parts), chunk):
-        e = emb_parts[lo]
-        for p in emb_parts[lo + 1 : lo + chunk]:
-            e = e.unionByName(p)
-        e.repartition(32).write.mode(
-            "overwrite" if lo == 0 else "append"
-        ).parquet(str(out_dir / "embeddings.parquet"))
+    def write_chunked(parts, path: Path, chunk: int = 100) -> None:
+        for lo in range(0, len(parts), chunk):
+            d = parts[lo]
+            for p in parts[lo + 1 : lo + chunk]:
+                d = d.unionByName(p)
+            d.repartition(32).write.mode(
+                "overwrite" if lo == 0 else "append"
+            ).parquet(str(path))
+
+    write_chunked(doc_parts, out_dir / "documents.parquet")
+    write_chunked(emb_parts, out_dir / "embeddings.parquet")
     # The probed queries only touch documents/embeddings; link the rest
     # so load_table works if a query warms other tables.
     for t in (
