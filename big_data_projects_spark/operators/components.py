@@ -37,9 +37,26 @@ def connected_components(
     e = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     )
+    # localCheckpoint, not persist (r12 optimization): persist keeps
+    # the full edge-construction lineage (for the dedup callers, a
+    # ~40-Exchange jaccard tree) in the ANALYZED plan, and each round
+    # embeds sym plus the previous round's labels — so the final
+    # consumer's logical plan grew exponentially with round count
+    # (q_dedup_clusters' final plan: 13.5k lines / 1981 Exchange
+    # nodes / 756 repeated parquet scans, all cache-deduped at
+    # execution but re-analyzed by Catalyst on EVERY action, once per
+    # round plus once at the consumer).  Checkpointing turns sym and
+    # each round's labels into plan leaves; execution work is
+    # unchanged (persist materialized the same rows once).  On a
+    # multi-node cluster use reliable checkpoint(dir) if executor-loss
+    # tolerance of the round state matters (same trade as
+    # operators/graph.py pagerank).
+    # Lazy: round 1's convergence aggregate is the first action over
+    # sym and materializes the checkpoint inside that job — an eager
+    # checkpoint here would serialize one extra job before the loop.
     sym = e.union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct().persist()
+    ).distinct().localCheckpoint(eager=False)
     # Seed every node with min(self, neighbors) — the same groupBy
     # shuffle a distinct-node seed would cost, but it IS the first
     # propagation round, so the loop below starts one round ahead.
@@ -49,9 +66,11 @@ def connected_components(
         sym.groupBy(F.col("a").alias("node"))
         .agg(F.min("b").alias("_mn"))
         .select("node", F.least("node", "_mn").alias("comp"))
-        .persist()
+        # Lazy checkpoint: the round-1 convergence aggregate below is
+        # the first action over this relation, so it materializes the
+        # checkpoint in the same job — one action per round, as before.
+        .localCheckpoint(eager=False)
     )
-    prev = labels  # persisted handle for the previous round's cache
     changed = -1
     for _ in range(max_iter):
         # One aggregate per round computes BOTH the new label and the
@@ -74,23 +93,21 @@ def connected_components(
         new_labels = (
             tagged.groupBy("node")
             .agg(F.min("comp").alias("comp"), F.min("old").alias("old"))
-            .persist()
+            # Lazy checkpoint: the convergence aggregate below is the
+            # first action and materializes it — one action per round,
+            # with the round's lineage truncated to a leaf (see sym).
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.agg(
             F.sum((F.col("comp") != F.col("old")).cast("long")).alias("c")
         ).collect()[0]["c"]
-        prev.unpersist()
-        prev = new_labels
         labels = new_labels.select("node", "comp")
         if not changed:
             break
     else:
-        sym.unpersist()
-        prev.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             f"({changed} labels still changing) — raise max_iter (the "
             "round count is bounded by the largest component diameter)"
         )
-    sym.unpersist()
     return labels.select("node", "comp")

@@ -93,10 +93,19 @@ def shingles(
     slots = ", ".join(f"__toks[i + {j}]" for j in range(n))
     # Shingle hashing is the scan-stage hot loop (an md5/xxhash per
     # n-gram per doc); spread a single-row-group scan across cores
-    # first — no-op at real scale (see spread_small_scan).
-    base = spread_small_scan(
-        df.select(F.col(id_col), toks.alias("__toks"))
-    ).filter(F.size("__toks") >= n)
+    # first — no-op at real scale (see spread_small_scan).  Spread the
+    # RAW (id, text) projection, and tokenize AFTER the exchange (r12
+    # optimization): with the token projection under the round-robin
+    # exchange, the regexp split of every document ran single-threaded
+    # in the one-partition scan task, and the shuffle carried token
+    # ARRAYS (per-element offsets ≈ 1.4× the raw text bytes).  This
+    # shape tokenizes on all cores and shuffles fewer bytes; the
+    # shingle set per doc — and everything downstream — is unchanged.
+    base = (
+        spread_small_scan(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), toks.alias("__toks"))
+        .filter(F.size("__toks") >= n)
+    )
     if hasher == "md5":
         grams = F.expr(
             f"transform(sequence(0, size(__toks) - {n}), "

@@ -749,20 +749,27 @@ def kmeans_assign(
             lambda acc, x: acc + x,
         )
 
-    vecs = emb.select(
-        F.col(id_col).alias("__id"),
-        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__v"),
-    )
     # The distance argmin is a higher-order-function fold — interpreted,
     # not codegen'd — so its wall scales with rows-per-task. A small
     # single-file scan (the sf0.1 bench: one parquet row-group, ONE
     # partition) would run the whole corpus single-threaded; spread it
     # once before the persist. Gated: a 100 TB scan already has
     # thousands of partitions, so this never adds a shuffle at scale.
+    # Spread the RAW (id, vec) projection and cast to double AFTER the
+    # exchange (r12 optimization): with the cast under the repartition
+    # the float→double transform of every vector ran single-threaded
+    # in the one-partition scan task, and the shuffle carried 8-byte
+    # doubles instead of the stored 4-byte floats (2× the bytes).
+    # Element order within each vector is untouched, so every
+    # downstream fold is bit-identical.
+    narrow = emb.select(F.col(id_col).alias("__id"), F.col(vec_col))
     target = emb.sparkSession.sparkContext.defaultParallelism
-    if vecs.rdd.getNumPartitions() < target:
-        vecs = vecs.repartition(target)
-    vecs = vecs.persist()
+    if narrow.rdd.getNumPartitions() < target:
+        narrow = narrow.repartition(target)
+    vecs = narrow.select(
+        "__id",
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__v"),
+    ).persist()
 
     spark = vecs.sparkSession
     n_buckets = 4 * k
@@ -1489,11 +1496,14 @@ def pq_topk(
     Scale contract: codebooks are control-plane-sized (PQ_M*PQ_K rows;
     the per-round collect moves ≤ PQ_M*PQ_K*PQ_D aggregated values to
     the driver, never corpus rows). Encode/assign is one broadcast
-    pass of the corpus per round — O(n·K·dim), no shuffle; the
-    shuffles are the per-(vec, subspace) argmin aggregate, the
-    per-(subspace, code, dim) stats aggregate, and the final
-    TakeOrderedAndProject. At serving time the 8-int code table IS the
-    index: 32x smaller scans than raw float32 vectors.
+    pass of the corpus per round — the argmin runs IN-ROW against the
+    one-row broadcast codebook (r12: the former corpus × PQ_M·PQ_K
+    crossJoin + argmin groupBy shuffled 128× the corpus per round), so
+    the only per-round shuffle is the map-side-combined
+    (subspace, code, dim) stats aggregate, and serving is a pure map
+    (in-row ADC against the query's broadcast distance table) + the
+    final TakeOrderedAndProject. At serving time the 8-int code table
+    IS the index: 32x smaller scans than raw float32 vectors.
     """
     import math
 
@@ -1504,9 +1514,17 @@ def pq_topk(
     # interpreted higher-order-function work over corpus × codebook
     # rows; spread a single-row-group scan across cores before the
     # persist (no-op at real scale — see spread_small_scan).
-    ints = spread_small_scan(
-        emb.select(
-            F.col(id_col).alias("__id"),
+    # Spread the RAW (id, vec) projection and quantize AFTER the
+    # exchange (r12 optimization): with the quantize fold under the
+    # round-robin exchange the whole O(dim²)-per-row normalization ran
+    # single-threaded in the one-partition scan task, and the shuffle
+    # carried 8-byte bigints instead of the stored 4-byte floats.
+    ints = (
+        spread_small_scan(
+            emb.select(F.col(id_col).alias("__id"), F.col(vec_col))
+        )
+        .select(
+            "__id",
             F.expr(
                 f"transform({vec_col}, "
                 "x -> CAST(FLOOR(CAST(x AS DOUBLE) / "
@@ -1515,7 +1533,8 @@ def pq_topk(
                 "1e-300) * 1e6 + 0.5) AS BIGINT))"
             ).alias("__v"),
         )
-    ).persist()
+        .persist()
+    )
 
     # Init: subvectors of the PQ_K lowest-md5 vectors (control-plane
     # collect — PQ_K rows).
@@ -1531,30 +1550,47 @@ def pq_topk(
         for j in range(PQ_M):
             cb[(j, r["__id"])] = list(r["__v"][j * PQ_D : (j + 1) * PQ_D])
 
-    def cb_df():
-        rows = [(j, code, sv) for (j, code), sv in sorted(cb.items())]
+    # The codebook rides as ONE broadcast row — __cb[j] = the sorted
+    # (code, subvector) list of subspace j — and both the per-round
+    # assignment argmin and the serving-time ADC sum run ENTIRELY
+    # IN-ROW (r12 optimization, the kmeans_assign pattern):
+    # the former crossJoin shape materialized corpus × PQ_M·PQ_K rows
+    # and shuffled them through a per-(vec, subspace) argmin groupBy
+    # every training round, then again at serving (plus an id-keyed
+    # join back to the vectors and a per-vec ADC groupBy).  The in-row
+    # fold computes the identical exact-int argmin per subspace
+    # (array_min over struct(dist, code) = the old
+    # min(struct(dist, code)) lexicographic tiebreak) with ZERO
+    # data-scale exchanges; the only remaining training shuffle is the
+    # map-side-combined (j, code, d) stats aggregate, and serving is a
+    # pure map + TakeOrderedAndProject.
+    def cb_one_row():
+        by_j = [
+            sorted(
+                (int(code), [int(x) for x in sv])
+                for (jj, code), sv in cb.items()
+                if jj == j
+            )
+            for j in range(PQ_M)
+        ]
         return spark.createDataFrame(
-            rows, "j int, code long, sv array<bigint>"
+            [(by_j,)], "__cb array<array<struct<code:bigint, sv:array<bigint>>>>"
         )
 
-    dist_expr = F.expr(
-        f"aggregate(zip_with(slice(__v, j * {PQ_D} + 1, {PQ_D}), sv, "
-        "(x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+    # Per-subspace in-row argmin: __codes[j] = code minimizing the
+    # exact-int subvector distance, ties to the smallest code.
+    codes_col = F.expr(
+        f"transform(sequence(0, {PQ_M - 1}), j -> "
+        f"array_min(transform(element_at(__cb, j + 1), c -> "
+        f"struct(aggregate(zip_with(slice(__v, j * {PQ_D} + 1, {PQ_D}), "
+        "c.sv, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x) "
+        "AS dist, c.code AS code))).code)"
     )
-
-    def assign_vs(cbd):
-        return (
-            ints.crossJoin(F.broadcast(cbd))
-            .select("__id", "j", "code", dist_expr.alias("dist"))
-            .groupBy("__id", "j")
-            .agg(F.min(F.struct("dist", "code")).alias("m"))
-            .select("__id", "j", F.col("m.code").alias("code"))
-        )
 
     for _ in range(train_rounds):
         stats = (
-            assign_vs(cb_df())
-            .join(ints, "__id")
+            ints.crossJoin(F.broadcast(cb_one_row()))
+            .select("__v", F.posexplode(codes_col).alias("j", "code"))
             .select(
                 "j", "code",
                 F.posexplode(
@@ -1574,30 +1610,49 @@ def pq_topk(
             if key in new:
                 cb[key] = new[key]
 
-    final_cb = cb_df()
-    dists = (
-        ints.crossJoin(F.broadcast(final_cb))
-        .select("__id", "j", "code", dist_expr.alias("dist"))
-        .persist()
-    )
-    codes = (
-        dists.groupBy("__id", "j")
-        .agg(F.min(F.struct("dist", "code")).alias("m"))
-        .select("__id", "j", F.col("m.code").alias("code"))
-    )
-    qtab = dists.filter(F.col("__id") == query_id).select(
-        F.col("j").alias("qj"), F.col("code").alias("qcode"),
-        F.col("dist").alias("qdist"),
-    )
-    approx = (
-        codes.filter(F.col("__id") != query_id)
-        .join(
-            F.broadcast(qtab),
-            (F.col("j") == F.col("qj")) & (F.col("code") == F.col("qcode")),
+    # Serving: the query row's FULL per-(subspace, code) distance table
+    # is control-plane sized (PQ_M·PQ_K entries) — collect it once and
+    # ride it as a second one-row broadcast, so each corpus row's ADC
+    # distance is one in-row zip_with over its 8 codes.
+    qd_rows = (
+        ints.filter(F.col("__id") == query_id)
+        .crossJoin(F.broadcast(cb_one_row()))
+        .select(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), j -> "
+                f"transform(element_at(__cb, j + 1), c -> "
+                f"struct(c.code AS code, "
+                f"aggregate(zip_with(slice(__v, j * {PQ_D} + 1, {PQ_D}), "
+                "c.sv, (x, y) -> (x - y) * (x - y)), 0L, "
+                "(acc, x) -> acc + x) AS qdist)))"
+            ).alias("__qd")
         )
-        .groupBy("__id")
-        .agg(F.sum("qdist").alias("adc_dist"))
+        .collect()
     )
+    scored = ints.crossJoin(F.broadcast(cb_one_row())).select(
+        "__id", codes_col.alias("__codes")
+    )
+    if not qd_rows:
+        # Missing query id: the former qtab join produced zero rows.
+        approx = scored.where(F.lit(False)).select(
+            "__id", F.lit(None).cast("long").alias("adc_dist")
+        )
+    else:
+        qd = spark.createDataFrame(
+            [([[(int(e["code"]), int(e["qdist"])) for e in lst]
+               for lst in qd_rows[0]["__qd"]],)],
+            "__qd array<array<struct<code:bigint, qdist:bigint>>>",
+        )
+        adc = F.expr(
+            "aggregate(zip_with(__codes, __qd, (cj, ql) -> "
+            "element_at(filter(ql, e -> e.code = cj), 1).qdist), "
+            "0L, (acc, x) -> acc + x)"
+        )
+        approx = (
+            scored.filter(F.col("__id") != query_id)
+            .crossJoin(F.broadcast(qd))
+            .select("__id", adc.alias("adc_dist"))
+        )
     if not rerank_candidates:
         return (
             approx.select(F.col("__id").alias(id_col), "adc_dist")

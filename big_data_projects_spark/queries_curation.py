@@ -430,11 +430,16 @@ def q_pca_variance(spark, sf_dir):
     # across cores first (no-op at real scale; see spread_small_scan),
     # and persist: the relation feeds the marginal-moment pass, the
     # cross-moment pass, AND the count.
-    vecs = spread_small_scan(
-        emb.select(
+    # Spread the raw embedding column and cast AFTER the exchange (r12
+    # optimization): the cast under the exchange ran single-threaded in
+    # the one-partition scan task and shuffled doubles (2× the bytes).
+    vecs = (
+        spread_small_scan(emb.select("embedding"))
+        .select(
             F.expr("transform(embedding, x -> cast(x as double))").alias("v")
         )
-    ).persist()
+        .persist()
+    )
     # First and second marginal moments: one posexplode pass.
     pe = vecs.select(F.posexplode("v").alias("j", "x"))
     m = (
@@ -646,6 +651,14 @@ def q_bt_reward(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     sources = docs.select("source").distinct().localCheckpoint(eager=True)
+    # NOTE (r12 optimization round, measured and rejected): broadcast
+    # hints on every fixpoint join (w/dirs/sa/sb/den and the final
+    # comps/s) were tried because localCheckpoint relations carry no
+    # size stats and plan as SortMergeJoins — but a controlled A/B at
+    # sf0.1 read 4.26 s (SMJ) vs 5.25 s (hints): 8 broadcast builds
+    # per MM round cost more wall than the tiny 32-partition SMJs they
+    # replace, and every relation here is control-plane sized
+    # (≤|sources|² rows) so the SMJ shape is equally scale-safe.
     wins = (
         sources.join(w, sources["source"] == w["sw"], "left")
         .groupBy("source")
