@@ -506,12 +506,22 @@ def simhash(
     shuffle keyed on the doc id, map-side partial aggregation keeps it
     narrow; bit set iff vote > 0.
     """
+    from big_data_projects_spark.data import spread_small_scan
+
     toks = tokens(text_col)
-    exploded = df.select(F.col(id_col), F.explode(toks).alias("__tok")).select(
-        F.col(id_col),
-        F.conv(F.substring(F.md5("__tok"), 1, bits // 4), 16, 10)
-        .cast("long")
-        .alias("h"),
+    # Tokenize + explode + one md5 per token + ``bits`` partial sums
+    # all run in the scan stage — single-threaded on a one-row-group
+    # testdata scan; spread the raw (id, text) rows across cores first
+    # (no-op at real scale — see spread_small_scan; r12 optimization).
+    exploded = (
+        spread_small_scan(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(toks).alias("__tok"))
+        .select(
+            F.col(id_col),
+            F.conv(F.substring(F.md5("__tok"), 1, bits // 4), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
     )
     votes = [
         F.sum(

@@ -2808,8 +2808,15 @@ def q_ivf_probe_recall(spark, sf_dir):
         .withColumn("prank", F.row_number().over(pr_w))
         .select("qid", "label", "prank")
     )
+    # The panel×corpus cosine folds run in the corpus scan stage —
+    # single-threaded on a one-row-group testdata scan; spread the
+    # corpus rows across cores first (no-op at real scale — see
+    # data.spread_small_scan; r12 optimization).
+    from big_data_projects_spark.data import spread_small_scan
+
     scored = (
-        emb.crossJoin(F.broadcast(panel))
+        spread_small_scan(emb.select("vec_id", "label", "embedding"))
+        .crossJoin(F.broadcast(panel))
         .where(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
@@ -4475,7 +4482,13 @@ def q_code_switch_audit(spark, sf_dir):
     idx = F.when(
         n_win >= 1, F.sequence(F.lit(1), n_win.cast("int"))
     ).otherwise(F.array().cast("array<int>"))
-    base = docs.select(
+    # The per-window lang-id transform costs ~5 regex passes over every
+    # document's bytes — all in the scan stage, single-threaded on a
+    # one-row-group testdata scan; spread the raw rows across cores
+    # first (no-op at real scale — see spread_small_scan; r12).
+    from big_data_projects_spark.data import spread_small_scan
+
+    base = spread_small_scan(docs.select("source", "doc_id", "text")).select(
         "source",
         n_win.alias("n_win"),
         F.transform(

@@ -3851,6 +3851,13 @@ def q_ann_recall(spark, sf_dir):
         # corpus scan, not one per path (the q_ivf_probe_recall
         # ADVICE-r6 pattern)
     )
+    # Both scoring passes run panel×corpus interpreted dot folds in
+    # the corpus scan stage — single-threaded on a one-row-group
+    # testdata scan; spread the corpus rows across cores first (no-op
+    # at real scale — see data.spread_small_scan; r12 optimization).
+    from big_data_projects_spark.data import spread_small_scan
+
+    emb = spread_small_scan(emb)
 
     def ranked_top(scored, sim_col):
         w = Window.partitionBy("qid").orderBy(
@@ -4006,8 +4013,16 @@ def q_multimodal_dhash(spark, sf_dir):
     near-dup candidates come from hamming-ball banding over the same
     signature (the q_simhash_pairs pigeonhole machinery applies
     unchanged)."""
+    from big_data_projects_spark.data import spread_small_scan
+
     docs = _t(spark, sf_dir, "documents")
-    binary = M.with_binary_payload(docs)
+    # The 9x8-raster dHash is a heavy byte-level expression per row,
+    # all in the scan stage — single-threaded on a one-row-group
+    # testdata scan; spread the raw rows across cores first (no-op at
+    # real scale — see spread_small_scan; r12 optimization).
+    binary = M.with_binary_payload(
+        spread_small_scan(docs.select("doc_id", "text"))
+    )
     hashed = (
         M.with_dhash64(binary)
         .select("doc_id", "phash")
@@ -4393,6 +4408,13 @@ def q_matryoshka_recall(spark, sf_dir):
         # corpus scan, not one per path (the q_ivf_probe_recall
         # ADVICE-r6 pattern)
     )
+    # Both scoring passes run panel×corpus interpreted dot folds in
+    # the corpus scan stage — single-threaded on a one-row-group
+    # testdata scan; spread the corpus rows across cores first (no-op
+    # at real scale — see data.spread_small_scan; r12 optimization).
+    from big_data_projects_spark.data import spread_small_scan
+
+    emb = spread_small_scan(emb)
 
     def ranked_top(scored, sim_col):
         w = Window.partitionBy("qid").orderBy(
