@@ -377,8 +377,16 @@ def ivf_merge_ingest(
         routes.join(batch_bands, id_col)
         .select(F.col(id_col).alias("__b_id"), part_col, "band", "bucket")
     )
-    corpus_bands = corpus.select(id_col, part_col, *sigs).select(
-        F.col(id_col).alias("__o_id"), part_col, bucket_explode
+    # The corpus-side sign folds are interpreted HOF work in the scan
+    # stage — single-threaded on a one-row-group testdata scan; spread
+    # the rows across cores first (no-op at real scale — see
+    # data.spread_small_scan; r12 optimization).
+    from big_data_projects_spark.data import spread_small_scan
+
+    corpus_bands = (
+        spread_small_scan(corpus.select(id_col, part_col, vec_col))
+        .select(id_col, part_col, *sigs)
+        .select(F.col(id_col).alias("__o_id"), part_col, bucket_explode)
     )
     # Earlier batch vectors live at their ROUTED cell (rn=1) once
     # inserted — that relation is the batch side of the within-batch
@@ -504,15 +512,32 @@ def band_signature_cols(
     packed into an int bucket key. Deterministic planes (seeded rng),
     so retried tasks and the DuckDB oracle reproduce identical buckets."""
     planes = _hyperplanes(dim, bits_per_band * n_bands)
-    sign_bits = [
-        F.when(_dot(F.col(vec_col), F.array(*[F.lit(v) for v in p])) > 0, 1).otherwise(0)
-        for p in planes
-    ]
+    # Built as ONE parsed SQL expression per band, not nested Column
+    # ops (r12 optimization): the Column route pushed dim × bits ×
+    # n_bands F.lit() calls through py4j (~8k driver round-trips for
+    # the 64×8×16 default — measured ~6 s of pure plan CONSTRUCTION
+    # per consumer, before any data moved).  The SQL text parses in
+    # one shot to the IDENTICAL expression tree: plane weights render
+    # as CAST('<repr>' AS DOUBLE) — the same exact string-parse trick
+    # every DuckDB oracle twin already uses for these planes ('<repr>'
+    # ::DOUBLE), so the parsed doubles are bit-identical to the former
+    # py4j literals — and the dot is the same zip_with/aggregate
+    # sequential fold, the sign test the same CASE WHEN > 0, the bit
+    # packing the same integer weighted sum.
+    def _plane_dot(p: list[float]) -> str:
+        vals = ", ".join(f"CAST('{w!r}' AS DOUBLE)" for w in p)
+        return (
+            f"aggregate(zip_with({vec_col}, array({vals}), "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+
     return [
-        sum(
-            b * (1 << i)
-            for i, b in enumerate(
-                sign_bits[band * bits_per_band : (band + 1) * bits_per_band]
+        F.expr(
+            " + ".join(
+                f"(CASE WHEN {_plane_dot(planes[band * bits_per_band + i])}"
+                f" > 0 THEN {1 << i} ELSE 0 END)"
+                for i in range(bits_per_band)
             )
         ).alias(f"b{band}")
         for band in range(n_bands)
@@ -1425,12 +1450,22 @@ def random_project(
     verify) ~dim/out_dim cheaper while approximately preserving
     distances (ε ≈ sqrt(ln n / out_dim))."""
     planes = projection_planes(dim, out_dim)
+
+    # One parsed SQL expression per plane instead of dim F.lit() py4j
+    # calls each — same construction-cost fix as band_signature_cols
+    # (r12): CAST('<repr>' AS DOUBLE) parses to the bit-identical
+    # double, and the fold is the same zip_with/aggregate chain.
+    def _plane_dot(p: list[float]) -> str:
+        vals = ", ".join(f"CAST('{w!r}' AS DOUBLE)" for w in p)
+        return (
+            f"aggregate(zip_with({vec_col}, array({vals}), "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+
     return emb.select(
         F.col(id_col),
-        *[
-            _dot(F.col(vec_col), F.array(*[F.lit(w) for w in p])).alias(f"p{i}")
-            for i, p in enumerate(planes)
-        ],
+        *[F.expr(_plane_dot(p)).alias(f"p{i}") for i, p in enumerate(planes)],
     )
 
 

@@ -933,8 +933,18 @@ def _ivf_gate_match_stream(spark, sf_dir, bits: int = 8):
     bucket_explode = F.posexplode(
         F.array(*[F.col(f"b{j}") for j in range(n_bands)])
     ).alias("band", "bucket")
-    corpus_index = corpus.select("vec_id", "label", *sigs).select(
-        F.col("vec_id").alias("corpus_vec"), "label", bucket_explode
+    # The corpus index's bits·bands sign folds per row are interpreted
+    # HOF work in the static side's scan stage — single-threaded on a
+    # one-row-group testdata scan, re-run inside the micro-batch;
+    # spread the static rows across cores first (no-op at real scale —
+    # see data.spread_small_scan; r12 optimization; batch side only,
+    # the stream side stays exchange-free).
+    from big_data_projects_spark.data import spread_small_scan
+
+    corpus_index = (
+        spread_small_scan(corpus.select("vec_id", "label", "embedding"))
+        .select("vec_id", "label", *sigs)
+        .select(F.col("vec_id").alias("corpus_vec"), "label", bucket_explode)
     )
 
     # Stream side: in-row signatures + in-row routing (stateless).
