@@ -174,7 +174,22 @@ def q_tpch_q1(spark, sf_dir):
     reference lacks (no sum/avg — SURVEY.md §2.4). Double sums go
     through exact decimal accumulation so results are order-independent
     and oracle-stable."""
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2000-01-01")
+    from big_data_projects_spark.data import spread_small_scan
+
+    # The 5 decimal(38,6) partial sums are 128-bit BigDecimal work per
+    # row — all in the scan stage, which is ≤3 partitions on the
+    # single-row-group testdata; spread the filtered rows across cores
+    # first (AFTER the filter so pushdown still reaches the scan;
+    # no-op at real scale — see spread_small_scan; r12 optimization:
+    # fresh-plan A/B 2.9 s → 1.2 s for the same shape).
+    li = spread_small_scan(
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= "2000-01-01")
+        .select(
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount",
+        )
+    )
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         dsum("l_quantity", "sum_qty"),
         dsum("l_extendedprice", "sum_base_price"),

@@ -3472,7 +3472,13 @@ def q_pipeline_ccnet(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    langs = docs.select(
+    # Per-doc lang-id (≈5 regex passes over corpus bytes) + the token
+    # explode run in the scan stage — single-threaded on a
+    # one-row-group testdata scan; spread the raw rows across cores
+    # first (no-op at real scale — see data.spread_small_scan; r12).
+    from big_data_projects_spark.data import spread_small_scan
+
+    langs = spread_small_scan(docs.select("doc_id", "text")).select(
         "doc_id", "text", T.predict_lang("text").alias("pred_lang")
     )
     toks = langs.select(

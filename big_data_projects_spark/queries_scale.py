@@ -90,7 +90,17 @@ def q_stats_moments(spark, sf_dir):
     meaning and engine-stable. Spark's built-in
     var_pop/corr use Welford-style merging whose float rounding is
     partition-order dependent — power sums in decimal are not."""
-    li = _t(spark, sf_dir, "lineitem")
+    from big_data_projects_spark.data import spread_small_scan
+
+    # The 5 decimal(38,6) power sums are 128-bit BigDecimal work per
+    # row, all in the ≤3-partition testdata scan stage; spread first
+    # (no-op at real scale — see spread_small_scan; r12 optimization:
+    # fresh-plan A/B 2.9 s → 1.2 s for this exact shape).
+    li = spread_small_scan(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_quantity", "l_extendedprice"
+        )
+    )
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
     sums = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
