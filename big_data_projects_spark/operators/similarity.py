@@ -1673,15 +1673,29 @@ def pq_topk(
             "__id", F.lit(None).cast("long").alias("adc_dist")
         )
     else:
+        # qdist is NULL when the vector dimension falls short of a
+        # subspace (degenerate-input corpora: slice past the array end
+        # zip_with-pads with NULL and the product fold nulls out) —
+        # keep the NULL, exactly like the former qtab relation did.
         qd = spark.createDataFrame(
-            [([[(int(e["code"]), int(e["qdist"])) for e in lst]
-               for lst in qd_rows[0]["__qd"]],)],
+            [([[
+                (int(e["code"]),
+                 None if e["qdist"] is None else int(e["qdist"]))
+                for e in lst
+            ] for lst in qd_rows[0]["__qd"]],)],
             "__qd array<array<struct<code:bigint, qdist:bigint>>>",
         )
+        # SUM semantics over the 8 per-subspace entries, reproduced
+        # exactly: NULL entries are skipped, and the total is NULL iff
+        # EVERY entry is NULL (the former groupBy sum over the qtab
+        # join) — a plain fold would null the whole sum on one NULL.
         adc = F.expr(
-            "aggregate(zip_with(__codes, __qd, (cj, ql) -> "
+            "CASE WHEN size(filter(zip_with(__codes, __qd, (cj, ql) -> "
             "element_at(filter(ql, e -> e.code = cj), 1).qdist), "
-            "0L, (acc, x) -> acc + x)"
+            "x -> x IS NOT NULL)) = 0 THEN NULL ELSE "
+            "aggregate(filter(zip_with(__codes, __qd, (cj, ql) -> "
+            "element_at(filter(ql, e -> e.code = cj), 1).qdist), "
+            "x -> x IS NOT NULL), 0L, (acc, x) -> acc + x) END"
         )
         approx = (
             scored.filter(F.col("__id") != query_id)
