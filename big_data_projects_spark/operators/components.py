@@ -24,6 +24,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _release_checkpoint(df: DataFrame | None) -> None:
+    """Best-effort unpersist of a localCheckpoint leaf's blocks (ADVICE
+    r12 #1): a checkpointed Dataset's analyzed plan is a LogicalRDD
+    whose underlying RDD localCheckpoint() left persisted in the
+    BlockManager; without an explicit release every round's blocks
+    linger until driver GC / ContextCleaner collects the abandoned
+    handles, so peak storage grows with round count instead of O(1).
+    ``df.rdd.unpersist()`` would NOT work — ``.rdd`` wraps a fresh
+    deserialized RDD, not the persisted internal one.  Blocking=False:
+    freeing is cleanup, never worth a synchronous wait.  Swallows
+    errors by design — a failed release degrades to the pre-r13 GC
+    behavior, never to a wrong result."""
+    if df is None:
+        return
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
 ) -> DataFrame:
@@ -72,6 +92,7 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     changed = -1
+    prev = labels  # the round whose blocks the NEXT collect retires
     for _ in range(max_iter):
         # One aggregate per round computes BOTH the new label and the
         # node's previous label (the union tags which rows carry it), so
@@ -101,13 +122,31 @@ def connected_components(
         changed = new_labels.agg(
             F.sum((F.col("comp") != F.col("old")).cast("long")).alias("c")
         ).collect()[0]["c"]
+        # The collect above materialized new_labels' checkpoint, so the
+        # PREVIOUS round's blocks (read one last time inside that job)
+        # are now dead — release them eagerly instead of waiting for
+        # GC, keeping peak checkpoint storage at O(1) rounds (ADVICE
+        # r12 #1).  The seed `labels` relation is round 0's prev; the
+        # FINAL round's blocks are never released here (the caller's
+        # consumer reads them — a released local checkpoint cannot
+        # recompute).
+        _release_checkpoint(prev)
+        prev = new_labels
         labels = new_labels.select("node", "comp")
         if not changed:
             break
     else:
+        # Error-path hygiene (ADVICE r12 #1): free the edge set and the
+        # last round's state before raising, so a caught-and-retried
+        # non-convergence doesn't strand max_iter rounds of blocks.
+        _release_checkpoint(sym)
+        _release_checkpoint(prev)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             f"({changed} labels still changing) — raise max_iter (the "
             "round count is bounded by the largest component diameter)"
         )
+    # sym's blocks are dead once the loop exits (every consumer of the
+    # returned labels reads only the final checkpoint leaf).
+    _release_checkpoint(sym)
     return labels.select("node", "comp")

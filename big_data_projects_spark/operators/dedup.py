@@ -101,15 +101,27 @@ def shingles(
     # ARRAYS (per-element offsets ≈ 1.4× the raw text bytes).  This
     # shape tokenizes on all cores and shuffles fewer bytes; the
     # shingle set per doc — and everything downstream — is unchanged.
-    base = (
-        spread_small_scan(df.select(F.col(id_col), F.col(text_col)))
-        .select(F.col(id_col), toks.alias("__toks"))
-        .filter(F.size("__toks") >= n)
-    )
+    base = spread_small_scan(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(F.col(id_col), toks.alias("__toks"))
+    # Short docs (< n tokens) are dropped by the CASE guard + explode-
+    # of-empty-array, NOT by a filter (r13; VERDICT r12 item #6):
+    # Catalyst pushes a size(split(text)) >= n predicate through the
+    # Project AND the spread repartition, so the r12 plans re-ran the
+    # regexp split of EVERY document single-threaded in the
+    # one-partition scan task just to evaluate the pushed filter,
+    # before the parallel split above the exchange (plans/r12
+    # q_dedup_minhash_lsh blocks (6) vs (8)).  With the guard inside
+    # the gram expression there is no predicate to push: the plan
+    # carries ONE split per doc, post-exchange, on all cores.  explode
+    # (not explode_outer) emits nothing for the empty arrays, so the
+    # shingle set per doc — and every consumer — is unchanged.
     if hasher == "md5":
         grams = F.expr(
+            f"CASE WHEN size(__toks) >= {n} THEN "
             f"transform(sequence(0, size(__toks) - {n}), "
-            f"i -> concat_ws(' ', {slots}))"
+            f"i -> concat_ws(' ', {slots})) "
+            f"ELSE CAST(array() AS ARRAY<STRING>) END"
         )
         return (
             base.select(F.col(id_col), F.explode(grams).alias("__gram"))
@@ -125,7 +137,9 @@ def shingles(
     # no intermediate gram string is ever materialized (~3× faster;
     # measured 2.8s → 0.9s for 260k shingles at sf0.1).
     hashed = F.expr(
-        f"transform(sequence(0, size(__toks) - {n}), i -> xxhash64({slots}))"
+        f"CASE WHEN size(__toks) >= {n} THEN "
+        f"transform(sequence(0, size(__toks) - {n}), i -> xxhash64({slots})) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
     )
     return (
         base.select(F.col(id_col), F.explode(hashed).alias("shingle"))
@@ -406,37 +420,39 @@ def minhash_merge_ingest(
     """
     sh = shingles(df, id_col, text_col, n, hasher=hasher).persist()
     sig = minhash_signatures(df, id_col, text_col, n, shingle_df=sh)
-    # Three filter branches (batch×2 joins, corpus, within) consume the
-    # banded relation; without persist each re-runs the 64-min
-    # signature groupBy — the same per-branch recomputation
-    # minhash_lsh_pairs already persists against.  docs×LSH_BANDS
-    # narrow rows: small at any corpus size relative to shingles.
+    # Both sides of the candidate join (the batch filter and the full
+    # relation) consume the banded relation; without persist each
+    # re-runs the 64-min signature groupBy — the same per-branch
+    # recomputation minhash_lsh_pairs already persists against.
+    # docs×LSH_BANDS narrow rows: small at any corpus size relative to
+    # shingles.
     bands = band_buckets(sig, id_col=id_col, hasher=hasher).persist()
 
     is_batch = batch_flag(F.col(id_col))
     batch_bands = bands.filter(is_batch).select(
         F.col(id_col).alias("doc_b"), "band", "bucket"
     )
-    corpus_bands = bands.filter(~is_batch).select(
+    other_bands = bands.select(
         F.col(id_col).alias("doc_o"), "band", "bucket"
     )
-    within_bands = bands.filter(is_batch).select(
-        F.col(id_col).alias("doc_o"), "band", "bucket"
-    )
-    cand_corpus = (
-        batch_bands.join(corpus_bands, ["band", "bucket"])
-        .select("doc_b", "doc_o")
+    # ONE (band, bucket) equi-join against the full banded relation
+    # (r13, guide §2.4; VERDICT r12 item #3): the former shape ran TWO
+    # joins (batch×corpus, batch×batch) with separate distincts and
+    # unioned them.  vs_corpus is derivable from doc_o alone (the
+    # batch_flag contract), and the two candidate sets are disjoint by
+    # construction (a pair's doc_o is either a corpus or a batch id),
+    # so a single join + the within-batch ordering filter + one
+    # distinct yields the identical candidate relation — one exchange
+    # of the batch side instead of two, one distinct instead of two.
+    # Candidate mass is unchanged: the old batch×batch join produced
+    # the same pre-filter rows before ITS doc_o < doc_b filter.
+    is_batch_o = batch_flag(F.col("doc_o"))
+    cand = (
+        batch_bands.join(other_bands, ["band", "bucket"])
+        .filter(~is_batch_o | (F.col("doc_o") < F.col("doc_b")))
+        .select("doc_b", "doc_o", (~is_batch_o).alias("vs_corpus"))
         .distinct()
-        .withColumn("vs_corpus", F.lit(True))
     )
-    cand_batch = (
-        batch_bands.join(within_bands, ["band", "bucket"])
-        .filter(F.col("doc_o") < F.col("doc_b"))
-        .select("doc_b", "doc_o")
-        .distinct()
-        .withColumn("vs_corpus", F.lit(False))
-    )
-    cand = cand_corpus.unionByName(cand_batch)
 
     # Exact-Jaccard verify over per-doc shingle arrays — the same
     # candidate-bounded shape as minhash_lsh_pairs (pair count ≪

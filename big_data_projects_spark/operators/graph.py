@@ -126,13 +126,22 @@ def pagerank(
         # Iterative lineage MUST be truncated, not just cached: with
         # persist() alone the logical plan (and per-round analysis
         # cost) grows linearly with the iteration count. localCheckpoint
-        # materializes and cuts the plan; on a multi-node cluster use
-        # reliable checkpoint(dir) for executor-loss tolerance.
+        # cuts the plan to a leaf; on a multi-node cluster use reliable
+        # checkpoint(dir) for executor-loss tolerance.
         # EVERY round, deliberately: these iteration relations are
         # control-plane sized, so the wall is Catalyst analysis of the
         # per-round plan, not job launch — an every-2nd-round cadence
         # was A/B-measured SLOWER (the doubled plan depth costs more to
         # optimize than the saved action; BASELINE.md round 6).
+        # eager=False was tried and REJECTED in r13 (VERDICT r12 item
+        # #5's pipelined-rounds idea): q_pagerank_sim_graph regressed
+        # 6.1 -> 9.0 s in a controlled same-session A/B.  Under AQE,
+        # localCheckpoint(eager=False) is not actually lazy — creating
+        # the LogicalRDD calls queryExecution.toRdd, and an adaptive
+        # plan's toRdd materializes every shuffle stage right there —
+        # so the "deferred" variant ran the same per-round shuffles at
+        # checkpoint() time PLUS re-ran each round's unpersisted result
+        # stage inside later rounds' planning and the final action.
         ranks = new_ranks.localCheckpoint(eager=True)
     links.unpersist()
     nodes.unpersist()
@@ -215,7 +224,11 @@ def pagerank_units(
         # Lineage truncated EVERY round, deliberately — see the
         # comment in pagerank(): the A/B-measured every-2nd-round
         # cadence was slower (plan-analysis cost dominates for these
-        # control-plane-sized relations).
+        # control-plane-sized relations).  eager=False measured and
+        # REJECTED in r13 (see pagerank()): AQE makes the "lazy"
+        # checkpoint execute its shuffles at toRdd time anyway, and the
+        # unpersisted result stages re-run per reference — controlled
+        # A/B read 6.1 -> 9.0 s on q_pagerank_sim_graph.
         ranks = ranks.localCheckpoint(eager=True)
     links.unpersist()
     nodes.unpersist()

@@ -1664,6 +1664,16 @@ def pq_topk(
         )
         .collect()
     )
+    if len(qd_rows) > 1:
+        # ADVICE r12 #2: the pre-r12 qtab join SUMMED distance rows over
+        # duplicate query-id corpus rows; the in-row path reads one
+        # collected row, so duplicate ids must fail loudly instead of
+        # silently changing ADC distances.
+        raise ValueError(
+            f"pq_topk: query_id {query_id!r} matches {len(qd_rows)} corpus "
+            "rows — ids must be unique (duplicate-id input would silently "
+            "change ADC distances vs the documented single-query contract)"
+        )
     scored = ints.crossJoin(F.broadcast(cb_one_row())).select(
         "__id", codes_col.alias("__codes")
     )

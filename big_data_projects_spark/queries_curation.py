@@ -91,56 +91,85 @@ def q_dsir_weights(spark, sf_dir):
     rounded to 12 and decimal-summed so the result is
     order-independent and restatable.
 
-    At 100 TB: tokenize once, one bucket-keyed groupBy per
-    distribution (128 groups — map-side combined to nothing), then a
-    broadcast join of the 128-row ratio table back onto the token
-    stream and one doc-keyed sum. No driver collect, no window."""
+    At 100 TB: tokenize once for the two bucket LMs (ONE 128-group
+    conditional-count groupBy — map-side combined to nothing, totals
+    derived from the same 128 cells), then the ratio table rides as a
+    ONE-ROW broadcast map and each document's (n_toks, log_weight)
+    is computed ENTIRELY IN-ROW (r13, the pq_topk pattern; VERDICT r12
+    item #7): no per-token broadcast join, no doc-keyed shuffle of the
+    token stream — the scoring pass is a pure map over the corpus.
+    The decimal fold is exact integer-scaled addition (order-free), so
+    the in-row sequential fold is bit-identical to the former
+    shuffle-ordered SUM.  No driver collect, no window."""
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", "source", F.explode(T.tokens("text")).alias("term")
-    )
-    b = toks.select(
-        "doc_id",
-        "source",
-        (
-            F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
-            % DSIR_BUCKETS
-        ).alias("bkt"),
+    bkt_sql = (
+        f"CAST(conv(substring(md5({{t}}), 1, 8), 16, 10) AS BIGINT) "
+        f"% {DSIR_BUCKETS}"
     )
     tgt = F.col("source").isin("src0", "src1")
-    tc = b.filter(tgt).groupBy("bkt").agg(F.count(F.lit(1)).alias("ct"))
-    rc = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("cr"))
-    tot = (
-        b.filter(tgt)
-        .agg(F.count(F.lit(1)).alias("nt"))
-        .crossJoin(F.broadcast(b.agg(F.count(F.lit(1)).alias("nr"))))
-    )
-    ratios = (
-        rc.join(tc, "bkt", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "bkt",
-            F.round(
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
-                    / (F.col("nt") + F.lit(DSIR_BUCKETS))
-                )
-                - F.log(
-                    (F.col("cr") + F.lit(1.0))
-                    / (F.col("nr") + F.lit(DSIR_BUCKETS))
-                ),
-                12,
-            )
-            .cast("decimal(38,14)")
-            .alias("w"),
+    # ONE counting pass (was: tc, rc, nt, nr — four aggregates over four
+    # re-tokenizations of the corpus; guide §2.4): per-bucket raw count
+    # + conditional target count in a single 128-cell groupBy; the
+    # add-1-smoothing totals are the sums of those same cells
+    # (a bucket with zero target tokens contributes ct=0 exactly as the
+    # former left-join coalesce did).
+    counts = (
+        docs.select("source", F.explode(T.tokens("text")).alias("term"))
+        .select("source", F.expr(bkt_sql.format(t="term")).alias("bkt"))
+        .groupBy("bkt")
+        .agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.count(F.when(tgt, F.lit(1))).alias("ct"),
         )
     )
+    tot = counts.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    )
+    ratios = counts.crossJoin(F.broadcast(tot)).select(
+        "bkt",
+        F.round(
+            F.log(
+                (F.col("ct") + F.lit(1.0))
+                / (F.col("nt") + F.lit(DSIR_BUCKETS))
+            )
+            - F.log(
+                (F.col("cr") + F.lit(1.0))
+                / (F.col("nr") + F.lit(DSIR_BUCKETS))
+            ),
+            12,
+        )
+        .cast("decimal(38,14)")
+        .alias("w"),
+    )
+    wmap = ratios.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bkt", "w"))
+        ).alias("__w")
+    )
+    # NULL-text rows produced no token rows under the former explode —
+    # keep them out of the in-row path the same way (testdata has none;
+    # the filter pushes to the scan).
     return (
-        b.join(F.broadcast(ratios), "bkt")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_toks"),
-            F.round(F.sum("w").cast("double"), 8).alias("log_weight"),
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", T.tokens("text").alias("__toks"))
+        .crossJoin(F.broadcast(wmap))
+        .select(
+            "doc_id",
+            F.size("__toks").cast("long").alias("n_toks"),
+            F.round(
+                # The CAST inside the lambda keeps the accumulator type
+                # stable (Spark narrows DECIMAL(38,14)+DECIMAL(38,14)
+                # to (38,13), which fails the HOF type check); every w
+                # is rounded to 12 decimals, so the 13-decimal internal
+                # addition and the cast back are both value-exact —
+                # bit-identical to the former shuffle SUM.
+                F.expr(
+                    "aggregate(__toks, CAST(0 AS DECIMAL(38,14)), "
+                    f"(acc, t) -> CAST(acc + element_at(__w, "
+                    f"{bkt_sql.format(t='t')}) AS DECIMAL(38,14)))"
+                ).cast("double"),
+                8,
+            ).alias("log_weight"),
         )
     )
 
@@ -713,7 +742,12 @@ def q_bt_reward(spark, sf_dir):
             # EVERY iteration, deliberately: an every-2nd-iteration
             # cadence A/B-measured 3.6 -> 6.2 s (the doubled plan depth
             # costs Catalyst more than the saved action; BASELINE.md
-            # round 6).
+            # round 6).  eager=False measured and REJECTED in r13
+            # (VERDICT r12 item #5's pipelined-rounds idea): 4.4 ->
+            # 5.2 s in a controlled A/B — under AQE a "lazy"
+            # localCheckpoint still executes its shuffle stages at
+            # toRdd time, and the unpersisted per-round result stage
+            # re-runs for every reference (s feeds BOTH sa and sb).
             .localCheckpoint(eager=True)
         )
     return (
@@ -1220,17 +1254,29 @@ def q_lsh_quality(spark, sf_dir):
     side is the proven q_ngram_jaccard machinery (hot-shingle df cap
     before the self-join), the candidate side the proven
     q_dedup_minhash_lsh machinery (md5-portable 64-perm signatures,
-    32x2 banding) — so this evaluation is joins + counts over two
-    already-hash-matched relations, and every number is an exact
-    integer except the two rounded ratios.
+    32x2 banding) — so this evaluation is ONE tagged pair-keyed
+    aggregate over two already-hash-matched relations, and every
+    number is an exact integer except the two rounded ratios.
 
     At 100 TB both sides are the documented scale shapes (df-capped
-    equi-join; band-bucket equi-join, never all-pairs); the summary
-    is three counts."""
+    equi-join; band-bucket equi-join, never all-pairs); the three
+    counts fold out of a single conditional aggregation (no persisted
+    pair relations, no separate count jobs — r13)."""
     from big_data_projects_spark.operators import dedup as D
 
     docs = _t(spark, sf_dir, "documents")
     sh = D.shingles(docs, "doc_id", "text", hasher="md5").persist()
+    # Materialize the shared shingle cache ONCE, eagerly, before both
+    # pipelines plan against it (r13): in the single-action shape below
+    # the truth and candidate subtrees' leaf stages launch
+    # CONCURRENTLY, and an unmaterialized persisted relation is
+    # recomputed by every racing stage — the full split+md5+explode
+    #+distinct ran ~3× in parallel and the query read 19-24 s instead
+    # of ~5 (controlled A/B; the former three-count shape only avoided
+    # the race by accident, via its broadcast sub-jobs' sequencing).
+    # One timed count() scan builds the whole cache (InMemoryRelation
+    # stores all columns regardless of the count's pruning).
+    sh.count()
     truth = D.ngram_jaccard_pairs(
         docs, threshold=LSH_TRUTH_TAU, shingle_df=sh
     ).select("doc_a", "doc_b")
@@ -1244,27 +1290,45 @@ def q_lsh_quality(spark, sf_dir):
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
-        .persist()  # consumed by the count AND the hit join
     )
-    truth = truth.persist()  # consumed by the count AND the hit join
-    hits = cand.join(truth, ["doc_a", "doc_b"])
-    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
-    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-    nh = hits.agg(F.count(F.lit(1)).alias("n_hits"))
-    return (
-        nt.crossJoin(F.broadcast(nc))
-        .crossJoin(F.broadcast(nh))
-        .select(
-            F.col("n_truth").cast("long").alias("n_truth"),
-            F.col("n_candidates").cast("long").alias("n_candidates"),
-            F.col("n_hits").cast("long").alias("n_hits"),
-            F.round(
-                F.col("n_hits") / F.col("n_candidates").cast("double"), 8
-            ).alias("precision"),
-            F.round(
-                F.col("n_hits") / F.col("n_truth").cast("double"), 8
-            ).alias("recall"),
+    # Single-pass conditional aggregation (r13, guide §2.4; VERDICT r12
+    # item #3): the former shape persisted cand AND truth, ran three
+    # separate count jobs plus a cand⋈truth hit join, and crossJoined
+    # the scalars.  Both relations are pair-unique by construction
+    # (distinct / groupBy upstream), so tagging each side and folding
+    # through ONE pair-keyed aggregate yields all three counts in one
+    # data-scale pass: n_candidates = pairs tagged c, n_truth = pairs
+    # tagged t, n_hits = pairs tagged both — the same exchange bytes
+    # the hit join paid, with no persists, no second/third count pass,
+    # and no SMJ sorts.  coalesce(…, 0) keeps the degenerate empty-
+    # corpus row identical to the former count()-based zeros.
+    tagged = cand.select(
+        "doc_a", "doc_b", F.lit(1).alias("__c"), F.lit(0).alias("__t")
+    ).unionByName(
+        truth.select(
+            "doc_a", "doc_b", F.lit(0).alias("__c"), F.lit(1).alias("__t")
         )
+    )
+    per_pair = tagged.groupBy("doc_a", "doc_b").agg(
+        F.max("__c").alias("__c"), F.max("__t").alias("__t")
+    )
+    counts = per_pair.agg(
+        F.coalesce(F.sum("__t"), F.lit(0)).cast("long").alias("n_truth"),
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("n_candidates"),
+        F.coalesce(F.sum(F.col("__c") * F.col("__t")), F.lit(0))
+        .cast("long")
+        .alias("n_hits"),
+    )
+    return counts.select(
+        "n_truth",
+        "n_candidates",
+        "n_hits",
+        F.round(
+            F.col("n_hits") / F.col("n_candidates").cast("double"), 8
+        ).alias("precision"),
+        F.round(F.col("n_hits") / F.col("n_truth").cast("double"), 8).alias(
+            "recall"
+        ),
     )
 
 

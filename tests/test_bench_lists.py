@@ -102,9 +102,9 @@ def test_bench_summary_line_is_self_contained():
     assert summary["incoming_total"] == len(bench.INCOMING) * 2.0
     assert summary["n_headline"] == len(bench.HEADLINE)
     assert summary["sf"] == 0.1
-    assert len(summary["top5"]) == 5
-    assert max(summary["top5"].values()) == 2.0  # incoming heaviest
-    assert "queries" not in summary  # stays compact
+    assert len(full["top5"]) == 5
+    assert max(full["top5"].values()) == 2.0  # incoming heaviest
+    assert "queries" not in summary  # merged in by pack_summary_queries
     # Self-adjudication fields survive in BOTH lines (the driver's tail
     # capture may truncate the full line — VERDICT r7 item #2).
     for rec in (full, summary):
@@ -113,6 +113,86 @@ def test_bench_summary_line_is_self_contained():
         assert rec["env"]["load_start"] == [1.0, 1.0, 1.0]
     assert full["noisy_queries"] == {bench.HEADLINE[0]: 2.0}
     assert summary["n_noisy"] == 1
+
+
+def test_summary_line_carries_per_query_map_within_parse_window():
+    """VERDICT r12 item #1: the driver parses the LAST stdout line of a
+    2000-char tail capture (BENCH_r05.json's lone truncated line is the
+    empirical proof of the window), and PERF needs per-query timings in
+    that parsed record.  All 99 names cannot fit (1529 chars of names
+    alone), so the packed summary must (a) stay under the hard budget,
+    (b) include the MOST EXPENSIVE queries first, and (c) label the
+    omitted tail by count and summed seconds so the total reconciles."""
+    import json
+
+    timings = {n: 1.0 for n in bench.HEADLINE}
+    incoming = {n: 2.0 for n in bench.INCOMING}
+    # make a few queries expensive so priority order is observable
+    timings[bench.HEADLINE[0]] = 9.5
+    timings[bench.HEADLINE[1]] = 7.25
+    spreads = {n: 1.1 for n in bench.HEADLINE + bench.INCOMING}
+    medians = {n: 1.5 for n in bench.HEADLINE + bench.INCOMING}
+    env = {
+        "load_start": [1.0, 1.0, 1.0],
+        "load_end": [1.0, 1.0, 1.0],
+        "cached_kb_start": 1,
+        "cached_kb_end": 2,
+        "cpus": 32,
+        "pass2_gain_sec": 0.0,
+        "pass2_improved": 0,
+        "pass2_skipped": 0,
+        "pass2_skipped_names": [],
+        "wall_sec": 1200.0,
+    }
+    full, summary = bench.build_output(
+        timings, incoming, "/x/sf0.1", spreads, env, medians
+    )
+    packed = bench.pack_summary_queries(summary, {**timings, **incoming})
+    line = json.dumps(packed, separators=(",", ":"))
+    assert len(line) <= bench.SUMMARY_LINE_BUDGET
+    rt = json.loads(line)  # round-trips
+    # the heavy queries made it in, at 2-decimal values
+    assert rt["queries"][bench.HEADLINE[0]] == 9.5
+    assert rt["queries"][bench.HEADLINE[1]] == 7.25
+    for n in bench.INCOMING:  # 2.0s incoming beat the 1.0s crowd
+        assert rt["queries"][n] == 2.0
+    # substantial coverage, honest omission labeling, reconciling total
+    assert len(rt["queries"]) >= 40
+    assert rt["n_omitted"] == len(timings) + len(incoming) - len(rt["queries"])
+    omitted = set(timings) | set(incoming) - set(rt["queries"])
+    assert rt["omitted_total"] == round(
+        sum(v for n, v in {**timings, **incoming}.items()
+            if n not in rt["queries"]), 2)
+    assert round(rt["value"] + rt["incoming_total"], 2) == round(
+        sum(rt["queries"].values()) + rt["omitted_total"], 2
+    )
+    # totals and adjudication fields still ride along
+    assert rt["value"] == full["value"]
+    assert rt["headline_41"] == full["headline_41"]
+    assert rt["noise_median_ratio"] == 1.1
+    assert rt["env"]["load_start"] == [1.0, 1.0, 1.0]
+    assert rt["env"]["cpus"] == 32
+    # summary vs_baseline compresses the watch/alarm maps to counts;
+    # the full record keeps the named lists
+    if isinstance(rt.get("vs_baseline"), dict) and "median_ratio" in rt["vs_baseline"]:
+        assert "n_over_1_25" in rt["vs_baseline"]
+        assert "over_1_25" in full["vs_baseline"]
+
+
+def test_pack_summary_queries_budget_is_exact():
+    """The budget check re-serializes after every add, so a crowd of
+    long names cannot overshoot by even one char."""
+    import json
+
+    base = {"metric": "m", "value": 1.0, "unit": "sec", "sf": 0.1}
+    qmap = {f"q_{'x' * 40}_{i:03d}": float(i) for i in range(200)}
+    packed = bench.pack_summary_queries(base, qmap, budget=900)
+    line = json.dumps(packed, separators=(",", ":"))
+    assert len(line) <= 900
+    assert 0 < len(packed["queries"]) < 200
+    assert packed["n_omitted"] == 200 - len(packed["queries"])
+    # descending-cost priority: the most expensive query is present
+    assert f"q_{'x' * 40}_199" in packed["queries"]
 
 
 def test_build_output_defaults_without_instrumentation():
@@ -261,4 +341,6 @@ def test_vs_baseline_adjudication_fields(tmp_path):
     )
     for rec in (full, summary):
         assert rec["vs_baseline"]["n_compared"] > 90
-        assert rec["vs_baseline"]["over_2"] == {}
+    assert full["vs_baseline"]["over_2"] == {}
+    # summary carries the compressed counts form (r13)
+    assert summary["vs_baseline"]["n_over_2"] == 0

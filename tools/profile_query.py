@@ -85,10 +85,15 @@ def main() -> None:
             print(f"plan {name}: {len(txt)} chars", flush=True)
         return
 
+    if runs < 1:
+        # ADVICE r12 #3: --runs 0 used to NameError on the unbound
+        # sample count below; fail loudly with the reason instead.
+        raise SystemExit(f"--runs must be >= 1 (got {runs})")
     out: dict[str, dict] = {}
     for name in names:
         q = REGISTRY[name]
         samples = []
+        n = None
         for _ in range(runs):
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
@@ -101,8 +106,14 @@ def main() -> None:
         print(f"{name}: min={min(samples)} rows={n} samples={samples}", flush=True)
         if plan_dir:
             os.makedirs(plan_dir, exist_ok=True)
+            # Same failure tolerance as --plans-all (ADVICE r12 #3): a
+            # side-effecting builder must not abort the timing loop.
+            try:
+                txt = plan_text(name)
+            except Exception as exc:
+                txt = f"<plan unavailable: {exc}>\n"
             with open(os.path.join(plan_dir, f"{name}.txt"), "w") as f:
-                f.write(plan_text(name))
+                f.write(txt)
     print(json.dumps(out))
 
 
