@@ -191,7 +191,16 @@ def ngram_jaccard_pairs(
         )
         # Persist the CAPPED relation: it feeds three consumers (sizes,
         # both self-join sides) — without this the hot-df aggregation
-        # and anti-join would re-run per consumer.
+        # and anti-join would re-run per consumer.  NOTE (r13, measured
+        # and rejected): an EAGER count() here — to stop concurrent
+        # consumer stages from racing the unmaterialized cache — made
+        # every jaccard consumer SLOWER (q_ngram_jaccard 2.71 -> 3.30 s,
+        # q_graph_modularity 5.12 -> 5.90 s, controlled A/B): the extra
+        # sequenced pass costs more than the duplicated compute it
+        # avoids for this single-pipeline shape.  q_lsh_quality, whose
+        # TWO full pipelines fan out concurrently from one shared
+        # shingle cache, is the opposite case and sequences its own
+        # cache explicitly (queries_curation.py).
         sh = sh.join(hot, "shingle", "left_anti").persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
@@ -611,16 +620,21 @@ def simhash_near_pairs(
     b = segs.select(
         F.col(id_col).alias("doc_b"), F.col("simhash").alias("h_b"), "seg", "key"
     )
-    pairs = (
+    # Hamming is computed — and the threshold applied — BEFORE the
+    # cross-segment pair dedupe (r13, guide §2.3): hamming is a pure
+    # per-pair function (one simhash per doc) and the filter is
+    # row-local, so filter∘distinct ≡ distinct∘filter — but this way
+    # the dedupe exchange carries only qualifying 24-byte
+    # (doc_a, doc_b, hamming) rows instead of every candidate with two
+    # 8-byte hashes attached.
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
         a.join(b, ["seg", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "h_a", "h_b")
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return pairs.select(
-        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
 
 
 def simhash_oracle_sql(

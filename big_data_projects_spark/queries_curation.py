@@ -2096,15 +2096,20 @@ def q_simhash_hamming_hist(spark, sf_dir):
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"),
         "seg", "key",
     )
+    # Compute hamming BEFORE the cross-segment pair dedupe (r13, guide
+    # §2.3): hamming is a pure function of the pair (one simhash per
+    # doc), so distinct-ing (doc_a, doc_b, hamming) is set-identical to
+    # distinct-ing the pair with both 8-byte hashes attached — and the
+    # dedupe exchange carries 24-byte rows instead of 32.
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
     cand = (
         a.join(b, ["seg", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ha", "hb")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
         .distinct()
     )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
     return (
-        cand.select(hamming.alias("hamming"))
+        cand.select("hamming")
         .groupBy("hamming")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .select(

@@ -3484,6 +3484,16 @@ def q_pipeline_ccnet(spark, sf_dir):
     toks = langs.select(
         "doc_id", "pred_lang", F.explode(T.tokens("text")).alias("term")
     ).persist()  # feeds the count tables AND the per-token scoring join
+    # Materialize the cache eagerly (r13): its three consumers (cf,
+    # tot, the scoring join) launch as CONCURRENT stages inside the
+    # final action, and an unmaterialized persisted relation gets
+    # recomputed by every racing stage — here that subtree is the
+    # 5-regex lang-id + tokenize + explode, the query's most expensive
+    # pass.  Controlled A/B: min 6.80 -> 4.42 s (every sample down).
+    # Same pattern as q_lsh_quality's shared shingle cache; the
+    # opposite call (rejected) is documented at ngram_jaccard_pairs,
+    # whose cheap capped relation wasn't worth the extra pass.
+    toks.count()
     cf = toks.groupBy("pred_lang", "term").agg(
         F.count(F.lit(1)).alias("c")
     )

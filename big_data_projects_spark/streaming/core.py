@@ -24,6 +24,21 @@ from pyspark.sql import functions as F
 # is always safe.
 _STAGE_CACHE: dict[str, str] = {}
 
+# Schema-peek cache (r13): the file-stream source requires an explicit
+# schema, so every *_stream() call paid a batch `read.parquet().schema`
+# footer scan (~0.1 s of driver round-trips) for a schema that is
+# immutable per source path within a process — the testdata files never
+# change under a running session.  Keyed by path, like _STAGE_CACHE.
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
+def _peeked_schema(spark: SparkSession, src: str):
+    schema = _SCHEMA_CACHE.get(src)
+    if schema is None:
+        schema = spark.read.parquet(src).schema
+        _SCHEMA_CACHE[src] = schema
+    return schema
+
 
 def _staged_source(src: str, prefix: str) -> str:
     """Return a directory containing (symlinks to) ``src``'s data
@@ -87,7 +102,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     src = f"{sf_dir}/events.parquet"
-    batch_schema = spark.read.parquet(src).schema
+    batch_schema = _peeked_schema(spark, src)
     stage = _staged_source(src, "bdp_stream_src_")
     stream = spark.readStream.schema(batch_schema).parquet(stage)
     if dict(stream.dtypes).get("ts") == "bigint":
@@ -190,7 +205,7 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp if they need windows."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     src = f"{sf_dir}/documents.parquet"
-    batch_schema = spark.read.parquet(src).schema
+    batch_schema = _peeked_schema(spark, src)
     stage = _staged_source(src, "bdp_stream_docs_")
     return spark.readStream.schema(batch_schema).parquet(stage)
 
@@ -202,6 +217,6 @@ def embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     in append mode."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     src = f"{sf_dir}/embeddings.parquet"
-    batch_schema = spark.read.parquet(src).schema
+    batch_schema = _peeked_schema(spark, src)
     stage = _staged_source(src, "bdp_stream_emb_")
     return spark.readStream.schema(batch_schema).parquet(stage)
