@@ -327,6 +327,34 @@ def test_connected_components_empty_edges(spark):
     assert connected_components(empty).count() == 0
 
 
+def test_connected_components_releases_round_checkpoints(spark):
+    """r13 (ADVICE r12 #1): each round's collect retires the PREVIOUS
+    round's localCheckpoint blocks, and the edge relation's blocks are
+    freed at loop exit — peak checkpoint storage is O(1) rounds, not
+    O(rounds).  Only the FINAL labels relation (which the caller
+    consumes, and which a released local checkpoint could not
+    recompute) may remain persisted beyond the pre-existing set."""
+    from big_data_projects_spark.operators.components import (
+        connected_components,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    before = jsc.getPersistentRDDs().size()
+    # A 6-hop chain forces several propagation rounds (several
+    # checkpointed label relations) before converging.
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "src long, dst long"
+    )
+    labels = connected_components(chain)
+    assert labels.count() == 8  # still readable after the releases
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 1, (
+        f"{after - before} checkpoint RDDs left persisted — rounds are "
+        "leaking blocks (expected only the final labels relation)"
+    )
+
+
 def test_connected_components_unconverged_raises(spark):
     """A chain whose diameter exceeds max_iter must raise, not return a
     wrong-but-plausible split clustering."""
